@@ -1,0 +1,661 @@
+"""Forgiving HTML tokenizer + DOM builder (std-mode semantics).
+
+Behavioral parity target: ``/root/reference/projects/fortissimo-html/src/html-parser.ts``.
+This is NOT a port of its per-character cursor: the scan walks *markup
+boundaries* found with C-level ``str.find``/regex over the whole document,
+so Python-level work is O(#tags), not O(#chars) — the reference's "fast
+mode" speed with its "std mode" semantics.
+
+Replicated reference quirks (cites into the reference source):
+
+* html-parser.ts:1040-1045 — ``<`` not followed by ``[a-z:/!?]`` is literal
+  text and the following char is consumed with it (``<<p>`` stays text).
+* html-parser.ts:1010-1017 — the whitespace gatherer treats any 2-UTF-16-unit
+  read (i.e. an astral-plane char) as whitespace, so astral chars between
+  markup tokens land in spacing/innerWhitespace runs.
+* html-parser.ts:1108-1130 — comments close only when the ``>`` follows a
+  dash-run whose length m satisfies m % 3 == 2 (the 3-stage matcher resets
+  stage to 0 on the third consecutive dash), so ``<!-- x --->`` does NOT
+  close the comment.
+* html-parser.ts:1155-1182 — the raw-text end-tag matcher is a naive stage
+  matcher: after a partial ``</ta...`` mismatch it resumes at the char after
+  the mismatch, so ``<</script>`` inside a script does not terminate it.
+* html-parser.ts:513-523 + 467-493 — a document ending in non-whitespace
+  text leaves the parser in AT_MARKUP_START, which counts one
+  "unexpected end of file" error at wrap-up.
+* html-parser.ts:827 + dom.ts:560-564 — ``canDoXmlMode`` is evaluated after
+  the ``<?xml`` node is already a child of the root, so it can never be
+  true: processing instructions never flip xmlMode (only an xhtml doctype
+  does, html-parser.ts:801).
+* html-parser.ts:1140-1147 — CDATA is recognized only when ``[CDATA[`` is
+  complete *and* at least one more char follows before EOF.
+"""
+
+from __future__ import annotations
+
+import re
+from bisect import bisect_right
+
+from . import dom as D
+from .dom import DocBuilder, POP_SELF, POP_VOID, VOID_ELEMENTS
+
+__all__ = ["ParseResult", "parse", "check_encoding", "normalize_encoding_name"]
+
+_WS = " \t\n\f\r"
+_WS_SET = frozenset(_WS)
+
+# loop-top whitespace gather: HTML whitespace plus astral chars (see module
+# docstring on the 2-unit-read quirk)
+_RE_WS_RUN = re.compile(r"[ \t\n\f\r\U00010000-\U0010FFFF]*")
+_RE_MARKUP_START = re.compile(r"[a-z:/!?]", re.I | re.A)
+_RE_ANY_EOL = re.compile(r"\r\n|\r|\n")
+
+# tag name runs: loose (HTML) / strict PCEN (xmlMode)
+_RE_TAG_LOOSE = re.compile(r"[^ \n\r\t\f/>]*")
+_RE_TAG_STRICT = re.compile(
+    r"[-._0-9a-zA-Z\xb7\xc0-\xd6\xd8-\xf6\xf8-\u037d\u037f-\u1fff"
+    r"\u200c-\u200d\u203f-\u2040\u2070-\u218f\u2c00-\u2fef\u3001-\ud7ff"
+    r"\uf900-\ufdcf\ufdf0-\ufffd\U00010000-\U000effff]*"
+)
+# attribute name runs: loose (HTML) / strict (ch > ' ' and not " ` > / =)
+_RE_ATTR_LOOSE = re.compile(r"[^ \n\r\t\f>/=]*")
+_RE_ATTR_STRICT = re.compile(r'[^\x00-\x20"`>/=]*')
+# unquoted attribute value: until HTML whitespace or '>'
+_RE_UNQUOTED = re.compile(r"[^ \t\n\f\r>]*")
+
+_RE_CHARSET_IN_CONTENT = re.compile(r"\bcharset[ \n\r\t\f]*=[ \n\r\t\f]*([\w-]+)\b", re.I | re.A)
+
+_RAW_TEXT_TAGS = ("script", "style", "textarea")
+
+# encoding-pattern sniffing (html-parser.ts:306-324), applied to the
+# (mis)decoded text's first chars
+_RE_ENC_UTF32BE = re.compile("^(\x00\x00\xfe\xff|\x00\x00\x00[\x01-\xff]\x00\x00\x00[\x01-\xff])")
+_RE_ENC_UTF32LE = re.compile("^(\xff\xfe\x00\x00|[\x01-\xff]\x00\x00\x00[\x01-\xff]\x00\x00\x00)")
+_RE_ENC_UTF16BE = re.compile("^(\xfe\xff|\x00[\x01-\xff]\x00[\x01-\xff])")
+_RE_ENC_UTF16LE = re.compile("^(\xff\xfe|[\x01-\xff]\x00[\x01-\xff]\x00)")
+
+
+def check_encoding(first_chars: str) -> str | None:
+    """Pattern-sniff UTF-16/32 BE/LE from the first chars of a (mis)decoded
+    document. Returns the encoding name or None."""
+    if _RE_ENC_UTF32BE.match(first_chars):
+        return "UTF-32BE"
+    if _RE_ENC_UTF32LE.match(first_chars):
+        return "UTF-32LE"
+    if _RE_ENC_UTF16BE.match(first_chars):
+        return "UTF-16BE"
+    if _RE_ENC_UTF16LE.match(first_chars):
+        return "UTF-16LE"
+    return None
+
+
+def normalize_encoding_name(name: str, explicit: bool = True) -> str:
+    if explicit:
+        return re.sub(r":\d{4}$|[^0-9a-z]", "", name.lower())
+    return name.lower().replace("-", "")
+
+
+def _normalize_eol_option(eol) -> str | None:
+    if not eol:
+        return None
+    if eol in (True, "\n", "n", "lf"):
+        return "\n"
+    if eol in ("\r", "r", "cr"):
+        return "\r"
+    if eol in ("\r\n", "rn", "crlf"):
+        return "\r\n"
+    return None
+
+
+class ParseResult:
+    """Mirror of the reference's ParseResults (html-parser.ts:18-31)."""
+
+    __slots__ = ("dom", "characters", "errors", "implicitly_closed_tags",
+                 "lines", "stopped", "unclosed_tags", "charset",
+                 "pattern_encoding", "xml_mode", "text")
+
+    def __init__(self, builder: DocBuilder, text: str):
+        self.dom = builder
+        self.text = text  # the (EOL-normalized) source the DOM indexes into
+        self.characters = 0
+        self.errors = 0
+        self.implicitly_closed_tags = 0
+        self.lines = 0
+        self.stopped = False
+        self.unclosed_tags = 0
+        self.charset: str | None = None
+        self.pattern_encoding: str | None = None
+        self.xml_mode = False
+
+    def to_string(self) -> str:
+        return self.dom.serialize(0)
+
+
+class _Pos:
+    """Lazy 1-based line / tab-aware column lookup over the parsed text."""
+
+    __slots__ = ("t", "tab_size", "starts")
+
+    def __init__(self, t: str, tab_size: int):
+        self.t = t
+        self.tab_size = tab_size
+        starts = [0]
+        for m in _RE_ANY_EOL.finditer(t):
+            starts.append(m.end())
+        self.starts = starts
+
+    def line(self, pos: int) -> int:
+        return bisect_right(self.starts, pos)
+
+    def line_col(self, pos: int) -> tuple[int, int]:
+        ln = bisect_right(self.starts, pos)
+        ls = self.starts[ln - 1]
+        seg = self.t[ls:pos + 1]
+        if "\t" not in seg:
+            return ln, len(seg)
+        col = 0
+        inc = 1
+        tab = self.tab_size
+        for c in seg:
+            col += inc
+            inc = tab - (col - 1) % tab if c == "\t" else 1
+        return ln, col
+
+
+_NO_POS = (0, 0)
+
+
+def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 8,
+          xml_mode: bool = False, positions: bool = True) -> ParseResult:
+    """Parse ``source`` with the reference's std-mode semantics.
+
+    ``positions=False`` skips line/column computation (hot path); node
+    line/col are then 0.
+    """
+    characters = len(source)
+    pattern_encoding = check_encoding(source[:8])
+
+    eol_n = _normalize_eol_option(eol)
+    t = _RE_ANY_EOL.sub(eol_n, source) if eol_n else source
+    n = len(t)
+
+    b = DocBuilder()
+    b.xml_mode = xml_mode
+    xml = xml_mode
+
+    result = ParseResult(b, t)
+    result.characters = characters
+    result.pattern_encoding = pattern_encoding
+
+    pos = _Pos(t, tab_size) if positions else None
+    if positions:
+        lc = pos.line_col
+    else:
+        def lc(_p):
+            return _NO_POS
+
+    ws_match = _RE_WS_RUN.match
+    find = t.find
+    errors = 0
+    charset: str | None = None
+    trailing_markup_error = False  # EOF with pending markup / trailing text
+
+    i = 0
+    while i < n:
+        # ---------------- OUTSIDE_MARKUP: gather text ----------------
+        run_start = i
+        j = i
+        k = n
+        c2 = ""
+        while True:
+            k = find("<", j)
+            if k < 0:
+                k = n
+                break
+            c2 = t[k + 1] if k + 1 < n else ""
+            if c2 and _RE_MARKUP_START.match(c2):
+                if c2 == "/" and not empty_end_tag:
+                    c3 = t[k + 2] if k + 2 < n else ""
+                    if c3 != "/" and c3 and _RE_MARKUP_START.match(c3):
+                        break
+                    j = k + 3 if c3 else k + 2
+                    continue
+                break
+            # literal '<': it and the following char are consumed as text
+            j = k + 2 if c2 else k + 1
+
+        if k == n:
+            text = t[run_start:n]
+            if text:
+                is_all_ws = all(c in _WS_SET or ord(c) > 0xFFFF for c in text)
+                ln, col = lc(run_start)
+                node = b.new_leaf(D.TEXT, text, ln, col, poss_ent=True,
+                                  src_start=run_start, src_end=n)
+                b.add_child(node)
+                if not is_all_ws:
+                    # handleText left the parser in AT_MARKUP_START at EOF
+                    trailing_markup_error = True
+            i = n
+            break
+
+        if k > run_start:
+            ln, col = lc(run_start)
+            node = b.new_leaf(D.TEXT, t[run_start:k], ln, col, poss_ent=True,
+                              src_start=run_start, src_end=k)
+            b.add_child(node)
+
+        mk_ln, mk_col = lc(k)
+
+        # ---------------- markup dispatch at k; c2 = t[k+1] ----------------
+        if c2 == "/":
+            # ---- end tag ----
+            i = k + 2
+            iw = ws_match(t, i).end()
+            if iw >= n:
+                errors += 1
+                ln, col = lc(n - 1)
+                b.add_child(b.new_leaf(D.UNMATCHED_CLOSE, t[k:n], ln, col,
+                                       src_start=k, src_end=n))
+                i = n
+                break
+            c = t[iw]
+            if c == ">":
+                errors += 1
+                ln, col = lc(iw)
+                b.add_child(b.new_leaf(D.UNMATCHED_CLOSE, t[k:iw + 1], ln, col,
+                                       src_start=k, src_end=iw + 1))
+                i = iw + 1
+                continue
+            m = (_RE_TAG_STRICT if xml else _RE_TAG_LOOSE).match(t, iw + 1)
+            tag = c + m.group(0)
+            tag_end = m.end()
+            tag_lc = tag if xml else tag.lower()
+
+            i2 = ws_match(t, tag_end).end()
+            ws2 = t[tag_end:i2]
+            if i2 >= n:
+                errors += 1
+                ln, col = lc(n - 1)
+                b.add_child(b.new_leaf(D.UNMATCHED_CLOSE, t[k:n], ln, col,
+                                       src_start=k, src_end=n))
+                i = n
+                break
+            ws2 = t[tag_end:i2]
+            c3 = t[i2]
+            if c3 == ">":
+                # endTagText excludes whitespace after '</' (html-parser.ts:633)
+                if not b.pop(tag_lc, "</" + tag + ws2 + ">", mk_ln, mk_col, end_pos=i2 + 1):
+                    errors += 1
+                i = i2 + 1
+            elif xml:
+                errors += 1
+                if not b.pop(tag_lc, t[k:i2], mk_ln, mk_col):
+                    errors += 1
+                i = i2  # offending char re-parsed as text
+            elif i2 == n - 1:
+                # EOF right after the offending char (html-parser.ts:615-616)
+                errors += 1
+                ln, col = lc(n - 1)
+                b.add_child(b.new_leaf(D.UNMATCHED_CLOSE, t[k:n], ln, col,
+                                       src_start=k, src_end=n))
+                i = n
+                break
+            else:
+                errors += 1  # 'Syntax error in end tag'
+                g = find(">", i2 + 1)
+                if g < 0:
+                    end_tag_text = "</" + tag + t[tag_end:n]
+                    i = n
+                else:
+                    end_tag_text = "</" + tag + t[tag_end:g + 1]
+                    i = g + 1
+                if not b.pop(tag_lc, end_tag_text, mk_ln, mk_col, end_pos=i):
+                    errors += 1
+            continue
+
+        if c2 == "!":
+            # ---- declaration / comment / cdata / doctype ----
+            i = k + 2
+            iw = ws_match(t, i).end()
+            w = t[i:iw]
+            if not w and t[iw:iw + 2] == "--":
+                # comment; body from iw+2, closes on '>' after m%3==2 dashes
+                start = iw + 2
+                e = -1
+                scan = start
+                while True:
+                    g = find(">", scan)
+                    if g < 0:
+                        break
+                    d = g - 1
+                    while d >= start and t[d] == "-":
+                        d -= 1
+                    mlen = g - 1 - d
+                    if mlen >= 2 and mlen % 3 == 2:
+                        e = g
+                        break
+                    scan = g + 1
+                if e < 0:
+                    errors += 1
+                    node = b.new_leaf(D.COMMENT, t[start:n], mk_ln, mk_col,
+                                      terminated=False, src_start=k, src_end=n)
+                    b.add_child(node)
+                    i = n
+                else:
+                    node = b.new_leaf(D.COMMENT, t[start:e - 2], mk_ln, mk_col,
+                                      src_start=k, src_end=e + 1)
+                    b.add_child(node)
+                    i = e + 1
+                continue
+
+            is_cdata = (b.should_parse_cdata() and t[k + 2:k + 9] == "[CDATA["
+                        and k + 9 < n)
+            if is_cdata:
+                scan = k + 9
+                e = -1
+                while True:
+                    g = find(">", scan)
+                    if g < 0:
+                        break
+                    if g - 2 >= k + 2 and t[g - 2:g] == "]]":
+                        e = g
+                        break
+                    scan = g + 1
+                if e < 0:
+                    errors += 1
+                    node = b.new_leaf(D.CDATA, t[k + 9:n], mk_ln, mk_col,
+                                      terminated=False, src_start=k, src_end=n)
+                    i = n
+                else:
+                    node = b.new_leaf(D.CDATA, t[k + 9:e - 2], mk_ln, mk_col,
+                                      src_start=k, src_end=e + 1)
+                    i = e + 1
+                b.add_child(node)
+                continue
+
+            if not w and iw < n and t[iw] == ">":
+                content = ""
+                terminated = True
+                i = iw + 1
+            elif iw >= n:
+                content = t[k + 2:n]
+                terminated = False
+                i = n
+            else:
+                e = find(">", iw + 1)
+                if e < 0:
+                    content = t[k + 2:n]
+                    terminated = False
+                    i = n
+                else:
+                    content = t[k + 2:e]
+                    terminated = True
+                    i = e + 1
+
+            if D._RE_DOCTYPE.match(content):
+                node = b.new_leaf(D.DOCTYPE, content, mk_ln, mk_col,
+                                  terminated=terminated, src_start=k, src_end=i)
+                b.add_child(node)
+                if not terminated:
+                    errors += 1
+                dt_type, _, _ = DocBuilder.doctype_info(content)
+                xml = dt_type == "xhtml"
+                b.xml_mode = xml
+            else:
+                node = b.new_leaf(D.DECLARATION, content, mk_ln, mk_col,
+                                  terminated=terminated, src_start=k, src_end=i)
+                b.add_child(node)
+                if not terminated:
+                    errors += 1
+            continue
+
+        if c2 == "?":
+            # ---- processing instruction ----
+            i = k + 2
+            iw = ws_match(t, i).end()
+            w = t[i:iw]
+            if not w and iw < n and t[iw] == ">":
+                content = ""
+                terminated = True
+                i = iw + 1
+            elif iw >= n:
+                content = t[k + 2:n]
+                terminated = False
+                i = n
+            else:
+                e = find(">", iw + 1)
+                if e < 0:
+                    content = t[k + 2:n]
+                    terminated = False
+                    i = n
+                else:
+                    content = t[k + 2:e]
+                    terminated = True
+                    i = e + 1
+            node = b.new_leaf(D.PROCESSING, content, mk_ln, mk_col,
+                              terminated=terminated, src_start=k, src_end=i)
+            b.add_child(node)
+            if not terminated:
+                errors += 1
+            # dead by design in the reference: canDoXmlMode() is checked after
+            # the PI is already a child (see module docstring)
+            if content.startswith("xml ") and b.can_do_xml_mode():
+                xml = True
+                b.xml_mode = True
+            continue
+
+        # ---- start tag ----
+        m = (_RE_TAG_STRICT if xml else _RE_TAG_LOOSE).match(t, k + 2)
+        tag = c2 + m.group(0)
+        tag_end = m.end()
+        tag_lc = tag if xml else tag.lower()
+
+        node = b.new_element(tag, mk_ln, mk_col, case_sensitive=xml, src_start=k)
+        b.pre_push(node)
+        b.add_child(node)
+        b.push(node)
+
+        checking_charset = (not charset) and tag_lc == "meta"
+        content_type = False
+        pending_charset: str | None = None
+
+        attr_re = _RE_ATTR_STRICT if xml else _RE_ATTR_LOOSE
+        i = tag_end
+        pend_ws: str | None = None
+        tag_end_kind = None  # '>', '/>', 'eof', 'bad'
+
+        while True:
+            if pend_ws is None:
+                iw = ws_match(t, i).end()
+                w = t[i:iw]
+                i = iw
+            else:
+                w = pend_ws
+                pend_ws = None
+            if i >= n:
+                # EOF in AT_ATTRIBUTE_START
+                errors += 1
+                b.bad_term[node] = ""
+                tag_end_kind = "eof"
+                break
+            c = t[i]
+            if c == "/":
+                if i + 1 < n and t[i + 1] == ">":
+                    b.add_inner_whitespace(w)
+                    i += 2
+                    tag_end_kind = "/>"
+                    break
+                if not xml:
+                    # stray slash becomes a valueless '/' attribute
+                    b.add_attribute("/", "", w, "", "")
+                    i += 1
+                    continue
+                b.add_inner_whitespace(w)
+                b.bad_term[node] = "/"
+                errors += 1
+                i += 1
+                tag_end_kind = "bad"
+                break
+            if c == ">":
+                b.add_inner_whitespace(w)
+                i += 1
+                tag_end_kind = ">"
+                break
+            am = attr_re.match(t, i)
+            if am.end() > i:
+                name = am.group(0)
+                i = am.end()
+                # AT_ATTRIBUTE_ASSIGNMENT
+                iw2 = ws_match(t, i).end()
+                w2 = t[i:iw2]
+                i = iw2
+                if i >= n:
+                    errors += 1
+                    b.add_attribute(name, "", w, "", "")
+                    b.bad_term[node] = ""
+                    tag_end_kind = "eof"
+                    break
+                if t[i] != "=":
+                    b.add_attribute(name, "", w, "", "")
+                    pend_ws = w2
+                    continue
+                pre_eq = w2
+                i += 1
+                # AT_ATTRIBUTE_VALUE
+                iw3 = ws_match(t, i).end()
+                w3 = t[i:iw3]
+                i = iw3
+                if i >= n:
+                    errors += 1
+                    b.add_attribute(name, "", w, pre_eq + "=", "")
+                    b.bad_term[node] = ""
+                    tag_end_kind = "eof"
+                    break
+                c3 = t[i]
+                if c3 == ">":
+                    b.add_attribute(name, "", w, pre_eq + "=", "")
+                    pend_ws = w3
+                    continue
+                if c3 == '"' or c3 == "'":
+                    e = find(c3, i + 1)
+                    if e < 0:
+                        value = t[i + 1:n]
+                        b.add_attribute(name, value, w, pre_eq + "=" + w3, "_" + c3)
+                        i = n
+                        errors += 1
+                        b.bad_term[node] = ""
+                        tag_end_kind = "eof"
+                        break
+                    value = t[i + 1:e]
+                    quote = c3
+                    i = e + 1
+                else:
+                    vm = _RE_UNQUOTED.match(t, i)
+                    value = vm.group(0)
+                    i = vm.end()
+                    if value.endswith("/"):
+                        value = value[:-1]
+                        i -= 1
+                    quote = ""
+                b.add_attribute(name, value, w, pre_eq + "=" + w3, quote)
+                if checking_charset:
+                    al = name.lower()
+                    if al == "charset":
+                        charset = value.strip()
+                    elif al == "http-equiv" and value.lower() == "content-type":
+                        content_type = True
+                        charset = pending_charset
+                    elif al == "content":
+                        cm = _RE_CHARSET_IN_CONTENT.search(value)
+                        cs = cm.group(1) if cm else None
+                        if content_type:
+                            charset = cs
+                        else:
+                            pending_charset = cs
+                continue
+            # not an attribute-name char: only '=' (HTML) or strict-mode
+            # specials reach here -> bad terminator, back to text
+            b.add_inner_whitespace(w)
+            b.bad_term[node] = c
+            errors += 1
+            i += 1
+            tag_end_kind = "bad"
+            break
+
+        if tag_end_kind == "eof":
+            i = n
+            break
+        if tag_end_kind == "bad":
+            continue  # state OUTSIDE_MARKUP; node remains open on the stack
+
+        # tag ended with '>' or '/>'
+        if tag_end_kind == "/>" or (not xml and tag_lc in VOID_ELEMENTS):
+            b.pop(POP_SELF if tag_end_kind == "/>" else POP_VOID, end_pos=i)
+            continue
+
+        if tag_lc in _RAW_TEXT_TAGS:
+            # ---- raw-text content: scan for '</tag' [ws]* '>' ----
+            ender = "</" + tag_lc
+            elen = len(ender)
+            scan = i
+            match_start = -1
+            gt = -1
+            while True:
+                kk = find("<", scan)
+                if kk < 0:
+                    break
+                mlen = 0
+                while mlen < elen and kk + mlen < n and t[kk + mlen].lower() == ender[mlen]:
+                    mlen += 1
+                if mlen < elen:
+                    if kk + mlen >= n:
+                        break
+                    scan = kk + mlen + 1  # naive matcher: resume after mismatch
+                    continue
+                p = kk + elen
+                while p < n and t[p] in _WS_SET:
+                    p += 1
+                if p < n and t[p] == ">":
+                    match_start = kk
+                    gt = p
+                    break
+                if p >= n:
+                    break
+                scan = p + 1
+                continue
+
+            if match_start < 0:
+                errors += 1
+                b.closure[node] = D.UNCLOSED
+                content = t[i:n]
+                if content:
+                    ln, col = lc(i)
+                    tn = b.new_leaf(D.TEXT, content, ln, col,
+                                    poss_ent=(tag_lc == "textarea"),
+                                    src_start=i, src_end=n)
+                    b.add_child(tn)
+                i = n
+                # state OUTSIDE at EOF: no extra wrap-up error
+                break
+            content = t[i:match_start]
+            if content:
+                ln, col = lc(i)
+                tn = b.new_leaf(D.TEXT, content, ln, col,
+                                poss_ent=(tag_lc == "textarea"),
+                                src_start=i, src_end=match_start)
+                b.add_child(tn)
+            e_ln, e_col = lc(match_start)
+            if not b.pop(tag_lc, t[match_start:gt + 1], e_ln, e_col, end_pos=gt + 1):
+                errors += 1
+            i = gt + 1
+        # else: plain OUTSIDE_MARKUP continues
+
+    if trailing_markup_error:
+        errors += 1
+
+    result.errors = errors
+    result.charset = charset
+    result.xml_mode = xml
+    result.unclosed_tags, result.implicitly_closed_tags = b.count_unclosed(0)
+    result.lines = len(pos.starts) if positions else 1 + len(_RE_ANY_EOL.findall(t))
+    return result
