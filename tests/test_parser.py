@@ -235,8 +235,8 @@ def test_declaration_with_space_not_comment():
 def test_implicit_closures_and_unclosed_counts(sample_html):
     r = parse(sample_html)
     # countUnclosed over non-synthetic nodes; pin both metrics for stability
-    assert r.unclosed_tags == 1   # the '<code" g"`=h' tag never closes
-    assert r.implicitly_closed_tags > 5
+    assert r.unclosed_tags == 0   # every element eventually closes somehow
+    assert r.implicitly_closed_tags == 14
 
 
 def test_misnested_formatting_unwind():
