@@ -1,38 +1,478 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction at sf0.001. ``queries()`` maps
+operator names (SURVEY.md §2) to (spark, sf_dir) -> DataFrame callables;
+``oracle_sql()`` carries the DuckDB-equivalent SQL the driver compares
+against at sf0.01.
+
+Column-name discipline: every computed column is aliased identically on both
+sides; float aggregates are rounded on both sides so value hashes are stable
+across engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fortissimo_spark.io_tables import build_pages, load_table  # noqa: E402
+from fortissimo_spark.pipeline import dedup_latest_crawl, extract_df  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+
+_DOC_ID_FROM_URL = r"/article/(\d+)$"
+
+
+def _extracted(spark: SparkSession, sf_dir: str, strip: str = "density",
+               verify_roundtrip: bool = False) -> DataFrame:
+    pages = build_pages(spark, sf_dir)
+    pages = dedup_latest_crawl(pages)
+    out = extract_df(pages, strip, verify_roundtrip=verify_roundtrip)
+    return out.withColumn(
+        "doc_id", F.regexp_extract("url", _DOC_ID_FROM_URL, 1).cast("long"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize Common-Crawl-style pages from sf0.001 documents,
+    run the full parse+extract kernel, return per-doc text + metrics."""
+    out = _extracted(spark, SF0001, "density", verify_roundtrip=True)
+    return out.select("doc_id", "url", "lang", "text", "text_len",
+                      "token_count", "errors", "node_count", "roundtrip_ok")
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+
+def _q_extract_density(spark, sf_dir):
+    return _extracted(spark, sf_dir).select("doc_id", "text")
+
+
+def _q_extract_tokens(spark, sf_dir):
+    return _extracted(spark, sf_dir).select(
+        "doc_id",
+        F.col("text_len").alias("n_chars"),
+        F.col("token_count").alias("n_tokens"))
+
+
+def _q_extract_lang_stats(spark, sf_dir):
+    return (_extracted(spark, sf_dir)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("text_len").alias("total_chars"))
+            .select("lang", "n_docs", "total_chars"))
+
+
+def _q_extract_roundtrip(spark, sf_dir):
+    out = _extracted(spark, sf_dir, verify_roundtrip=True)
+    return out.agg(
+        F.sum(F.when(F.col("roundtrip_ok"), 1).otherwise(0)).alias("n_roundtrip_ok"),
+        F.count("*").alias("n_docs"))
+
+
+def _q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def _q3_shipping_priority(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (cust.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+            .filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .orderBy(F.desc("revenue"), "l_orderkey")
+            .limit(10)
+            .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority"))
+
+
+def _q5_local_supplier(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (cust
+            .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(supp, (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .orderBy(F.desc("revenue"), "n_name")
+            .select("n_name", "revenue"))
+
+
+def _q_semi_join(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"))
+            .select("o_orderstatus", "n_orders"))
+
+
+def _q_anti_join(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return (cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+            .select("c_mktsegment", "n_customers", "total_acctbal"))
+
+
+def _q_window_latest_event(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type",
+                    F.round("value", 4).alias("last_value")))
+
+
+def _q_window_running(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select("user_id", "event_id",
+                     F.round(F.sum("value").over(w), 4).alias("running_value"))
+
+
+def _q_rollup_orders(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+            .select("o_orderstatus", "o_orderpriority", "n_orders", "total_price"))
+
+
+def _q_topk_parts(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return (part.orderBy(F.desc("p_retailprice"), "p_partkey").limit(10)
+            .select("p_partkey", "p_name", "p_brand",
+                    F.round("p_retailprice", 2).alias("price")))
+
+
+def _q_setop_brands(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    big = part.filter(F.col("p_size") >= 25).select("p_brand")
+    small = part.filter(F.col("p_size") < 10).select("p_brand")
+    both = big.intersect(small).withColumn("category", F.lit("both"))
+    only_big = big.subtract(small).withColumn("category", F.lit("large_only"))
+    return both.unionByName(only_big).orderBy("p_brand", "category")
+
+
+def _q_scalar_fns(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.upper("o_orderpriority").alias("priority_uc"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.concat(F.col("o_orderstatus"), F.lit("-"),
+                 F.col("o_orderpriority")).alias("status_priority"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("sqrt_price"))
+
+
+def _q_agg_distinct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("n_parts"),
+                 F.countDistinct("l_suppkey").alias("n_supps"),
+                 F.count("*").alias("n_rows"))
+            .select("l_returnflag", "n_parts", "n_supps", "n_rows"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    planted = (docs.filter(F.col("doc_id") % 10 == 0)
+               .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    all_docs = docs.select("doc_id", "text").union(planted)
+    groups = (all_docs.groupBy(F.md5("text").alias("text_hash"))
+              .agg(F.count("*").alias("n_copies"),
+                   F.min("doc_id").alias("first_doc_id")))
+    return (groups.filter(F.col("n_copies") > 1)
+            .select("text_hash", "n_copies", "first_doc_id"))
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    perturbed = (docs.filter(F.col("doc_id") % 7 == 0)
+                 .select("doc_id",
+                         F.concat(F.lit("zz yy "), F.col("text")).alias("text2")))
+    joined = docs.join(perturbed, "doc_id").select(
+        "doc_id",
+        F.array_distinct(F.split("text", " ")).alias("w1"),
+        F.array_distinct(F.split("text2", " ")).alias("w2"))
+    return joined.select(
+        "doc_id",
+        F.round(F.size(F.array_intersect("w1", "w2"))
+                / F.size(F.array_union("w1", "w2")), 6).alias("jaccard"))
+
+
+def _q_langid_markers(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    score = (F.size(F.split("text", " the ", -1)) - 1
+             + F.size(F.split("text", " a ", -1)) - 1)
+    return docs.select(
+        "doc_id",
+        score.alias("en_markers"),
+        F.when(score >= 2, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5("text").alias("fp"),
+                       F.sha2("text", 256).alias("fp_sha256"))
+
+
+def _q_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    n_alpha = F.length(F.regexp_replace("text", r"[^a-zA-Z]", ""))
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(n_alpha / F.greatest(F.col("n_chars"), F.lit(1)), 6).alias("alpha_ratio"),
+        F.round(F.col("n_chars") / n_words, 6).alias("chars_per_word"))
+
+
+def _q_ann_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
+    return (emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+            .select("vec_id",
+                    F.round(dot / (norm(F.col("v")) * norm(F.col("qv"))), 4).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(10))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_density": _q_extract_density,
+        "extract_tokens": _q_extract_tokens,
+        "extract_lang_stats": _q_extract_lang_stats,
+        "extract_roundtrip": _q_extract_roundtrip,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_local_supplier": _q5_local_supplier,
+        "semi_join_orders": _q_semi_join,
+        "anti_join_customers": _q_anti_join,
+        "window_latest_event": _q_window_latest_event,
+        "window_running_value": _q_window_running,
+        "rollup_orders": _q_rollup_orders,
+        "topk_parts": _q_topk_parts,
+        "setop_brands": _q_setop_brands,
+        "scalar_fns": _q_scalar_fns,
+        "agg_distinct": _q_agg_distinct,
+        "dedup_exact": _q_dedup_exact,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "langid_markers": _q_langid_markers,
+        "fingerprint": _q_fingerprint,
+        "quality_score": _q_quality,
+        "ann_cosine_topk": _q_ann_cosine,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_density": "SELECT doc_id, text FROM documents",
+        "extract_tokens": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+            FROM documents""",
+        "extract_lang_stats": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang""",
+        "extract_roundtrip": """
+            SELECT CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
+                   count(*) AS n_docs
+            FROM documents""",
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+                   round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+                   round(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 2) AS sum_charge,
+                   round(CAST(avg(l_quantity) AS DOUBLE), 4) AS avg_qty,
+                   round(CAST(avg(l_extendedprice) AS DOUBLE), 4) AS avg_price,
+                   round(CAST(avg(l_discount) AS DOUBLE), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND o_orderkey = l_orderkey
+              AND o_orderdate < DATE '1995-03-15'
+              AND l_shipdate > DATE '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10""",
+        "q5_local_supplier": """
+            SELECT n_name,
+                   round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name""",
+        "semi_join_orders": """
+            SELECT o_orderstatus, count(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+            GROUP BY o_orderstatus""",
+        "anti_join_customers": """
+            SELECT c_mktsegment,
+                   count(*) AS n_customers,
+                   round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_acctbal
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 150000)
+            GROUP BY c_mktsegment""",
+        "window_latest_event": """
+            SELECT user_id, event_id, event_type,
+                   round(CAST(value AS DOUBLE), 4) AS last_value
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1""",
+        "window_running_value": """
+            SELECT user_id, event_id,
+                   round(CAST(sum(value) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+                   AS running_value
+            FROM events WHERE user_id < 50""",
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "topk_parts": """
+            SELECT p_partkey, p_name, p_brand,
+                   round(CAST(p_retailprice AS DOUBLE), 2) AS price
+            FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10""",
+        "setop_brands": """
+            SELECT p_brand, 'both' AS category FROM
+              (SELECT p_brand FROM part WHERE p_size >= 25
+               INTERSECT
+               SELECT p_brand FROM part WHERE p_size < 10)
+            UNION ALL
+            SELECT p_brand, 'large_only' AS category FROM
+              (SELECT p_brand FROM part WHERE p_size >= 25
+               EXCEPT
+               SELECT p_brand FROM part WHERE p_size < 10)
+            ORDER BY p_brand, category""",
+        "scalar_fns": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INT) AS order_year,
+                   CAST(month(o_orderdate) AS INT) AS order_month,
+                   upper(o_orderpriority) AS priority_uc,
+                   CAST(length(o_orderstatus) AS INT) AS status_len,
+                   o_orderstatus || '-' || o_orderpriority AS status_priority,
+                   round(sqrt(o_totalprice), 4) AS sqrt_price
+            FROM orders WHERE o_orderkey <= 100""",
+        "agg_distinct": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag""",
+        "dedup_exact": """
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 10 = 0)
+            SELECT md5(text) AS text_hash,
+                   count(*) AS n_copies,
+                   min(doc_id) AS first_doc_id
+            FROM all_docs GROUP BY md5(text) HAVING count(*) > 1""",
+        "jaccard_pairs": """
+            WITH pert AS (
+              SELECT doc_id, 'zz yy ' || text AS text2 FROM documents
+              WHERE doc_id % 7 = 0)
+            SELECT d.doc_id,
+                   round(CAST(length(list_intersect(list_distinct(string_split(d.text, ' ')),
+                                                    list_distinct(string_split(p.text2, ' ')))) AS DOUBLE)
+                         / length(list_distinct(list_concat(list_distinct(string_split(d.text, ' ')),
+                                                            list_distinct(string_split(p.text2, ' '))))), 6)
+                   AS jaccard
+            FROM documents d JOIN pert p USING (doc_id)""",
+        "langid_markers": """
+            SELECT doc_id,
+                   CAST(length(string_split(text, ' the ')) - 1
+                        + length(string_split(text, ' a ')) - 1 AS INT) AS en_markers,
+                   CASE WHEN length(string_split(text, ' the ')) - 1
+                             + length(string_split(text, ' a ')) - 1 >= 2
+                        THEN 'en' ELSE 'other' END AS lang_guess
+            FROM documents""",
+        "fingerprint": """
+            SELECT doc_id, md5(text) AS fp, sha256(text) AS fp_sha256
+            FROM documents""",
+        "quality_score": """
+            SELECT doc_id,
+                   n_chars,
+                   CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_words,
+                   round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                         / greatest(n_chars, 1), 6) AS alpha_ratio,
+                   round(CAST(n_chars AS DOUBLE)
+                         / length(regexp_split_to_array(trim(text), '\\s+')), 6) AS chars_per_word
+            FROM documents""",
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            base AS (
+              SELECT e.vec_id,
+                     list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))) AS sim
+              FROM embeddings e, q WHERE e.vec_id != 0)
+            SELECT vec_id, round(sim, 4) AS cos_sim
+            FROM base ORDER BY round(sim, 4) DESC, vec_id LIMIT 10""",
+    }

@@ -1,0 +1,187 @@
+"""Main-content extraction over node arrays.
+
+Three strip modes (BASELINE.json north_star: "text-density and tag-class
+boilerplate-strip heuristics"):
+
+* ``none``    — full-DOM textContent (dom.ts:419-434 semantics). This is the
+  byte-identical contract mode: output equals the reference's
+  ``domRoot.textContent`` for the same document.
+* ``basic``   — tag-class strip only: drops DROP_TAGS subtrees, then
+  textContent of what remains.
+* ``density`` — tag-class strip + text-block segmentation (nearest block
+  ancestor, inline set mirrored from the reference formatter's block/inline
+  split, formatter.ts:87-89) scored by trimmed length and link density
+  (jusText/Boilerpipe-family heuristic, deterministic and configurable).
+
+Every mode also returns source spans: (start, end) char offsets into the
+parsed text for each emitted text/CDATA node, so downstream consumers can
+trace extracted content back into the raw page bytes.
+"""
+
+from __future__ import annotations
+
+from .chars import trim, unescape_entities
+from .dom import CDATA, ELEMENT, TEXT, DocBuilder
+
+__all__ = ["DROP_TAGS", "INLINE_TAGS", "BOOST_TAGS", "ExtractResult", "extract"]
+
+# subtrees that never contribute main content
+DROP_TAGS = frozenset([
+    "script", "style", "noscript", "template", "iframe", "nav", "header",
+    "footer", "aside", "form", "button", "select", "option", "optgroup",
+    "datalist", "object", "applet", "embed", "svg", "math", "head", "menu",
+])
+
+# the reference formatter's inline set (formatter.ts:87-89); everything else
+# is treated as a block boundary
+INLINE_TAGS = frozenset([
+    "a", "abbr", "acronym", "b", "basefont", "bdo", "big", "br", "cite",
+    "code", "dfn", "em", "font", "i", "img", "input", "kbd", "label", "q",
+    "s", "samp", "select", "small", "span", "strike", "strong", "sub", "sup",
+    "text", "tt", "u", "var",
+])
+
+# content-bearing tags that keep even short blocks
+BOOST_TAGS = frozenset([
+    "p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "blockquote", "pre",
+    "td", "th", "article", "main", "caption", "figcaption", "dd", "dt",
+    "title",
+])
+
+_MIN_BLOCK_CHARS = 25
+_MAX_LINK_DENSITY = 1.0 / 3.0
+
+
+class ExtractResult:
+    __slots__ = ("text", "spans", "kept_blocks", "total_blocks", "node_count",
+                 "text_node_count")
+
+    def __init__(self, text, spans, kept_blocks, total_blocks, node_count,
+                 text_node_count):
+        self.text = text
+        self.spans = spans
+        self.kept_blocks = kept_blocks
+        self.total_blocks = total_blocks
+        self.node_count = node_count
+        self.text_node_count = text_node_count
+
+
+def _decoded(b: DocBuilder, node: int) -> str:
+    c = b.content[node]
+    if b.kind[node] == TEXT and b.poss_ent[node] and "&" in c:
+        return unescape_entities(c)
+    return c
+
+
+def _collect_spans(b: DocBuilder, node: int, spans: list) -> None:
+    children = b.children[node]
+    if not children:
+        return
+    for child in children:
+        k = b.kind[child]
+        if k in (TEXT, CDATA):
+            if b.src_start[child] >= 0:
+                spans.append((b.src_start[child], b.src_end[child]))
+        elif k == ELEMENT:
+            _collect_spans(b, child, spans)
+
+
+def _text_content_skipping(b: DocBuilder, node: int, out: list, spans: list) -> None:
+    children = b.children[node]
+    if not children:
+        return
+    for child in children:
+        k = b.kind[child]
+        if k in (TEXT, CDATA):
+            out.append(_decoded(b, child))
+            if b.src_start[child] >= 0:
+                spans.append((b.src_start[child], b.src_end[child]))
+        elif k == ELEMENT and b.tag_lc[child] not in DROP_TAGS:
+            _text_content_skipping(b, child, out, spans)
+
+
+def extract(b: DocBuilder, strip: str = "density",
+            min_block_chars: int = _MIN_BLOCK_CHARS,
+            max_link_density: float = _MAX_LINK_DENSITY) -> ExtractResult:
+    node_count = len(b.kind) - 1
+    text_node_count = sum(1 for k in b.kind if k in (TEXT, CDATA))
+
+    if strip == "none":
+        spans: list = []
+        text = b.text_content(0)
+        _collect_spans(b, 0, spans)
+        return ExtractResult(text, spans, 0, 0, node_count, text_node_count)
+
+    if strip == "basic":
+        out: list = []
+        spans = []
+        _text_content_skipping(b, 0, out, spans)
+        return ExtractResult("".join(out), spans, 0, 0, node_count, text_node_count)
+
+    if strip != "density":
+        raise ValueError(f"unknown strip mode {strip!r}")
+
+    # --- density mode: group text nodes into blocks by nearest block ancestor
+    blocks: list[dict] = []  # {'tag', 'parts': [str], 'spans': [], 'link_chars': int}
+    # iterative DFS carrying (node, block_key, in_link); a new block starts
+    # whenever we enter a non-inline element
+    stack = [(0, -1, False)]
+    current_block_of: dict[int, dict] = {}
+
+    while stack:
+        node, block_owner, in_link = stack.pop()
+        k = b.kind[node]
+        if k in (TEXT, CDATA):
+            piece = _decoded(b, node)
+            blk = current_block_of.get(block_owner)
+            if blk is None:
+                owner_tag = b.tag_lc[block_owner] if block_owner >= 0 else ""
+                blk = {"tag": owner_tag, "parts": [], "spans": [],
+                       "link_chars": 0, "order": len(blocks)}
+                current_block_of[block_owner] = blk
+                blocks.append(blk)
+            blk["parts"].append(piece)
+            if b.src_start[node] >= 0:
+                blk["spans"].append((b.src_start[node], b.src_end[node]))
+            if in_link:
+                blk["link_chars"] += len(trim(piece))
+            continue
+        if k != ELEMENT:
+            continue
+        tag = b.tag_lc[node]
+        if node != 0 and tag in DROP_TAGS:
+            continue
+        if node != 0 and tag in INLINE_TAGS:
+            child_owner = block_owner
+            child_link = in_link or tag == "a"
+        else:
+            # entering a block element (or the root) interrupts the enclosing
+            # block's open text run
+            current_block_of.pop(block_owner, None)
+            child_owner = node
+            child_link = in_link
+        children = b.children[node]
+        if children:
+            for child in reversed(children):
+                stack.append((child, child_owner, child_link))
+
+    kept_parts: list[str] = []
+    kept_spans: list = []
+    kept = 0
+    for blk in blocks:
+        raw = "".join(blk["parts"])
+        visible = trim(raw)
+        if not visible:
+            continue
+        chars = len(visible)
+        link_density = blk["link_chars"] / chars if chars else 1.0
+        if link_density > max_link_density:
+            continue
+        if chars >= min_block_chars or blk["tag"] in BOOST_TAGS:
+            kept += 1
+            kept_parts.append(raw)
+            kept_spans.extend(blk["spans"])
+
+    text = "\n\n".join(trim(p) for p in kept_parts)
+    total = sum(1 for blk in blocks if trim("".join(blk["parts"])))
+    return ExtractResult(text, kept_spans, kept, total, node_count, text_node_count)

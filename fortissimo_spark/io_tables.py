@@ -1,0 +1,85 @@
+"""Table IO: star-schema loaders and the synthetic `pages` table.
+
+Iceberg note: the sandbox Spark has no Iceberg jars, so the pipeline uses the
+documented partitioned-parquet fallback with the same partition semantics
+(``crawl_date`` = days(warc_ts), ``host_bucket`` = bucket(16, host)); the
+writer API is Iceberg-shaped (overwrite-by-partition) so swapping in
+``writeTo(...).overwritePartitions()`` on a real cluster is a one-liner.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .pages import has_second_crawl, page_for_doc
+from .schema import PAGES_SCHEMA
+
+TABLE_NAMES = ("region", "nation", "customer", "supplier", "part", "orders",
+               "lineitem", "events", "documents", "embeddings")
+
+N_HOST_BUCKETS = 16
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _pages_kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        cols = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
+        for doc_id, text, lang in zip(pdf["doc_id"].tolist(),
+                                      pdf["text"].tolist(),
+                                      pdf["lang"].tolist()):
+            crawls = (0, 1) if has_second_crawl(doc_id) else (0,)
+            for crawl in crawls:
+                pg = page_for_doc(int(doc_id), text, lang, crawl)
+                cols["url"].append(pg["url"])
+                cols["warc_ts"].append(pg["warc_ts"])
+                cols["html"].append(pg["html"])
+                cols["text"].append(None)
+                cols["lang"].append(pg["lang"])
+        yield pd.DataFrame(cols)
+
+
+def build_pages(spark: SparkSession, sf_dir: str, *,
+                num_partitions: int | None = None) -> DataFrame:
+    """Deterministic pages table derived from documents (FIXTURES.md §1/§3).
+
+    ~10% of urls appear twice (second crawl, later ``warc_ts``) to exercise
+    the dedup window.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    # documents arrive as a single small parquet split; spread generation +
+    # parsing across all cores (tiny shuffle, CPU-bound downstream)
+    docs = docs.repartition(num_partitions, "doc_id")
+    return docs.mapInPandas(_pages_kernel, PAGES_SCHEMA)
+
+
+def with_layout_columns(pages: DataFrame) -> DataFrame:
+    """Add the physical-layout columns: host, crawl_date, host_bucket."""
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return (pages
+            .withColumn("host", host)
+            .withColumn("crawl_date", F.to_date("warc_ts"))
+            .withColumn("host_bucket", F.pmod(F.xxhash64("host"), F.lit(N_HOST_BUCKETS))))
+
+
+def write_pages_table(pages: DataFrame, path: str) -> None:
+    """Write the pages corpus with the production partition layout."""
+    (with_layout_columns(pages)
+     .repartition("crawl_date", "host_bucket")
+     .write.mode("overwrite")
+     .partitionBy("crawl_date", "host_bucket")
+     .parquet(path))
+
+
+def read_pages_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -1,0 +1,214 @@
+"""Arrow-batched parse/extract kernels for ``mapInPandas``.
+
+Design (SURVEY.md §4.2): the JVM hands the Python worker Arrow record
+batches; per document, the byte→str decode, markup scans, and entity decode
+all run in C (codecs, ``str.find``, ``re``), and the Python-level state
+machine steps only over markup boundaries (O(#tags), ~3-5% of bytes). No
+per-character Python anywhere.
+
+Encoding policy (mirrors the reference CLI's retry loop, cli.ts:32-56, done
+in-kernel in a single pass):
+
+1. byte-level BOM / null-pattern sniff (html-parser.ts:306-324 equivalent,
+   but on raw bytes — strictly better than sniffing a mis-decoded string);
+2. UTF-8 strict attempt, falling back to a ``<meta charset>`` prefix scan,
+   then UTF-8 with replacement;
+3. after parsing, if the document *declares* a different charset that we can
+   decode, re-decode + re-parse once (max 2 tries, like the CLI).
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from .extract import extract
+from .parser import parse
+
+__all__ = ["decode_page_bytes", "process_document", "make_extract_kernel",
+           "make_nodes_kernel"]
+
+_RE_META_CHARSET = re.compile(
+    rb"""<meta[^>]+charset[ \t\n\f\r]*=[ \t\n\f\r]*["']?([\w-]+)""", re.I)
+
+_RE_TOKEN = re.compile(r"\S+")
+
+
+def _codec_name(name: str) -> str | None:
+    try:
+        return codecs.lookup(name).name
+    except (LookupError, TypeError):
+        return None
+
+
+def detect_bom_encoding(raw: bytes) -> str | None:
+    """Byte-level equivalent of checkEncoding (html-parser.ts:306-324)."""
+    if raw[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if raw[:4] == b"\x00\x00\xfe\xff":
+        return "utf-32-be"
+    if raw[:4] == b"\xff\xfe\x00\x00":
+        return "utf-32-le"
+    if len(raw) >= 8:
+        if raw[0] == 0 and raw[1] == 0 and raw[2] == 0 and raw[3] != 0 and \
+                raw[4] == 0 and raw[5] == 0 and raw[6] == 0 and raw[7] != 0:
+            return "utf-32-be"
+        if raw[0] != 0 and raw[1] == 0 and raw[2] == 0 and raw[3] == 0 and \
+                raw[4] != 0 and raw[5] == 0 and raw[6] == 0 and raw[7] == 0:
+            return "utf-32-le"
+    if raw[:2] == b"\xfe\xff":
+        return "utf-16-be"
+    if raw[:2] == b"\xff\xfe":
+        return "utf-16-le"
+    if len(raw) >= 4:
+        if raw[0] == 0 and raw[1] != 0 and raw[2] == 0 and raw[3] != 0:
+            return "utf-16-be"
+        if raw[0] != 0 and raw[1] == 0 and raw[2] != 0 and raw[3] == 0:
+            return "utf-16-le"
+    return None
+
+
+def decode_page_bytes(raw: bytes) -> tuple[str, str, bool]:
+    """Decode page bytes -> (text, used_codec_name, pattern_detected)."""
+    bom = detect_bom_encoding(raw)
+    if bom:
+        try:
+            return raw.decode(bom, errors="replace").lstrip("﻿"), bom, True
+        except LookupError:  # pragma: no cover
+            pass
+    try:
+        return raw.decode("utf-8"), "utf-8", False
+    except UnicodeDecodeError:
+        m = _RE_META_CHARSET.search(raw[:2048])
+        if m:
+            name = _codec_name(m.group(1).decode("ascii", errors="replace"))
+            if name and name not in ("utf-8",):
+                try:
+                    return raw.decode(name, errors="replace"), name, False
+                except LookupError:  # pragma: no cover
+                    pass
+        return raw.decode("utf-8", errors="replace"), "utf-8", False
+
+
+def process_document(raw: bytes, strip: str = "density", *,
+                     verify_roundtrip: bool = False) -> dict:
+    """Full per-document pipeline: decode -> parse -> (maybe re-decode) -> extract."""
+    text_src, used, pattern_detected = decode_page_bytes(raw)
+    result = parse(text_src, positions=False)
+    retried = False
+
+    declared = result.charset
+    # a byte-pattern detection is authoritative over a (stale) meta charset
+    if declared and not pattern_detected:
+        declared_codec = _codec_name(declared)
+        if declared_codec and declared_codec != _codec_name(used):
+            # single in-kernel retry, like the reference CLI (cli.ts:32-56)
+            try:
+                retext = raw.decode(declared_codec, errors="replace")
+            except LookupError:  # pragma: no cover
+                retext = None
+            if retext is not None and retext != text_src:
+                text_src = retext
+                used = declared_codec
+                result = parse(text_src, positions=False)
+                retried = True
+
+    ext = extract(result.dom, strip)
+    roundtrip_ok = None
+    if verify_roundtrip:
+        roundtrip_ok = result.to_string() == result.text
+
+    return {
+        "text": ext.text,
+        "spans": [{"start": s, "end": e} for s, e in ext.spans],
+        "used_encoding": used,
+        "declared_charset": declared,
+        "encoding_retried": retried,
+        "errors": result.errors,
+        "unclosed": result.unclosed_tags,
+        "implicitly_closed": result.implicitly_closed_tags,
+        "node_count": ext.node_count,
+        "text_node_count": ext.text_node_count,
+        "characters": result.characters,
+        "lines": result.lines,
+        "text_len": len(ext.text),
+        "token_count": len(_RE_TOKEN.findall(ext.text)),
+        "html_bytes": len(raw),
+        "roundtrip_ok": roundtrip_ok,
+        "_result": result,
+    }
+
+
+def make_extract_kernel(strip: str = "density", verify_roundtrip: bool = False):
+    """Build a mapInPandas kernel: pages batches -> EXTRACT_SCHEMA batches."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            out = {
+                "url": pdf["url"].tolist(),
+                "warc_ts": pdf["warc_ts"].tolist(),
+                "lang": pdf["lang"].tolist(),
+            }
+            cols = {name: [None] * n for name in (
+                "text", "spans", "used_encoding", "declared_charset",
+                "encoding_retried", "errors", "unclosed", "implicitly_closed",
+                "node_count", "text_node_count", "characters", "lines",
+                "text_len", "token_count", "html_bytes", "roundtrip_ok")}
+            raws = pdf["html"].tolist()
+            for i in range(n):
+                raw = raws[i]
+                if raw is None:
+                    raw = b""
+                doc = process_document(bytes(raw), strip,
+                                       verify_roundtrip=verify_roundtrip)
+                for name in cols:
+                    cols[name][i] = doc[name]
+            out.update(cols)
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+def make_nodes_kernel():
+    """Build a mapInPandas kernel: pages batches -> NODES_SCHEMA batches
+    (flat per-node export for node-level corpus analytics)."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in ("url", "node_idx", "kind", "tag", "parent",
+                                    "closure", "synthetic", "depth", "n_attrs",
+                                    "text_len", "src_start", "src_end")}
+            for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+                text_src, _, _ = decode_page_bytes(bytes(raw or b""))
+                b = parse(text_src, positions=False).dom
+                order = b.doc_order()
+                depth_of = {0: -1}
+                for node in order:
+                    p = b.parent[node]
+                    d = depth_of.get(p, 0) + 1
+                    depth_of[node] = d
+                    rows["url"].append(url)
+                    rows["node_idx"].append(node)
+                    rows["kind"].append(b.kind[node])
+                    rows["tag"].append(b.tag_lc[node])
+                    rows["parent"].append(p if p != 0 else -1)
+                    rows["closure"].append(b.closure[node])
+                    rows["synthetic"].append(b.synthetic[node])
+                    rows["depth"].append(d)
+                    names = b.attr_names[node]
+                    rows["n_attrs"].append(len(names) if names else 0)
+                    c = b.content[node]
+                    rows["text_len"].append(len(c) if c else 0)
+                    rows["src_start"].append(b.src_start[node])
+                    rows["src_end"].append(b.src_end[node])
+            yield pd.DataFrame(rows)
+
+    return kernel

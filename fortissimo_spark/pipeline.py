@@ -1,0 +1,145 @@
+"""The extraction job graph: dedup → salt → kernel → partitioned write →
+lineage/metrics, with checkpoint resume (SURVEY.md §3.4, §4.2).
+
+Scale design notes (10^12-doc target):
+
+* **Dedup before parse** — ``row_number() over (partition by url order by
+  warc_ts desc)`` keeps the latest crawl; the shuffle moves only
+  (url, warc_ts) + the page payload once, and parsing cost is paid only for
+  winners.
+* **Skew** — hosts are Zipf-distributed; the repartition key is
+  (crawl_date, host_bucket, salt) where salt spreads each host bucket over
+  ``salt_factor`` subtasks. AQE (on by default in Spark 4) additionally
+  splits skewed shuffle partitions at runtime.
+* **Resume** — each (crawl_date, host_bucket) partition commits atomically
+  via dynamic partition overwrite; a lineage table records per-partition
+  row/token/node/error counts + wall time. A rerun anti-joins committed
+  lineage partitions and processes only the remainder.
+* **No driver-side loops** — everything is one DataFrame plan; the only
+  ``collect`` is the tiny lineage summary.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .io_tables import with_layout_columns
+from .kernel import make_extract_kernel
+from .schema import EXTRACT_SCHEMA
+
+__all__ = ["dedup_latest_crawl", "salted_repartition", "run_extraction",
+           "extract_df", "ExtractionJob"]
+
+DEFAULT_SALT_FACTOR = 8
+
+
+def dedup_latest_crawl(pages: DataFrame) -> DataFrame:
+    """Latest crawl wins per url (SURVEY.md §2.7 window dedup)."""
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc(), F.col("html").isNull())
+    return (pages.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def salted_repartition(pages: DataFrame, num_partitions: int,
+                       salt_factor: int = DEFAULT_SALT_FACTOR) -> DataFrame:
+    """Repartition by (crawl_date, host_bucket, salt): co-locates a host's
+    pages into at most ``salt_factor`` tasks while breaking up hot hosts."""
+    salted = pages.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(salt_factor)))
+    out = salted.repartition(num_partitions, "crawl_date", "host_bucket", "_salt")
+    return out.drop("_salt")
+
+
+def extract_df(pages: DataFrame, strip: str = "density", *,
+               verify_roundtrip: bool = False) -> DataFrame:
+    """pages -> EXTRACT_SCHEMA rows (the core operator, Arrow-batched)."""
+    cols = [f.name for f in EXTRACT_SCHEMA.fields]
+    return (pages.select("url", "warc_ts", "html", "lang")
+            .mapInPandas(make_extract_kernel(strip, verify_roundtrip), EXTRACT_SCHEMA)
+            .select(*cols))
+
+
+class ExtractionJob:
+    """Resumable corpus extraction with per-partition lineage."""
+
+    def __init__(self, spark: SparkSession, output_path: str, *,
+                 strip: str = "density", salt_factor: int = DEFAULT_SALT_FACTOR,
+                 engine_version: str = "0.1.0"):
+        self.spark = spark
+        self.output_path = output_path
+        self.strip = strip
+        self.salt_factor = salt_factor
+        self.engine_version = engine_version
+
+    @property
+    def text_path(self) -> str:
+        return os.path.join(self.output_path, "extracted")
+
+    @property
+    def lineage_path(self) -> str:
+        return os.path.join(self.output_path, "lineage")
+
+    def committed_partitions(self) -> DataFrame | None:
+        try:
+            return (self.spark.read.parquet(self.lineage_path)
+                    .select("crawl_date", "host_bucket").distinct())
+        except Exception:
+            return None
+
+    def run(self, pages: DataFrame, *, resume: bool = True) -> dict:
+        """Execute the job; returns a summary dict."""
+        spark = self.spark
+        t0 = time.time()
+
+        pages = with_layout_columns(pages)
+
+        committed = self.committed_partitions() if resume else None
+        if committed is not None:
+            # resume: drop already-committed (crawl_date, host_bucket) partitions
+            pages = pages.join(F.broadcast(committed),
+                               on=["crawl_date", "host_bucket"], how="left_anti")
+
+        pages = dedup_latest_crawl(pages)
+        parallelism = spark.sparkContext.defaultParallelism
+        pages = salted_repartition(pages, parallelism * 2, self.salt_factor)
+
+        extracted = extract_df(pages, self.strip)
+        extracted = (extracted
+                     .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+                     .withColumn("crawl_date", F.to_date("warc_ts"))
+                     .withColumn("host_bucket",
+                                 F.pmod(F.xxhash64("host"),
+                                        F.lit(16))))
+
+        # dynamic partition overwrite = atomic per-partition commit
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (extracted.write.mode("overwrite")
+         .partitionBy("crawl_date", "host_bucket")
+         .parquet(self.text_path))
+
+        out = self.spark.read.parquet(self.text_path)
+        lineage = (out.groupBy("crawl_date", "host_bucket")
+                   .agg(F.count("*").alias("row_count"),
+                        F.sum("token_count").alias("token_count"),
+                        F.sum("node_count").alias("node_count"),
+                        F.sum("errors").alias("error_count"),
+                        F.sum("html_bytes").alias("input_bytes"))
+                   .withColumn("engine_version", F.lit(self.engine_version))
+                   .withColumn("committed_at", F.current_timestamp()))
+        lineage.write.mode("overwrite").parquet(self.lineage_path)
+
+        stats = (out.agg(F.count("*").alias("rows"),
+                         F.sum("token_count").alias("tokens"),
+                         F.sum("errors").alias("errors"),
+                         F.sum("html_bytes").alias("bytes"))
+                 .collect()[0].asDict())
+        stats["wall_seconds"] = time.time() - t0
+        stats["docs_per_sec"] = stats["rows"] / stats["wall_seconds"] if stats["wall_seconds"] else 0.0
+        return stats
+
+
+def run_extraction(spark: SparkSession, pages: DataFrame, output_path: str,
+                   **kwargs) -> dict:
+    return ExtractionJob(spark, output_path, **kwargs).run(pages)
