@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The extraction corpus (pages parquet, documents x BENCH_AMPLIFY) is
+materialized once under .bench_scratch and reused, so repeated runs — and the
+local[8] vs local[32] scaling comparison — read the exact same input files
+(FIXTURES.md §4).
+
+Env:
+  SPARK_GRAFT_SF_DIR  input tables dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] threads    (default 32)
+  BENCH_AMPLIFY       pages corpus = documents x AMPLIFY (default 20)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession, Window, functions as F  # noqa: E402
+
+from fortissimo_spark.io_tables import build_pages, load_table  # noqa: E402
+from fortissimo_spark.pipeline import dedup_latest_crawl, extract_df  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+AMPLIFY = int(os.environ.get("BENCH_AMPLIFY", "20"))
+SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_scratch")
+
+
+def build_session() -> SparkSession:
+    return (SparkSession.builder
+            .master(f"local[{CPUS}]")
+            .appName("fortissimo-bench")
+            .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+            .config("spark.sql.files.maxPartitionBytes", "16m")
+            .config("spark.driver.memory", "24g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def corpus_path() -> str:
+    tag = os.path.basename(SF_DIR.rstrip("/"))
+    return os.path.join(SCRATCH, f"pages_{tag}_x{AMPLIFY}")
+
+
+def ensure_corpus(spark: SparkSession) -> str:
+    path = corpus_path()
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        pages = build_pages(spark, SF_DIR, amplify=AMPLIFY, num_partitions=128)
+        pages.write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_extract(spark: SparkSession, path: str) -> tuple[float, dict]:
+    pages = spark.read.parquet(path)
+    t0 = time.time()
+    out = extract_df(dedup_latest_crawl(pages), "density")
+    row = (out.agg(F.count("*").alias("docs"),
+                   F.sum("token_count").alias("tokens"),
+                   F.sum("html_bytes").alias("bytes"),
+                   F.sum("errors").alias("errors"))
+           .collect()[0].asDict())
+    dt = time.time() - t0
+    row["docs_per_sec"] = round(row["docs"] / dt, 1)
+    row["mb_per_sec"] = round(row["bytes"] / dt / 1e6, 1)
+    return dt, row
+
+
+def bench_q1(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+     .groupBy("l_returnflag", "l_linestatus")
+     .agg(F.sum("l_quantity").alias("sum_qty"),
+          F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+          F.avg("l_extendedprice").alias("avg_price"),
+          F.count("*").alias("count_order"))
+     .collect())
+
+
+def bench_q3(spark):
+    cust = load_table(spark, SF_DIR, "customer")
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    (cust.filter(F.col("c_mktsegment") == "BUILDING")
+     .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+     .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+     .groupBy("l_orderkey")
+     .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+     .orderBy(F.desc("revenue")).limit(10).collect())
+
+
+def bench_window_dedup(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    (ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+     .agg(F.count("*")).collect())
+
+
+def bench_ann(spark):
+    emb = load_table(spark, SF_DIR, "embeddings") \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    (emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+     .select("vec_id", dot.alias("sim"))
+     .orderBy(F.desc("sim")).limit(10).collect())
+
+
+def main():
+    spark = build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    path = ensure_corpus(spark)
+    # JVM/codegen warmup on a single-partition no-op so timings are steady
+    spark.range(1000).agg(F.sum("id")).collect()
+
+    queries = {}
+    extract_sec, extract_stats = bench_extract(spark, path)
+    queries["extract_density"] = round(extract_sec, 3)
+
+    for name, fn in [("q1_pricing", bench_q1), ("q3_topk_join", bench_q3),
+                     ("window_dedup", bench_window_dedup), ("ann_cosine", bench_ann)]:
+        t0 = time.time()
+        fn(spark)
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else SF_DIR)
+    print(json.dumps({
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": CPUS,
+        "extract_docs": extract_stats["docs"],
+        "extract_docs_per_sec": extract_stats["docs_per_sec"],
+        "extract_mb_per_sec": extract_stats["mb_per_sec"],
+        "extract_errors": extract_stats["errors"],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -48,13 +48,19 @@ def _pages_kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def build_pages(spark: SparkSession, sf_dir: str, *,
-                num_partitions: int | None = None) -> DataFrame:
+                num_partitions: int | None = None, amplify: int = 1) -> DataFrame:
     """Deterministic pages table derived from documents (FIXTURES.md §1/§3).
 
     ~10% of urls appear twice (second crawl, later ``warc_ts``) to exercise
-    the dedup window.
+    the dedup window. ``amplify`` replicates the corpus with distinct doc_ids
+    (bench-scale corpora from the small documents table).
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    if amplify > 1:
+        reps = spark.range(amplify).withColumnRenamed("id", "rep")
+        docs = (docs.crossJoin(reps)
+                .select((F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+                        "text", "lang"))
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
     # documents arrive as a single small parquet split; spread generation +

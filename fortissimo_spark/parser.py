@@ -176,7 +176,10 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
     pattern_encoding = check_encoding(source[:8])
 
     eol_n = _normalize_eol_option(eol)
-    t = _RE_ANY_EOL.sub(eol_n, source) if eol_n else source
+    if eol_n and (eol_n != "\n" or "\r" in source):
+        t = _RE_ANY_EOL.sub(eol_n, source)
+    else:
+        t = source
     n = len(t)
 
     b = DocBuilder()

@@ -66,11 +66,12 @@ class ExtractionJob:
 
     def __init__(self, spark: SparkSession, output_path: str, *,
                  strip: str = "density", salt_factor: int = DEFAULT_SALT_FACTOR,
-                 engine_version: str = "0.1.0"):
+                 dedup: bool = True, engine_version: str = "0.1.0"):
         self.spark = spark
         self.output_path = output_path
         self.strip = strip
         self.salt_factor = salt_factor
+        self.dedup = dedup
         self.engine_version = engine_version
 
     @property
@@ -101,11 +102,21 @@ class ExtractionJob:
             pages = pages.join(F.broadcast(committed),
                                on=["crawl_date", "host_bucket"], how="left_anti")
 
-        pages = dedup_latest_crawl(pages)
-        parallelism = spark.sparkContext.defaultParallelism
-        pages = salted_repartition(pages, parallelism * 2, self.salt_factor)
+        # The dedup window shuffles by hash(url), which is uniformly
+        # distributed — after it, no host skew can exist, so the kernel runs
+        # directly on the window's output partitioning (no extra shuffle).
+        # salted_repartition is for the no-dedup path, where input arrives
+        # clustered by (crawl_date, host_bucket) and hot hosts would
+        # otherwise pin single tasks.
+        if self.dedup:
+            pages = dedup_latest_crawl(pages)
+        else:
+            parallelism = spark.sparkContext.defaultParallelism
+            pages = salted_repartition(pages, parallelism * 2, self.salt_factor)
 
         extracted = extract_df(pages, self.strip)
+        # layout columns re-derived post-kernel (rows are now small: the html
+        # payload is gone, so this repartition moves ~1% of the input bytes)
         extracted = (extracted
                      .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
                      .withColumn("crawl_date", F.to_date("warc_ts"))
@@ -115,7 +126,9 @@ class ExtractionJob:
 
         # dynamic partition overwrite = atomic per-partition commit
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (extracted.write.mode("overwrite")
+        (extracted
+         .repartition("crawl_date", "host_bucket")
+         .write.mode("overwrite")
          .partitionBy("crawl_date", "host_bucket")
          .parquet(self.text_path))
 

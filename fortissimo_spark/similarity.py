@@ -1,0 +1,103 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``       — exact brute-force top-k vs a query vector; the dot
+  product runs JVM-side (zip_with + aggregate), the query side is broadcast.
+* ``hyperplane_buckets``— random-hyperplane LSH signature (sign bits of dots
+  with H deterministic planes): the scale path. Bucketing turns the O(N)
+  scan into a bucket lookup; multi-probe = hamming-adjacent buckets.
+* ``cosine_near_pairs`` — near-duplicate embedding pairs via bucket join +
+  exact cosine verify (embedding-cosine near-dup dedup).
+
+Planes are generated deterministically on the driver (seeded LCG, unit-free
+— only the sign matters) and inlined as literal arrays, so executors need no
+side channel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["cosine_topk", "hyperplane_signature", "cosine_near_pairs", "normalize_col"]
+
+
+def _planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    planes = []
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+            # map to [-1, 1); only the sign of the dot product matters
+            row.append((state >> 11) / float(1 << 53) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(c):
+    return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def normalize_col(emb_col):
+    """L2-normalize an array<double> column (JVM-side)."""
+    n = _norm(emb_col)
+    return F.transform(emb_col, lambda x: x / n)
+
+
+def cosine_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
+                id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine similarity to the embedding of ``query_vec_id``."""
+    base = embeddings.select(F.col(id_col).alias("vec_id"),
+                             F.col(emb_col).cast("array<double>").alias("v"))
+    q = base.filter(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
+    sim = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    return (base.filter(F.col("vec_id") != query_vec_id)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", F.round(sim, 4).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(k))
+
+
+def hyperplane_signature(embeddings: DataFrame, num_planes: int = 16,
+                         dim: int = 64, seed: int = 42,
+                         id_col: str = "vec_id",
+                         emb_col: str = "embedding") -> DataFrame:
+    """(vec_id, v, bucket) — bucket = integer of sign bits vs ``num_planes``
+    deterministic hyperplanes."""
+    planes = _planes(dim, num_planes, seed)
+    base = embeddings.select(F.col(id_col).alias("vec_id"),
+                             F.col(emb_col).cast("array<double>").alias("v"))
+    bucket = None
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot(F.col("v"), plane_col) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return base.withColumn("bucket", bucket.cast("long"))
+
+
+def cosine_near_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                      num_planes: int = 12, dim: int = 64, seed: int = 42,
+                      id_col: str = "vec_id",
+                      emb_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs: hyperplane bucket join + exact cosine verify.
+
+    Recall note: single-table LSH misses pairs split across buckets; raise
+    recall by lowering ``num_planes`` (bigger buckets) or unioning several
+    seeds (multi-probe). Verification is exact, so precision is 1.0.
+    """
+    sig = hyperplane_signature(embeddings, num_planes, dim, seed, id_col, emb_col)
+    a = sig.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                   F.col("bucket"))
+    b = sig.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                   F.col("bucket"))
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+            .distinct())
