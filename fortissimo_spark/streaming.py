@@ -1,0 +1,68 @@
+"""Structured Streaming ingest for continuous crawls.
+
+The extraction kernel is stateless per document, so streaming is the same
+``mapInPandas`` plan under ``readStream``: micro-batches of pages flow
+through decode→parse→extract and land in the partitioned output via
+``foreachBatch`` (which reuses the batch writer, keeping one code path).
+
+Late data / duplicates: a watermark on ``warc_ts`` plus ``dropDuplicates``
+on url bounds the dedup state; recrawls older than the watermark are
+resolved at read time by the batch dedup window instead (latest crawl wins),
+so the streaming path only needs at-most-once per url within the watermark
+horizon.
+
+This mirrors the reference's incremental ``parseAsync``/``request-data``
+surface (html-parser.ts:276-304): micro-batches play the role of the
+"request more data" callback, and job cancellation replaces ``stop()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .pipeline import extract_df
+from .schema import PAGES_SCHEMA
+
+__all__ = ["read_pages_stream", "streaming_extract", "start_streaming_job"]
+
+
+def read_pages_stream(spark: SparkSession, input_path: str,
+                      max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream over a directory of pages parquet drops."""
+    return (spark.readStream
+            .schema(PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(input_path))
+
+
+def streaming_extract(pages_stream: DataFrame, *, strip: str = "density",
+                      watermark: str = "1 hour") -> DataFrame:
+    """Watermarked, url-deduped streaming extraction."""
+    deduped = (pages_stream
+               .withWatermark("warc_ts", watermark)
+               .dropDuplicates(["url"]))
+    return extract_df(deduped, strip)
+
+
+def start_streaming_job(spark: SparkSession, input_path: str, output_path: str,
+                        checkpoint_path: str, *, strip: str = "density",
+                        trigger_seconds: int = 10):
+    """End-to-end streaming job; returns the StreamingQuery handle."""
+    stream = read_pages_stream(spark, input_path)
+    extracted = streaming_extract(stream, strip=strip)
+    extracted = (extracted
+                 .withColumn("crawl_date", F.to_date("warc_ts"))
+                 .withColumn("host_bucket",
+                             F.pmod(F.xxhash64(F.parse_url(F.col("url"), F.lit("HOST"))),
+                                    F.lit(16))))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.mode("append")
+         .partitionBy("crawl_date", "host_bucket")
+         .parquet(output_path))
+
+    return (extracted.writeStream
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start())

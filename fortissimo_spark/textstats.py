@@ -1,0 +1,101 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side DataFrame expressions (whole-stage codegen; no Python UDFs):
+language-ID by marker-word profiles, quality scoring, token counting, and
+rolling-hash document fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["with_token_counts", "with_quality_features", "with_langid",
+           "with_fingerprints", "LANG_MARKERS"]
+
+# tiny marker-word profiles (public-knowledge function words)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "is"),
+    "de": ("der", "die", "und", "das", "nicht", "ist"),
+    "es": ("el", "la", "que", "de", "los", "es"),
+    "fr": ("le", "la", "les", "des", "est", "une"),
+}
+
+
+def _occurrences(col, word: str):
+    """Count of whitespace-delimited occurrences of ``word`` (JVM-side)."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    return F.size(F.split(padded, f" {word} ", -1)) - 1
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (df
+            .withColumn("n_tokens_ws", F.size(words))
+            .withColumn("n_tokens_bpe_ish",
+                        # BPE-flavored proxy: word pieces of <=4 chars
+                        F.aggregate(words, F.lit(0),
+                                    lambda acc, w: acc + F.ceil(F.length(w) / 4).cast("int"))))
+
+
+def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    n = F.greatest(F.length(t), F.lit(1))
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", ""))
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    stop_hits = None
+    for w in LANG_MARKERS["en"]:
+        occ = _occurrences(t, w)
+        stop_hits = occ if stop_hits is None else stop_hits + occ
+    return (df
+            .withColumn("q_len", F.length(t))
+            .withColumn("q_n_words", F.size(words))
+            .withColumn("q_alpha_ratio", F.round(alpha / n, 6))
+            .withColumn("q_digit_ratio", F.round(digits / n, 6))
+            .withColumn("q_punct_ratio", F.round(punct / n, 6))
+            .withColumn("q_upper_ratio", F.round(upper / n, 6))
+            .withColumn("q_mean_word_len", F.round((n - n_words + 1) / n_words, 6))
+            .withColumn("q_stopword_ratio", F.round(stop_hits / n_words, 6)))
+
+
+def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Best marker-profile language + its score (deterministic tie-break by
+    language code)."""
+    t = F.col(text_col)
+    scored = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        score = None
+        for w in markers:
+            occ = _occurrences(t, w)
+            score = occ if score is None else score + occ
+        scored.append(F.struct(score.alias("score"),
+                               F.lit(lang).alias("lang")))
+    # max over structs: highest score, then lexicographically LAST lang wins;
+    # negate for deterministic first-lang preference
+    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
+    return (df
+            .withColumn("langid_guess", best["lang"])
+            .withColumn("langid_score", best["score"]))
+
+
+def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cryptographic + rolling-hash fingerprints.
+
+    fp_rolling: polynomial rolling hash over word hashes,
+    h = (h * 1000003 + xxhash64(word)) mod 2^61-1 — order-sensitive, unlike
+    a bag-of-words hash.
+    """
+    t = F.col(text_col)
+    p = (1 << 61) - 1
+    words = F.split(F.trim(t), r"\s+")
+    rolling = F.aggregate(
+        F.transform(words, lambda w: F.abs(F.xxhash64(w)) % p),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 1000003 + h) % p)
+    return (df
+            .withColumn("fp_md5", F.md5(t))
+            .withColumn("fp_sha256", F.sha2(t, 256))
+            .withColumn("fp_rolling", rolling))

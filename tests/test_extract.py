@@ -1,0 +1,129 @@
+"""Extraction modes + kernel (no Spark needed)."""
+
+from fortissimo_spark.extract import extract
+from fortissimo_spark.kernel import (
+    decode_page_bytes, detect_bom_encoding, process_document,
+)
+from fortissimo_spark.pages import html_for_doc, page_for_doc
+from fortissimo_spark.parser import parse
+
+PAGE = """<!DOCTYPE html>
+<html>
+<head><title>T</title><style>p { color: red }</style></head>
+<body>
+  <nav><ul><li><a href="/x">one link</a></li><li><a href="/y">two link</a></li></ul></nav>
+  <main>
+    <p>First paragraph with &amp; entity and enough length to count fine.</p>
+    <p>Second paragraph, also long enough to be clearly kept by scoring.</p>
+  </main>
+  <footer><p>© footer <a href="/a">about</a></p></footer>
+</body>
+</html>
+"""
+
+
+def test_strip_none_is_full_textcontent():
+    r = parse(PAGE)
+    ext = extract(r.dom, "none")
+    assert ext.text == r.dom.text_content(0)
+    assert "color: red" in ext.text  # style text included in raw textContent
+
+
+def test_strip_basic_drops_tag_classes():
+    r = parse(PAGE)
+    ext = extract(r.dom, "basic")
+    assert "color: red" not in ext.text
+    assert "one link" not in ext.text  # nav dropped
+    assert "First paragraph" in ext.text
+    assert "footer" not in ext.text
+
+
+def test_strip_density_blocks():
+    r = parse(PAGE)
+    ext = extract(r.dom, "density")
+    assert ext.text == (
+        "First paragraph with & entity and enough length to count fine."
+        "\n\nSecond paragraph, also long enough to be clearly kept by scoring.")
+    assert ext.kept_blocks == 2
+    assert len(ext.spans) >= 2
+    # spans index into the parsed text
+    s, e = ext.spans[0]
+    assert "First paragraph" in r.text[s:e]
+
+
+def test_link_density_drops_link_farms():
+    page = ('<html><body><div><a href="/1">one</a> <a href="/2">two</a> '
+            '<a href="/3">three four five six</a></div>'
+            "<p>Real content paragraph that is long enough to keep here.</p>"
+            "</body></html>\n")
+    ext = extract(parse(page).dom, "density")
+    assert "Real content" in ext.text
+    assert "one" not in ext.text
+
+
+def test_pages_generator_density_recovery():
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    html = html_for_doc(3, text, "en")
+    doc = process_document(html.encode("utf-8"), "density")
+    assert doc["text"] == text
+
+    # entity-encoded variant (doc_id % 5 == 0) must decode back byte-exact
+    html5 = html_for_doc(5, text, "en")
+    assert "&#32;" in html5
+    doc5 = process_document(html5.encode("utf-8"), "density")
+    assert doc5["text"] == text
+
+
+def test_page_roundtrip_and_metrics():
+    text = "one two three four five six seven eight nine ten"
+    pg = page_for_doc(7, text, "es")
+    doc = process_document(pg["html"], "density", verify_roundtrip=True)
+    assert doc["roundtrip_ok"] is True
+    assert doc["errors"] == 0
+    assert doc["token_count"] == 10
+    assert doc["html_bytes"] == len(pg["html"])
+
+
+def test_bom_detection():
+    assert detect_bom_encoding(b"\xef\xbb\xbfhello") == "utf-8-sig"
+    assert detect_bom_encoding("x".encode("utf-16-le")) is None  # too short
+    assert detect_bom_encoding(b"\xff\xfeh\x00i\x00") == "utf-16-le"
+    assert detect_bom_encoding(b"\xfe\xff\x00h\x00i") == "utf-16-be"
+    assert detect_bom_encoding(b"\x00h\x00i\x00x\x00y") == "utf-16-be"
+    assert detect_bom_encoding(b"h\x00i\x00") == "utf-16-le"
+    assert detect_bom_encoding(b"\xff\xfe\x00\x00h\x00\x00\x00") == "utf-32-le"
+    assert detect_bom_encoding(b"plain ascii here") is None
+
+
+def test_decode_retry_on_declared_charset():
+    # meta declares ISO-8859-1; bytes include 0xF1 (ñ) which breaks UTF-8
+    html = ('<html><head><meta charset="ISO-8859-1"></head>'
+            "<body><p>Ma\xf1ana is long enough to keep as a block.</p></body></html>\n")
+    raw = html.encode("iso-8859-1")
+    doc = process_document(raw, "density")
+    assert doc["used_encoding"] == "iso8859-1"
+    assert "Mañana" in doc["text"]
+
+    # declared-but-decodable-as-utf8: retry still lands on the declared codec
+    html2 = ('<html><head><meta charset="ISO-8859-1"></head>'
+             "<body><p>plain ascii body long enough to keep around.</p></body></html>\n")
+    doc2 = process_document(html2.encode("ascii"), "density")
+    assert doc2["declared_charset"] == "ISO-8859-1"
+
+
+def test_utf16_page_roundtrip():
+    html = "<html><body><p>sixteen bit page body long enough to keep.</p></body></html>\n"
+    raw = b"\xff\xfe" + html.encode("utf-16-le")
+    doc = process_document(raw, "density", verify_roundtrip=True)
+    assert doc["used_encoding"] == "utf-16-le"
+    assert doc["roundtrip_ok"] is True
+    assert "sixteen bit" in doc["text"]
+
+
+def test_spans_cover_extracted_text_sources():
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    html = html_for_doc(1, text, "en")
+    r = parse(html)
+    ext = extract(r.dom, "density")
+    joined = "".join(r.text[s:e] for s, e in ext.spans)
+    assert "alpha beta gamma" in joined
