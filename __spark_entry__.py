@@ -20,8 +20,11 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from fortissimo_spark.dedup import near_duplicate_pairs, simhash64  # noqa: E402
 from fortissimo_spark.io_tables import build_pages, load_table  # noqa: E402
 from fortissimo_spark.pipeline import dedup_latest_crawl, extract_df  # noqa: E402
+from fortissimo_spark.similarity import cosine_near_pairs  # noqa: E402
+from fortissimo_spark.textstats import with_langid, with_token_counts  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -279,6 +282,64 @@ def _q_ann_cosine(spark, sf_dir):
             .limit(10))
 
 
+def _planted_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = (docs.filter(F.col("doc_id") % 7 == 0)
+                 .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                         F.concat(F.lit("zz yy "), F.col("text")).alias("text")))
+    return docs.union(perturbed)
+
+
+def _q_minhash_near_dups(spark, sf_dir):
+    """MinHash-LSH near-dup detection over documents + planted perturbed
+    copies; exact-Jaccard verified, so output = truly-similar pairs."""
+    all_docs = _planted_near_dups(spark, sf_dir)
+    pairs = near_duplicate_pairs(all_docs, n=3, num_hashes=128, bands=32,
+                                 threshold=0.5)
+    return pairs.select(F.col("id_a").alias("doc_id"),
+                        F.col("id_b").alias("dup_id"), "jaccard")
+
+
+def _q_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash64(docs).select(F.col("id").alias("doc_id"), "simhash")
+
+
+def _q_cosine_pairs_exact(spark, sf_dir):
+    """Exact embedding near-dup pairs (broadcast n^2 verify, the baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    sim = dot / (nrm(F.col("va")) * nrm(F.col("vb")))
+    return (a.crossJoin(F.broadcast(b))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(sim, 4).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= 0.95))
+
+
+def _q_cosine_pairs_lsh(spark, sf_dir):
+    """Hyperplane-LSH-bucketed near pairs (the scale path; rows-only check:
+    bucketing trades recall for not scanning n^2)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_pairs(emb, threshold=0.95, num_planes=8)
+
+
+def _q_token_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = with_token_counts(docs)
+    return out.select("doc_id", "n_tokens_ws", "n_tokens_bpe_ish")
+
+
+def _q_langid_profile(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_langid(docs).select("doc_id", "langid_guess", "langid_score")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_density": _q_extract_density,
@@ -303,6 +364,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "quality_score": _q_quality,
         "ann_cosine_topk": _q_ann_cosine,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash": _q_simhash,
+        "cosine_pairs_exact": _q_cosine_pairs_exact,
+        "cosine_pairs_lsh": _q_cosine_pairs_lsh,
+        "token_stats": _q_token_stats,
+        "langid_profile": _q_langid_profile,
     }
 
 
@@ -465,6 +532,77 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_chars AS DOUBLE)
                          / length(regexp_split_to_array(trim(text), '\\s+')), 6) AS chars_per_word
             FROM documents""",
+        "minhash_near_dups": """
+            WITH pert AS (
+              SELECT doc_id, 'zz yy ' || text AS text2 FROM documents
+              WHERE doc_id % 7 = 0),
+            sh AS (
+              SELECT d.doc_id,
+                     list_distinct(list_transform(
+                       range(1, length(string_split(trim(d.text), ' ')) - 1),
+                       i -> string_split(trim(d.text), ' ')[i] || ' ' ||
+                            string_split(trim(d.text), ' ')[i+1] || ' ' ||
+                            string_split(trim(d.text), ' ')[i+2])) AS t1,
+                     list_distinct(list_transform(
+                       range(1, length(string_split(trim(p.text2), ' ')) - 1),
+                       i -> string_split(trim(p.text2), ' ')[i] || ' ' ||
+                            string_split(trim(p.text2), ' ')[i+1] || ' ' ||
+                            string_split(trim(p.text2), ' ')[i+2])) AS t2
+              FROM documents d JOIN pert p USING (doc_id))
+            SELECT doc_id, doc_id + 1000000 AS dup_id,
+                   round(CAST(length(list_intersect(t1, t2)) AS DOUBLE)
+                         / length(list_distinct(list_concat(t1, t2))), 6) AS jaccard
+            FROM sh
+            WHERE round(CAST(length(list_intersect(t1, t2)) AS DOUBLE)
+                        / length(list_distinct(list_concat(t1, t2))), 6) >= 0.5""",
+        "cosine_pairs_exact": """
+            WITH sims AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])))), 4)
+                       AS cos_sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= 0.95""",
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+                     AS n_tokens_ws,
+                   CAST(list_sum(list_transform(
+                          regexp_split_to_array(trim(text), '\\s+'),
+                          w -> CAST(ceil(length(w) / 4.0) AS INT))) AS INT)
+                     AS n_tokens_bpe_ish
+            FROM documents""",
+        "langid_profile": """
+            WITH m AS (
+              SELECT doc_id, ' ' || text || ' ' AS t FROM documents),
+            s AS (
+              SELECT doc_id,
+                length(string_split(t,' the '))-1 + length(string_split(t,' and '))-1
+                  + length(string_split(t,' of '))-1 + length(string_split(t,' to '))-1
+                  + length(string_split(t,' a '))-1 + length(string_split(t,' is '))-1 AS s_en,
+                length(string_split(t,' der '))-1 + length(string_split(t,' die '))-1
+                  + length(string_split(t,' und '))-1 + length(string_split(t,' das '))-1
+                  + length(string_split(t,' nicht '))-1 + length(string_split(t,' ist '))-1 AS s_de,
+                length(string_split(t,' el '))-1 + length(string_split(t,' la '))-1
+                  + length(string_split(t,' que '))-1 + length(string_split(t,' de '))-1
+                  + length(string_split(t,' los '))-1 + length(string_split(t,' es '))-1 AS s_es,
+                length(string_split(t,' le '))-1 + length(string_split(t,' la '))-1
+                  + length(string_split(t,' les '))-1 + length(string_split(t,' des '))-1
+                  + length(string_split(t,' est '))-1 + length(string_split(t,' une '))-1 AS s_fr
+              FROM m),
+            u AS (
+              SELECT doc_id, unnest(['de','en','es','fr']) AS lang,
+                     unnest([s_de, s_en, s_es, s_fr]) AS score FROM s),
+            r AS (
+              SELECT *, row_number() OVER
+                (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+              FROM u)
+            SELECT doc_id, lang AS langid_guess, CAST(score AS INT) AS langid_score
+            FROM r WHERE rn = 1""",
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             base AS (
