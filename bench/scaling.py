@@ -19,7 +19,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LEVELS = [int(x) for x in os.environ.get("SCALING_LEVELS", "2,8,32").split(",")]
+LEVELS = [int(x) for x in os.environ.get("SCALING_LEVELS", "1,2,4,8").split(",")]
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 AMPLIFY = int(os.environ.get("BENCH_AMPLIFY", "40"))
 
@@ -59,7 +59,7 @@ def main():
     path = ensure_corpus()
     results = {}
     for cpus in LEVELS:
-        print(f"--- local[{cpus}] ...", flush=True)
+        print(f"--- {cpus} executors x 2 cores ...", flush=True)
         r = run_level(path, cpus)
         results[cpus] = r
         print(f"    {r['docs']} docs in {r['seconds']}s = {r['docs_per_sec']} docs/s",
@@ -73,10 +73,10 @@ def main():
             eff = round(rate_4n / rate_n / 4.0, 3)
             pairs.append({"n": n, "4n": n * 4, "rate_n": rate_n,
                           "rate_4n": rate_4n, "efficiency": eff})
-            print(f"    {n} -> {n*4} cores: {rate_n} -> {rate_4n} docs/s, "
+            print(f"    {n} -> {n*4} executors: {rate_n} -> {rate_4n} docs/s, "
                   f"efficiency {eff}")
 
-    summary = {"sf_dir": SF_DIR, "amplify": AMPLIFY, "job": "dedup+extract(density)",
+    summary = {"sf_dir": SF_DIR, "amplify": AMPLIFY, "job": "dedup+extract(density)", "cluster_model": "local-cluster[N,2,3072] executor JVMs",
                "levels": {str(k): v for k, v in results.items()},
                "scaling_pairs": pairs}
     out_path = os.path.join(REPO, "bench", "scaling_results.json")
