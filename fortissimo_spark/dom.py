@@ -1,9 +1,12 @@
 """Flat node-array DOM model with HTML5-style error correction.
 
 Behavioral parity target: ``/root/reference/projects/fortissimo-html/src/dom.ts``
-and ``src/elements.ts`` — re-expressed as parallel index arrays (no object
-tree), per the engine's design: one document = one set of parallel lists,
-``parent``/``children`` hold node indices.
+and ``src/elements.ts`` — re-expressed as index arrays (no object tree).
+
+Storage: one Python list per node (24 fixed slots, ``N_*`` indices), one
+append per node — the hot path allocates a single record instead of fanning
+out across parallel lists. Field-view properties (``b.kind[i]`` etc.) keep a
+columnar API for tests/format/stylize consumers.
 
 Replicated reference quirks (file:line cites are into the reference):
 
@@ -51,6 +54,32 @@ CLOSURE_NAMES = ["unclosed", "self_closed", "void_closed",
 # pop() sentinels mirroring the reference's undefined/null convention
 POP_VOID = object()    # reference: pop(undefined) -> VOID_CLOSED
 POP_SELF = object()    # reference: pop(null)      -> SELF_CLOSED
+
+# --- node record slots --------------------------------------------------------
+N_KIND = 0
+N_TAG = 1
+N_TAG_LC = 2
+N_PARENT = 3
+N_CHILDREN = 4
+N_CLOSURE = 5
+N_CONTENT = 6
+N_TERMINATED = 7
+N_POSS_ENT = 8
+N_LINE = 9
+N_COL = 10
+N_END_TAG = 11
+N_END_LINE = 12
+N_END_COL = 13
+N_ATTR_NAMES = 14
+N_ATTR_VALUES = 15
+N_ATTR_SPACING = 16
+N_ATTR_EQUALS = 17
+N_ATTR_QUOTES = 18
+N_INNER_WS = 19
+N_BAD_TERM = 20
+N_SYNTHETIC = 21
+N_SRC_START = 22
+N_SRC_END = 23
 
 # --- element sets (elements.ts) ----------------------------------------------
 # 'u]' typo kept on purpose: 'u' is NOT treated as a formatting element.
@@ -114,108 +143,108 @@ def cq(quote: str) -> str:
     return quote if len(quote) < 2 else ""
 
 
+class _FieldView:
+    """Columnar view over one slot of the node records."""
+
+    __slots__ = ("nodes", "f")
+
+    def __init__(self, nodes: list, f: int):
+        self.nodes = nodes
+        self.f = f
+
+    def __getitem__(self, i: int):
+        return self.nodes[i][self.f]
+
+    def __setitem__(self, i: int, value) -> None:
+        self.nodes[i][self.f] = value
+
+    def __len__(self) -> int:
+        return len(self.nodes)
+
+    def __iter__(self):
+        f = self.f
+        for node in self.nodes:
+            yield node[f]
+
+
 class DocBuilder:
-    """Per-document DOM as parallel arrays; node ids are list indices.
+    """Per-document DOM; node ids index ``self.nodes``.
 
     Node 0 is the synthetic root (tag ``/``), matching the reference's root
     sentinel (dom.ts:536).
     """
 
-    __slots__ = (
-        "kind", "tag", "tag_lc", "parent", "children", "closure", "content",
-        "terminated", "poss_ent", "line", "col", "end_tag", "end_line",
-        "end_col", "attr_names", "attr_values", "attr_spacing", "attr_equals",
-        "attr_quotes", "inner_ws", "bad_term", "synthetic",
-        "src_start", "src_end",
-        "open_stack", "in_math_or_svg", "xml_mode",
-    )
+    __slots__ = ("nodes", "open_stack", "in_math_or_svg", "xml_mode",
+                 "_views")
 
     def __init__(self) -> None:
-        self.kind: list[int] = []
-        self.tag: list[str] = []
-        self.tag_lc: list[str] = []
-        self.parent: list[int] = []
-        self.children: list[list[int] | None] = []
-        self.closure: list[int] = []
-        self.content: list[str | None] = []
-        self.terminated: list[bool] = []
-        self.poss_ent: list[bool] = []
-        self.line: list[int] = []
-        self.col: list[int] = []
-        self.end_tag: list[str] = []
-        self.end_line: list[int] = []
-        self.end_col: list[int] = []
-        self.attr_names: list[list[str] | None] = []
-        self.attr_values: list[list[str] | None] = []
-        self.attr_spacing: list[list[str] | None] = []
-        self.attr_equals: list[list[str] | None] = []
-        self.attr_quotes: list[list[str] | None] = []
-        self.inner_ws: list[str] = []
-        self.bad_term: list[str | None] = []
-        self.synthetic: list[bool] = []
-        self.src_start: list[int] = []
-        self.src_end: list[int] = []
-
+        self.nodes: list[list] = []
         self.open_stack: list[int] = []
         self.in_math_or_svg = 0
         self.xml_mode = False
+        self._views: dict[int, _FieldView] = {}
 
-        root = self._new_node(ELEMENT, "/", 0, 0, synthetic=True, case_sensitive=False)
+        root = self.new_element("/", 0, 0, synthetic=True)
         self.open_stack.append(root)
 
-    # --- node construction ----------------------------------------------
+    # --- columnar views (API compatibility for tests/format/stylize) -------
 
-    def _new_node(self, kind: int, tag: str, line: int, col: int, *,
-                  content: str | None = None, terminated: bool = True,
-                  poss_ent: bool = False, synthetic: bool = False,
-                  case_sensitive: bool = False, src_start: int = -1,
-                  src_end: int = -1) -> int:
-        idx = len(self.kind)
-        self.kind.append(kind)
-        self.tag.append(tag)
-        self.tag_lc.append(tag if case_sensitive else tag.lower())
-        self.parent.append(-1)
-        self.children.append([] if kind == ELEMENT else None)
-        self.closure.append(UNCLOSED)
-        self.content.append(content)
-        self.terminated.append(terminated)
-        self.poss_ent.append(poss_ent)
-        self.line.append(line)
-        self.col.append(col)
-        self.end_tag.append("")
-        self.end_line.append(0)
-        self.end_col.append(0)
-        if kind == ELEMENT:
-            self.attr_names.append([])
-            self.attr_values.append([])
-            self.attr_spacing.append([])
-            self.attr_equals.append([])
-            self.attr_quotes.append([])
-        else:
-            self.attr_names.append(None)
-            self.attr_values.append(None)
-            self.attr_spacing.append(None)
-            self.attr_equals.append(None)
-            self.attr_quotes.append(None)
-        self.inner_ws.append("")
-        self.bad_term.append(None)
-        self.synthetic.append(synthetic)
-        self.src_start.append(src_start)
-        self.src_end.append(src_end)
-        return idx
+    def _view(self, f: int) -> _FieldView:
+        view = self._views.get(f)
+        if view is None:
+            view = self._views[f] = _FieldView(self.nodes, f)
+        return view
+
+    kind = property(lambda self: self._view(N_KIND))
+    tag = property(lambda self: self._view(N_TAG))
+    tag_lc = property(lambda self: self._view(N_TAG_LC))
+    parent = property(lambda self: self._view(N_PARENT))
+    children = property(lambda self: self._view(N_CHILDREN))
+    closure = property(lambda self: self._view(N_CLOSURE))
+    content = property(lambda self: self._view(N_CONTENT))
+    terminated = property(lambda self: self._view(N_TERMINATED))
+    poss_ent = property(lambda self: self._view(N_POSS_ENT))
+    line = property(lambda self: self._view(N_LINE))
+    col = property(lambda self: self._view(N_COL))
+    end_tag = property(lambda self: self._view(N_END_TAG))
+    end_line = property(lambda self: self._view(N_END_LINE))
+    end_col = property(lambda self: self._view(N_END_COL))
+    attr_names = property(lambda self: self._view(N_ATTR_NAMES))
+    attr_values = property(lambda self: self._view(N_ATTR_VALUES))
+    attr_spacing = property(lambda self: self._view(N_ATTR_SPACING))
+    attr_equals = property(lambda self: self._view(N_ATTR_EQUALS))
+    attr_quotes = property(lambda self: self._view(N_ATTR_QUOTES))
+    inner_ws = property(lambda self: self._view(N_INNER_WS))
+    bad_term = property(lambda self: self._view(N_BAD_TERM))
+    synthetic = property(lambda self: self._view(N_SYNTHETIC))
+    src_start = property(lambda self: self._view(N_SRC_START))
+    src_end = property(lambda self: self._view(N_SRC_END))
+
+    # --- node construction ----------------------------------------------
 
     def new_element(self, tag: str, line: int, col: int, *,
                     case_sensitive: bool = False, synthetic: bool = False,
                     src_start: int = -1) -> int:
-        return self._new_node(ELEMENT, tag, line, col, synthetic=synthetic,
-                              case_sensitive=case_sensitive, src_start=src_start)
+        nodes = self.nodes
+        idx = len(nodes)
+        nodes.append([
+            ELEMENT, tag, tag if case_sensitive else tag.lower(), -1, [],
+            UNCLOSED, None, True, False, line, col, "", 0, 0,
+            [], [], [], [], [], "", None, synthetic, src_start, -1,
+        ])
+        return idx
 
     def new_leaf(self, kind: int, content: str, line: int, col: int, *,
                  terminated: bool = True, poss_ent: bool = False,
                  src_start: int = -1, src_end: int = -1) -> int:
-        return self._new_node(kind, "", line, col, content=content,
-                              terminated=terminated, poss_ent=poss_ent,
-                              src_start=src_start, src_end=src_end)
+        nodes = self.nodes
+        idx = len(nodes)
+        nodes.append([
+            kind, "", "", -1, None,
+            UNCLOSED, content, terminated, poss_ent, line, col, "", 0, 0,
+            None, None, None, None, None, "", None, False, src_start, src_end,
+        ])
+        return idx
 
     # --- DomModel equivalents ---------------------------------------------
 
@@ -228,38 +257,40 @@ class DocBuilder:
 
     def add_attribute(self, name: str, value: str = "", leading_space: str = "",
                       equals: str = "=", quote: str = '"') -> None:
-        node = self.current
-        self.attr_names[node].append(name)
-        self.attr_values[node].append(value)
-        self.attr_spacing[node].append(leading_space)
-        self.attr_equals[node].append(equals)
-        self.attr_quotes[node].append(quote)
+        nd = self.nodes[self.open_stack[-1]]
+        nd[N_ATTR_NAMES].append(name)
+        nd[N_ATTR_VALUES].append(value)
+        nd[N_ATTR_SPACING].append(leading_space)
+        nd[N_ATTR_EQUALS].append(equals)
+        nd[N_ATTR_QUOTES].append(quote)
 
     def add_inner_whitespace(self, ws: str) -> None:
-        self.inner_ws[self.current] = ws or ""
+        self.nodes[self.open_stack[-1]][N_INNER_WS] = ws or ""
 
     def can_do_xml_mode(self) -> bool:
-        root_children = self.children[0]
+        root_children = self.nodes[0][N_CHILDREN]
         return (len(self.open_stack) == 1 and len(root_children) == 0) or (
             len(root_children) == 1
             and self.serialize(root_children[0]).strip() == "")
 
     def add_child(self, child: int) -> None:
-        cur = self.current
-        self.parent[child] = cur
-        self.children[cur].append(child)
+        cur = self.open_stack[-1]
+        self.nodes[child][N_PARENT] = cur
+        self.nodes[cur][N_CHILDREN].append(child)
 
     def pre_push(self, node: int) -> None:
-        tag_lc = self.tag_lc[node]
+        nodes = self.nodes
+        tag_lc = nodes[node][N_TAG_LC]
         if not self.xml_mode and tag_lc in OPEN_IMPLIES_CLOSE:
             closers = OPEN_IMPLIES_CLOSE[tag_lc]
-            while self.tag_lc[self.current] in closers:
-                self.closure[self.current] = IMPLICITLY_CLOSED
-                self.open_stack.pop()
+            stack = self.open_stack
+            while nodes[stack[-1]][N_TAG_LC] in closers:
+                nodes[stack[-1]][N_CLOSURE] = IMPLICITLY_CLOSED
+                stack.pop()
 
     def push(self, node: int) -> None:
         self.open_stack.append(node)
-        if self.tag_lc[node] in ("math", "svg"):
+        if self.nodes[node][N_TAG_LC] in ("math", "svg"):
             self.in_math_or_svg += 1
 
     def pop(self, tag_lc, end_tag_text: str | None = None,
@@ -268,59 +299,62 @@ class DocBuilder:
 
         Returns False when the closing tag was unmatched (parse error).
         """
+        nodes = self.nodes
         popped = False
         parse_error = False
         is_sentinel = tag_lc is POP_VOID or tag_lc is POP_SELF
         if end_tag_text is None:
             end_tag_text = "</%s>" % ("" if is_sentinel else tag_lc)
 
-        cur = self.current
-        if is_sentinel or not tag_lc or self.tag_lc[cur] == tag_lc:
+        cur = self.open_stack[-1]
+        nd = nodes[cur]
+        if is_sentinel or not tag_lc or nd[N_TAG_LC] == tag_lc:
             popped = True
             self.open_stack.pop()
             if tag_lc is POP_SELF:
-                self.closure[cur] = SELF_CLOSED
+                nd[N_CLOSURE] = SELF_CLOSED
             elif tag_lc is POP_VOID:
-                self.closure[cur] = VOID_CLOSED
+                nd[N_CLOSURE] = VOID_CLOSED
             else:
-                self.closure[cur] = EXPLICITLY_CLOSED
-                self.end_tag[cur] = end_tag_text
-                self.end_line[cur] = line
-                self.end_col[cur] = col
+                nd[N_CLOSURE] = EXPLICITLY_CLOSED
+                nd[N_END_TAG] = end_tag_text
+                nd[N_END_LINE] = line
+                nd[N_END_COL] = col
             if end_pos >= 0:
-                self.src_end[cur] = end_pos
-            if self.tag_lc[cur] == "table":
+                nd[N_SRC_END] = end_pos
+            if nd[N_TAG_LC] == "table":
                 self._examine_table(cur)
 
         if not popped and not self.xml_mode:
             stack = self.open_stack
             node_index = -1
             for i in range(len(stack) - 1, -1, -1):
-                if self.tag_lc[stack[i]] == tag_lc:
+                if nodes[stack[i]][N_TAG_LC] == tag_lc:
                     node_index = i
                     break
 
             if node_index > 0:  # matching only the root sentinel = unmatched
                 if tag_lc in FORMATTING_ELEMENTS:
                     for i in range(node_index + 1, len(stack)):
-                        if self.tag_lc[stack[i]] in MARKER_ELEMENTS:
+                        if nodes[stack[i]][N_TAG_LC] in MARKER_ELEMENTS:
                             node_index = -1
                             break
 
                 while len(stack) > node_index:
                     cur = stack[-1]
-                    if not self.closure[cur]:
+                    nd = nodes[cur]
+                    if not nd[N_CLOSURE]:
                         if len(stack) - 1 == node_index:
                             popped = True
-                            self.closure[cur] = EXPLICITLY_CLOSED
-                            self.end_tag[cur] = end_tag_text
-                            self.end_line[cur] = line
-                            self.end_col[cur] = col
+                            nd[N_CLOSURE] = EXPLICITLY_CLOSED
+                            nd[N_END_TAG] = end_tag_text
+                            nd[N_END_LINE] = line
+                            nd[N_END_COL] = col
                             if end_pos >= 0:
-                                self.src_end[cur] = end_pos
+                                nd[N_SRC_END] = end_pos
                         else:
-                            self.closure[cur] = IMPLICITLY_CLOSED
-                        if self.tag_lc[cur] == "table":
+                            nd[N_CLOSURE] = IMPLICITLY_CLOSED
+                        if nd[N_TAG_LC] == "table":
                             self._examine_table(cur)
                     stack.pop()
 
@@ -336,10 +370,10 @@ class DocBuilder:
         self.in_math_or_svg = 0
         stack = self.open_stack
         for index, node in enumerate(stack):
-            if self.tag_lc[node] in ("math", "svg"):
+            if nodes[node][N_TAG_LC] in ("math", "svg"):
                 self.in_math_or_svg += 1
             if index > 0:
-                self.parent[node] = stack[index - 1]
+                nodes[node][N_PARENT] = stack[index - 1]
 
         return not parse_error
 
@@ -349,7 +383,8 @@ class DocBuilder:
     # --- table repair (dom.ts:588-658) -------------------------------------
 
     def _examine_table(self, table: int) -> None:
-        children = self.children[table]
+        nodes = self.nodes
+        children = nodes[table][N_CHILDREN]
         if not children or self.xml_mode:
             return
 
@@ -357,8 +392,9 @@ class DocBuilder:
 
         sections = set()
         for elem in children:
-            if self.kind[elem] == ELEMENT and self.tag_lc[elem] in ("thead", "tbody", "tfoot"):
-                sections.add(self.tag_lc[elem])
+            nd = nodes[elem]
+            if nd[N_KIND] == ELEMENT and nd[N_TAG_LC] in ("thead", "tbody", "tfoot"):
+                sections.add(nd[N_TAG_LC])
                 self._insert_rows_where_needed(elem)
 
         if not sections:
@@ -366,51 +402,55 @@ class DocBuilder:
 
         section = None
         for i, elem in enumerate(children):
-            if self.kind[elem] != ELEMENT:
+            nd = nodes[elem]
+            if nd[N_KIND] != ELEMENT:
                 continue
-            tag_lc = self.tag_lc[elem]
+            tag_lc = nd[N_TAG_LC]
             if tag_lc in ("thead", "tbody", "tfoot"):
-                section = None if self.closure[elem] == EXPLICITLY_CLOSED else elem
+                section = None if nd[N_CLOSURE] == EXPLICITLY_CLOSED else elem
             elif tag_lc == "tr":
                 has_th = self.query_selector(elem, "th") is not None
-                if section is None or (has_th and self.tag_lc[section] != "thead"):
+                if section is None or (has_th and nodes[section][N_TAG_LC] != "thead"):
                     section = self.new_element("thead" if has_th else "tbody",
                                                0, 0, synthetic=True)
-                    self.parent[section] = table
+                    nodes[section][N_PARENT] = table
                     children[i] = section
-                self.parent[elem] = section
-                self.children[section].append(elem)
+                nd[N_PARENT] = section
+                nodes[section][N_CHILDREN].append(elem)
 
     def _insert_rows_where_needed(self, node: int) -> None:
-        children = self.children[node]
+        nodes = self.nodes
+        children = nodes[node][N_CHILDREN]
         if not children:
             return
         row = None
         for i, elem in enumerate(children):
-            if self.kind[elem] != ELEMENT:
+            nd = nodes[elem]
+            if nd[N_KIND] != ELEMENT:
                 continue
-            tag_lc = self.tag_lc[elem]
+            tag_lc = nd[N_TAG_LC]
             if tag_lc in ("th", "td"):
                 if row is None:
                     row = self.new_element("tr", 0, 0, synthetic=True)
-                    self.parent[row] = node
+                    nodes[row][N_PARENT] = node
                     children[i] = row
-                self.parent[elem] = row
-                self.children[row].append(elem)
+                nd[N_PARENT] = row
+                nodes[row][N_CHILDREN].append(elem)
             elif tag_lc == "tr":
-                row = None if self.closure[elem] == EXPLICITLY_CLOSED else elem
+                row = None if nd[N_CLOSURE] == EXPLICITLY_CLOSED else elem
 
     # --- queries (dom.ts:383-417) -------------------------------------------
 
     def get_attr(self, node: int, name: str) -> str | None:
         """Last-write-wins lookup, mirroring valuesLookup (dom.ts:226,351)."""
-        names = self.attr_names[node]
+        nd = self.nodes[node]
+        names = nd[N_ATTR_NAMES]
         if not names:
             return None
         value = None
         for i, n in enumerate(names):
             if n == name:
-                value = self.attr_values[node][i]
+                value = nd[N_ATTR_VALUES][i]
         return value
 
     @staticmethod
@@ -433,7 +473,7 @@ class DocBuilder:
         return element, id_, qlass
 
     def _selector_matches(self, node: int, element, id_, qlass) -> bool:
-        if element and self.tag_lc[node] != element:
+        if element and self.nodes[node][N_TAG_LC] != element:
             return False
         if qlass is not None:
             cls = self.get_attr(node, "class") or ""
@@ -447,12 +487,12 @@ class DocBuilder:
         element, id_, qlass = sel
         if self._selector_matches(node, element, id_, qlass):
             results.append(node)
-        children = self.children[node]
+        children = self.nodes[node][N_CHILDREN]
         if children:
             for child in children:
                 if len(results) >= limit:
                     break
-                if self.kind[child] == ELEMENT:
+                if self.nodes[child][N_KIND] == ELEMENT:
                     self._query_impl(child, sel, results, limit)
 
     def query_selector(self, node: int, selector: str) -> int | None:
@@ -466,19 +506,21 @@ class DocBuilder:
         return results
 
     def depth(self, node: int) -> int:
+        nodes = self.nodes
         d = -1
-        p = self.parent[node]
+        p = nodes[node][N_PARENT]
         while p >= 0:
-            d += 0 if (self.synthetic[p] and self.parent[p] >= 0) else 1
-            p = self.parent[p]
+            d += 0 if (nodes[p][N_SYNTHETIC] and nodes[p][N_PARENT] >= 0) else 1
+            p = nodes[p][N_PARENT]
         return d
 
     def synthetic_depth(self, node: int) -> int:
+        nodes = self.nodes
         d = -1
-        p = self.parent[node]
+        p = nodes[node][N_PARENT]
         while p >= 0:
             d += 1
-            p = self.parent[p]
+            p = nodes[p][N_PARENT]
         return d
 
     # --- extraction (dom.ts:419-434) ------------------------------------------
@@ -489,33 +531,36 @@ class DocBuilder:
         return "".join(out)
 
     def _text_content(self, node: int, out: list[str]) -> None:
-        children = self.children[node]
+        nodes = self.nodes
+        children = nodes[node][N_CHILDREN]
         if not children:
             return
         for child in children:
-            k = self.kind[child]
+            nd = nodes[child]
+            k = nd[N_KIND]
             if k == CDATA:
-                out.append(self.content[child])
+                out.append(nd[N_CONTENT])
             elif k == TEXT:
-                c = self.content[child]
-                if self.poss_ent[child] and "&" in c:
+                c = nd[N_CONTENT]
+                if nd[N_POSS_ENT] and "&" in c:
                     c = unescape_entities(c)
                 out.append(c)
             elif k == ELEMENT:
                 self._text_content(child, out)
 
     def count_unclosed(self, node: int = 0):
+        nodes = self.nodes
         unclosed = implicitly = 0
         stack = [node]
         while stack:
-            cur = stack.pop()
-            if self.kind[cur] == ELEMENT:
-                if not self.synthetic[cur]:
-                    if self.closure[cur] == UNCLOSED:
+            nd = nodes[stack.pop()]
+            if nd[N_KIND] == ELEMENT:
+                if not nd[N_SYNTHETIC]:
+                    if nd[N_CLOSURE] == UNCLOSED:
                         unclosed += 1
-                    elif self.closure[cur] == IMPLICITLY_CLOSED:
+                    elif nd[N_CLOSURE] == IMPLICITLY_CLOSED:
                         implicitly += 1
-                children = self.children[cur]
+                children = nd[N_CHILDREN]
                 if children:
                     stack.extend(children)
         return unclosed, implicitly
@@ -528,21 +573,21 @@ class DocBuilder:
         return "".join(parts)
 
     def _serialize(self, node: int, include_self: bool, parts: list[str]) -> None:
-        k = self.kind[node]
-        if k != ELEMENT:
+        nd = self.nodes[node]
+        if nd[N_KIND] != ELEMENT:
             parts.append(self._leaf_str(node))
             return
 
-        emit_self = include_self and not self.synthetic[node]
+        emit_self = include_self and not nd[N_SYNTHETIC]
         if emit_self:
             parts.append("<")
-            parts.append(self.tag[node])
-            names = self.attr_names[node]
+            parts.append(nd[N_TAG])
+            names = nd[N_ATTR_NAMES]
             if names:
-                values = self.attr_values[node]
-                spacing = self.attr_spacing[node]
-                equals = self.attr_equals[node]
-                quotes = self.attr_quotes[node]
+                values = nd[N_ATTR_VALUES]
+                spacing = nd[N_ATTR_SPACING]
+                equals = nd[N_ATTR_EQUALS]
+                quotes = nd[N_ATTR_QUOTES]
                 for i in range(len(names)):
                     q = quotes[i]
                     parts.append(spacing[i])
@@ -551,27 +596,28 @@ class DocBuilder:
                     parts.append(oq(q))
                     parts.append(values[i])
                     parts.append(cq(q))
-            if self.inner_ws[node]:
-                parts.append(self.inner_ws[node])
-            if self.bad_term[node] is not None:
-                parts.append(self.bad_term[node])
-            elif self.closure[node] == SELF_CLOSED:
+            if nd[N_INNER_WS]:
+                parts.append(nd[N_INNER_WS])
+            if nd[N_BAD_TERM] is not None:
+                parts.append(nd[N_BAD_TERM])
+            elif nd[N_CLOSURE] == SELF_CLOSED:
                 parts.append("/>")
             else:
                 parts.append(">")
 
-        children = self.children[node]
+        children = nd[N_CHILDREN]
         if children:
             for child in children:
                 self._serialize(child, True, parts)
 
-        if emit_self and self.closure[node] == EXPLICITLY_CLOSED and self.end_tag[node]:
-            parts.append(self.end_tag[node])
+        if emit_self and nd[N_CLOSURE] == EXPLICITLY_CLOSED and nd[N_END_TAG]:
+            parts.append(nd[N_END_TAG])
 
     def _leaf_str(self, node: int) -> str:
-        k = self.kind[node]
-        c = self.content[node]
-        t = self.terminated[node]
+        nd = self.nodes[node]
+        k = nd[N_KIND]
+        c = nd[N_CONTENT]
+        t = nd[N_TERMINATED]
         if k == TEXT or k == UNMATCHED_CLOSE:
             return c
         if k == COMMENT:
@@ -601,12 +647,13 @@ class DocBuilder:
 
     def doc_order(self) -> list[int]:
         """Node indices in document (DFS) order, root excluded."""
+        nodes = self.nodes
         order: list[int] = []
-        stack = list(reversed(self.children[0] or []))
+        stack = list(reversed(nodes[0][N_CHILDREN] or []))
         while stack:
             node = stack.pop()
             order.append(node)
-            children = self.children[node]
+            children = nodes[node][N_CHILDREN]
             if children:
                 stack.extend(reversed(children))
         return order

@@ -122,6 +122,11 @@ def extract(b: DocBuilder, strip: str = "density",
         raise ValueError(f"unknown strip mode {strip!r}")
 
     # --- density mode: group text nodes into blocks by nearest block ancestor
+    from .dom import (
+        N_CHILDREN, N_CONTENT, N_KIND, N_POSS_ENT, N_SRC_END, N_SRC_START,
+        N_TAG_LC,
+    )
+    nodes = b.nodes
     blocks: list[dict] = []  # {'tag', 'parts': [str], 'spans': [], 'link_chars': int}
     # iterative DFS carrying (node, block_key, in_link); a new block starts
     # whenever we enter a non-inline element
@@ -130,25 +135,28 @@ def extract(b: DocBuilder, strip: str = "density",
 
     while stack:
         node, block_owner, in_link = stack.pop()
-        k = b.kind[node]
-        if k in (TEXT, CDATA):
-            piece = _decoded(b, node)
+        nd = nodes[node]
+        k = nd[N_KIND]
+        if k == TEXT or k == CDATA:
+            piece = nd[N_CONTENT]
+            if k == TEXT and nd[N_POSS_ENT] and "&" in piece:
+                piece = unescape_entities(piece)
             blk = current_block_of.get(block_owner)
             if blk is None:
-                owner_tag = b.tag_lc[block_owner] if block_owner >= 0 else ""
+                owner_tag = nodes[block_owner][N_TAG_LC] if block_owner >= 0 else ""
                 blk = {"tag": owner_tag, "parts": [], "spans": [],
-                       "link_chars": 0, "order": len(blocks)}
+                       "link_chars": 0}
                 current_block_of[block_owner] = blk
                 blocks.append(blk)
             blk["parts"].append(piece)
-            if b.src_start[node] >= 0:
-                blk["spans"].append((b.src_start[node], b.src_end[node]))
+            if nd[N_SRC_START] >= 0:
+                blk["spans"].append((nd[N_SRC_START], nd[N_SRC_END]))
             if in_link:
                 blk["link_chars"] += len(trim(piece))
             continue
         if k != ELEMENT:
             continue
-        tag = b.tag_lc[node]
+        tag = nd[N_TAG_LC]
         if node != 0 and tag in DROP_TAGS:
             continue
         if node != 0 and tag in INLINE_TAGS:
@@ -160,7 +168,7 @@ def extract(b: DocBuilder, strip: str = "density",
             current_block_of.pop(block_owner, None)
             child_owner = node
             child_link = in_link
-        children = b.children[node]
+        children = nd[N_CHILDREN]
         if children:
             for child in reversed(children):
                 stack.append((child, child_owner, child_link))

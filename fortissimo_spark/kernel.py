@@ -123,7 +123,8 @@ def process_document(raw: bytes, strip: str = "density", *,
 
     return {
         "text": ext.text,
-        "spans": [{"start": s, "end": e} for s, e in ext.spans],
+        "span_starts": [s for s, _ in ext.spans],
+        "span_ends": [e for _, e in ext.spans],
         "used_encoding": used,
         "declared_charset": declared,
         "encoding_retried": retried,
@@ -156,7 +157,7 @@ def make_extract_kernel(strip: str = "density", verify_roundtrip: bool = False):
                 "lang": pdf["lang"].tolist(),
             }
             cols = {name: [None] * n for name in (
-                "text", "spans", "used_encoding", "declared_charset",
+                "text", "span_starts", "span_ends", "used_encoding", "declared_charset",
                 "encoding_retried", "errors", "unclosed", "implicitly_closed",
                 "node_count", "text_node_count", "characters", "lines",
                 "text_len", "token_count", "html_bytes", "roundtrip_ok")}

@@ -36,8 +36,21 @@ __all__ = ["dedup_latest_crawl", "salted_repartition", "run_extraction",
 DEFAULT_SALT_FACTOR = 8
 
 
-def dedup_latest_crawl(pages: DataFrame) -> DataFrame:
-    """Latest crawl wins per url (SURVEY.md §2.7 window dedup)."""
+def dedup_latest_crawl(pages: DataFrame, strategy: str = "broadcast") -> DataFrame:
+    """Latest crawl wins per url (SURVEY.md §2.7 window dedup).
+
+    * ``broadcast`` (default): aggregate ``max(warc_ts)`` per url — the
+      shuffle moves only keys thanks to map-side combine — then broadcast-join
+      the winner set back, so the html payload never shuffles. Assumes
+      (url, warc_ts) uniqueness (crawl timestamps). The winner set must fit
+      in executor memory; at 10^12-doc scale use ``window`` over an
+      url-bucketed table (bucketing makes that shuffle-free too).
+    * ``window``: the general row_number() path; shuffles the full payload
+      by hash(url).
+    """
+    if strategy == "broadcast":
+        winners = pages.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
+        return pages.join(F.broadcast(winners), ["url", "warc_ts"], "left_semi")
     w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc(), F.col("html").isNull())
     return (pages.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))

@@ -16,18 +16,16 @@ PAGES_SCHEMA = StructType([
     StructField("lang", StringType()),
 ])
 
-SPAN_TYPE = StructType([
-    StructField("start", IntegerType()),
-    StructField("end", IntegerType()),
-])
-
-# one output row per page
+# one output row per page; spans are parallel int arrays (columnar-friendly:
+# an array<struct> pays per-row dict building in the Python worker and a
+# nested Arrow layout downstream)
 EXTRACT_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("warc_ts", TimestampType()),
     StructField("lang", StringType()),
     StructField("text", StringType()),
-    StructField("spans", ArrayType(SPAN_TYPE)),
+    StructField("span_starts", ArrayType(IntegerType())),
+    StructField("span_ends", ArrayType(IntegerType())),
     StructField("used_encoding", StringType()),
     StructField("declared_charset", StringType()),
     StructField("encoding_retried", BooleanType()),

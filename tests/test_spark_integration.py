@@ -1,0 +1,214 @@
+"""End-to-end Spark tests: pages -> kernel -> pipeline -> operators.
+
+One shared local[4] session; sf0.001 inputs (500 docs) keep this fast.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from fortissimo_spark.dedup import (
+    exact_duplicates, near_duplicate_pairs, simhash64,
+)
+from fortissimo_spark.io_tables import build_pages, load_table
+from fortissimo_spark.kernel import make_nodes_kernel
+from fortissimo_spark.modality import MEDIA_SCHEMA, image_features, sample_frames
+from fortissimo_spark.pipeline import ExtractionJob, dedup_latest_crawl, extract_df
+from fortissimo_spark.schema import NODES_SCHEMA
+from fortissimo_spark.similarity import cosine_topk
+from fortissimo_spark.textstats import with_fingerprints, with_langid, with_quality_features
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    if not os.path.exists(SF_DIR):
+        pytest.skip("testdata missing")
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[4]")
+             .appName("fortissimo-tests")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return build_pages(spark, SF_DIR, num_partitions=8).cache()
+
+
+def test_extraction_matches_documents(spark, pages):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    extracted = extract_df(dedup_latest_crawl(pages), "density").select(
+        F.regexp_extract("url", r"/article/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("text").alias("extracted"))
+    joined = docs.join(extracted, "doc_id", "full_outer")
+    n_docs = docs.count()
+    assert joined.count() == n_docs
+    mismatches = joined.filter(
+        F.col("text").isNull() | F.col("extracted").isNull()
+        | (F.col("text") != F.col("extracted"))).count()
+    assert mismatches == 0
+
+
+def test_dedup_window_keeps_latest(spark, pages):
+    total = pages.count()
+    deduped = dedup_latest_crawl(pages)
+    n = deduped.count()
+    assert n == deduped.select("url").distinct().count()
+    assert n < total  # ~10% of urls have a second crawl
+    # latest wins
+    latest = pages.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
+    assert deduped.select("url", "warc_ts").exceptAll(latest).count() == 0
+
+
+def test_roundtrip_all_pages(spark, pages):
+    out = extract_df(pages, "none", verify_roundtrip=True)
+    bad = out.filter(~F.col("roundtrip_ok")).count()
+    assert bad == 0
+
+
+def test_pipeline_run_and_resume(spark, pages, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("extraction_job"))
+    job = ExtractionJob(spark, out_dir)
+    stats = job.run(pages)
+    assert stats["rows"] > 0
+    assert stats["errors"] == 0
+
+    result1 = spark.read.parquet(job.text_path).select("url", "text").orderBy("url")
+    rows1 = [(r.url, r.text) for r in result1.collect()]
+
+    lineage = spark.read.parquet(job.lineage_path)
+    assert lineage.count() > 0
+    assert lineage.agg(F.sum("row_count")).collect()[0][0] == stats["rows"]
+
+    # simulate a partial failure: delete one committed partition's lineage rows
+    committed = job.committed_partitions()
+    n_partitions = committed.count()
+    one = lineage.orderBy("crawl_date", "host_bucket").limit(n_partitions - 1)
+    one.write.mode("overwrite").parquet(job.lineage_path + "_tmp")
+    shutil.rmtree(job.lineage_path)
+    os.rename(job.lineage_path + "_tmp", job.lineage_path)
+
+    # resume: must process only the missing partition and converge byte-identically
+    stats2 = job.run(pages)
+    result2 = spark.read.parquet(job.text_path).select("url", "text").orderBy("url")
+    rows2 = [(r.url, r.text) for r in result2.collect()]
+    assert rows1 == rows2
+    assert stats2["rows"] == stats["rows"]
+
+
+def test_nodes_kernel(spark, pages):
+    nodes = (pages.limit(20)
+             .mapInPandas(make_nodes_kernel(), NODES_SCHEMA))
+    pdf = nodes.toPandas()
+    assert len(pdf) > 100
+    assert (pdf["kind"] == 0).any() and (pdf["kind"] == 1).any()
+    # parents precede children in doc order per url
+    sample_url = pdf["url"].iloc[0]
+    sub = pdf[pdf["url"] == sample_url]
+    order = {idx: i for i, idx in enumerate(sub["node_idx"])}
+    for _, row in sub.iterrows():
+        if row["parent"] > 0:
+            assert order[row["parent"]] < order[row["node_idx"]]
+
+
+def test_exact_duplicates(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    dup = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text") \
+        .filter(F.col("doc_id") % 3 == 0)
+    groups = exact_duplicates(docs.union(dup))
+    assert groups.count() == dup.count()
+    assert groups.filter(F.col("n_copies") != 2).count() == 0
+
+
+def test_minhash_lsh_finds_planted_pairs(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text") \
+        .filter(F.col("doc_id") < 100)
+    pert = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.lit("zz yy "), F.col("text")).alias("text"))
+    pairs = near_duplicate_pairs(docs.union(pert), threshold=0.5).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    expected = {(r.doc_id, r.doc_id + 1000)
+                for r in docs.filter(F.col("doc_id") % 5 == 0).collect()}
+    assert expected <= found
+    # no wild false positives after exact verification
+    assert all(r.jaccard >= 0.5 for r in pairs)
+
+
+def test_simhash_close_for_near_dups(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text") \
+        .filter(F.col("doc_id") < 40)
+    pert = docs.select((F.col("doc_id") + 1000).alias("doc_id"),
+                       F.concat(F.lit("zz "), F.col("text")).alias("text"))
+    sims = {r.id: r.simhash for r in simhash64(docs.union(pert)).collect()}
+    for doc_id in list(sims):
+        if doc_id >= 1000:
+            continue
+        a, b = sims[doc_id], sims[doc_id + 1000]
+        hamming = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        assert hamming <= 16, (doc_id, hamming)
+
+
+def test_cosine_topk(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    top = cosine_topk(emb, query_vec_id=0, k=5).collect()
+    assert len(top) == 5
+    sims = [r.cos_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_textstats(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(50)
+    q = with_quality_features(docs).collect()
+    assert all(0 <= r.q_alpha_ratio <= 1 for r in q)
+    lang = with_langid(docs).collect()
+    assert all(r.langid_guess in ("en", "de", "es", "fr") for r in lang)
+    fp = with_fingerprints(docs).collect()
+    assert all(len(r.fp_md5) == 32 and r.fp_rolling >= 0 for r in fp)
+
+
+def test_modality_kernels(spark):
+    rows = [(i, "image" if i % 2 == 0 else "video",
+             bytes([i % 251]) * (100 + i), "application/octet-stream",
+             None, None, 3500 if i % 2 else None) for i in range(10)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = image_features(media).collect()
+    assert len(feats) == 5
+    assert all(len(r.feature) == 16 for r in feats)
+    assert all(r.out_width <= 32 and r.out_height <= 32 for r in feats)
+    # deterministic: same payload -> same feature
+    feats2 = image_features(media).collect()
+    assert {r.media_id: r.feature for r in feats} == \
+        {r.media_id: r.feature for r in feats2}
+
+    frames = sample_frames(media, every_ms=1000).collect()
+    per_video = {}
+    for r in frames:
+        per_video.setdefault(r.media_id, []).append(r.frame_ms)
+    assert all(v == [0, 1000, 2000, 3000] for v in per_video.values())
+
+
+def test_streaming_extract(spark, pages, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    pages.limit(50).write.mode("overwrite").parquet(in_dir)
+
+    from fortissimo_spark.streaming import start_streaming_job
+    q = start_streaming_job(spark, in_dir, out_dir, ckpt, trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 50
+    assert out.filter(F.col("text").isNull()).count() == 0
