@@ -12,9 +12,10 @@ they scale with executors and shuffle only what the algorithm requires:
 * ``verified_near_duplicates`` — exact shingle-set Jaccard on candidates.
 * ``simhash64``              — 64-bit SimHash per doc + hamming-band buckets.
 
-MinHash math: h_k(x) = (a_k * x + b_k) mod p with p = 2^61 - 1 (Mersenne),
+MinHash math: h_k(x) = (a_k * x + b_k) mod p with p = 2^31 - 1 (Mersenne),
 a_k/b_k drawn deterministically from a seeded generator, over the base
-``xxhash64`` shingle hash.
+``xxhash64`` shingle hash reduced mod p. The 31-bit domain keeps every
+intermediate product under 2^62, inside Spark's ANSI bigint range.
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ __all__ = ["exact_duplicates", "shingle_sets", "minhash_signatures",
            "lsh_candidate_pairs", "verified_near_duplicates", "simhash64",
            "near_duplicate_pairs"]
 
-_MERSENNE_P = (1 << 61) - 1
+_MERSENNE_P = (1 << 31) - 1
 
 
 def _coeffs(k: int, seed: int) -> list[tuple[int, int]]:
@@ -131,15 +132,18 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     docs = docs.withColumn("_wh", F.transform(words, lambda w: F.xxhash64(w)))
+
+    def merge_for(mask_lit):
+        # closure (not default-arg capture: PySpark introspects lambda arity)
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask_lit)) != 0, 1).otherwise(-1)
+
     sim = None
     for bit in range(64):
         # signed-long literal for the bit mask (bit 63 wraps negative)
         mask = 1 << bit
         mask_lit = mask if mask < (1 << 63) else mask - (1 << 64)
-        cnt = F.aggregate(
-            F.col("_wh"), F.lit(0),
-            lambda acc, h, m=mask_lit: acc
-            + F.when(h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1))
+        cnt = F.aggregate(F.col("_wh"), F.lit(0), merge_for(mask_lit))
         term = F.when(cnt > 0, F.lit(mask_lit).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return docs.select(F.col(id_col).alias("id"), sim.alias("simhash"))

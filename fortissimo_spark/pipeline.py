@@ -11,10 +11,14 @@ Scale design notes (10^12-doc target):
   (crawl_date, host_bucket, salt) where salt spreads each host bucket over
   ``salt_factor`` subtasks. AQE (on by default in Spark 4) additionally
   splits skewed shuffle partitions at runtime.
-* **Resume** — each (crawl_date, host_bucket) partition commits atomically
-  via dynamic partition overwrite; a lineage table records per-partition
-  row/token/node/error counts + wall time. A rerun anti-joins committed
-  lineage partitions and processes only the remainder.
+* **Resume** — the commit unit is ``host_bucket``: a url's crawls always
+  share a host, so per-url dedup stays local to the commit unit and a
+  partial rerun can never resurrect a stale crawl (a date-level commit unit
+  could: the loser crawl of a url spanning two dates would win inside a
+  resumed date slice). Output files stay partitioned by
+  (crawl_date, host_bucket) for pruning; the lineage table records
+  per-bucket row/token/node/error counts; a rerun anti-joins committed
+  buckets and processes only the remainder.
 * **No driver-side loops** — everything is one DataFrame plan; the only
   ``collect`` is the tiny lineage summary.
 """
@@ -98,7 +102,7 @@ class ExtractionJob:
     def committed_partitions(self) -> DataFrame | None:
         try:
             return (self.spark.read.parquet(self.lineage_path)
-                    .select("crawl_date", "host_bucket").distinct())
+                    .select("host_bucket").distinct())
         except Exception:
             return None
 
@@ -111,9 +115,9 @@ class ExtractionJob:
 
         committed = self.committed_partitions() if resume else None
         if committed is not None:
-            # resume: drop already-committed (crawl_date, host_bucket) partitions
+            # resume: drop already-committed host buckets (the commit unit)
             pages = pages.join(F.broadcast(committed),
-                               on=["crawl_date", "host_bucket"], how="left_anti")
+                               on=["host_bucket"], how="left_anti")
 
         # The dedup window shuffles by hash(url), which is uniformly
         # distributed — after it, no host skew can exist, so the kernel runs
@@ -146,7 +150,7 @@ class ExtractionJob:
          .parquet(self.text_path))
 
         out = self.spark.read.parquet(self.text_path)
-        lineage = (out.groupBy("crawl_date", "host_bucket")
+        lineage = (out.groupBy("host_bucket")
                    .agg(F.count("*").alias("row_count"),
                         F.sum("token_count").alias("token_count"),
                         F.sum("node_count").alias("node_count"),

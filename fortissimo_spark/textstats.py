@@ -85,11 +85,11 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Cryptographic + rolling-hash fingerprints.
 
     fp_rolling: polynomial rolling hash over word hashes,
-    h = (h * 1000003 + xxhash64(word)) mod 2^61-1 — order-sensitive, unlike
-    a bag-of-words hash.
+    h = (h * 1000003 + xxhash64(word)) mod 2^31-1 — order-sensitive, unlike
+    a bag-of-words hash (31-bit domain keeps products in ANSI bigint range).
     """
     t = F.col(text_col)
-    p = (1 << 61) - 1
+    p = (1 << 31) - 1
     words = F.split(F.trim(t), r"\s+")
     rolling = F.aggregate(
         F.transform(words, lambda w: F.abs(F.xxhash64(w)) % p),
