@@ -319,14 +319,14 @@ def _q_cosine_pairs_exact(spark, sf_dir):
     return (a.crossJoin(F.broadcast(b))
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", F.round(sim, 4).alias("cos_sim"))
-            .filter(F.col("cos_sim") >= 0.95))
+            .filter(F.col("cos_sim") >= 0.45))
 
 
 def _q_cosine_pairs_lsh(spark, sf_dir):
     """Hyperplane-LSH-bucketed near pairs (the scale path; rows-only check:
     bucketing trades recall for not scanning n^2)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_near_pairs(emb, threshold=0.95, num_planes=8)
+    return cosine_near_pairs(emb, threshold=0.45, num_planes=6)
 
 
 def _q_token_stats(spark, sf_dir):
@@ -533,28 +533,25 @@ def oracle_sql() -> dict[str, str]:
                          / length(regexp_split_to_array(trim(text), '\\s+')), 6) AS chars_per_word
             FROM documents""",
         "minhash_near_dups": """
-            WITH pert AS (
-              SELECT doc_id, 'zz yy ' || text AS text2 FROM documents
-              WHERE doc_id % 7 = 0),
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, 'zz yy ' || text AS text
+              FROM documents WHERE doc_id % 7 = 0),
             sh AS (
-              SELECT d.doc_id,
+              SELECT doc_id,
                      list_distinct(list_transform(
-                       range(1, length(string_split(trim(d.text), ' ')) - 1),
-                       i -> string_split(trim(d.text), ' ')[i] || ' ' ||
-                            string_split(trim(d.text), ' ')[i+1] || ' ' ||
-                            string_split(trim(d.text), ' ')[i+2])) AS t1,
-                     list_distinct(list_transform(
-                       range(1, length(string_split(trim(p.text2), ' ')) - 1),
-                       i -> string_split(trim(p.text2), ' ')[i] || ' ' ||
-                            string_split(trim(p.text2), ' ')[i+1] || ' ' ||
-                            string_split(trim(p.text2), ' ')[i+2])) AS t2
-              FROM documents d JOIN pert p USING (doc_id))
-            SELECT doc_id, doc_id + 1000000 AS dup_id,
-                   round(CAST(length(list_intersect(t1, t2)) AS DOUBLE)
-                         / length(list_distinct(list_concat(t1, t2))), 6) AS jaccard
-            FROM sh
-            WHERE round(CAST(length(list_intersect(t1, t2)) AS DOUBLE)
-                        / length(list_distinct(list_concat(t1, t2))), 6) >= 0.5""",
+                       range(1, length(string_split(trim(text), ' ')) - 1),
+                       i -> string_split(trim(text), ' ')[i] || ' ' ||
+                            string_split(trim(text), ' ')[i+1] || ' ' ||
+                            string_split(trim(text), ' ')[i+2])) AS t
+              FROM all_docs),
+            pairs AS (
+              SELECT a.doc_id, b.doc_id AS dup_id,
+                     round(CAST(length(list_intersect(a.t, b.t)) AS DOUBLE)
+                           / length(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT doc_id, dup_id, jaccard FROM pairs WHERE jaccard >= 0.5""",
         "cosine_pairs_exact": """
             WITH sims AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -566,7 +563,7 @@ def oracle_sql() -> dict[str, str]:
                                                 CAST(b.embedding AS DOUBLE[])))), 4)
                        AS cos_sim
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-            SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= 0.95""",
+            SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= 0.45""",
         "token_stats": """
             SELECT doc_id,
                    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT)

@@ -82,22 +82,32 @@ def hyperplane_signature(embeddings: DataFrame, num_planes: int = 16,
 
 def cosine_near_pairs(embeddings: DataFrame, threshold: float = 0.9,
                       num_planes: int = 12, dim: int = 64, seed: int = 42,
-                      id_col: str = "vec_id",
+                      num_probes: int = 4, id_col: str = "vec_id",
                       emb_col: str = "embedding") -> DataFrame:
     """Embedding near-dup pairs: hyperplane bucket join + exact cosine verify.
 
-    Recall note: single-table LSH misses pairs split across buckets; raise
-    recall by lowering ``num_planes`` (bigger buckets) or unioning several
-    seeds (multi-probe). Verification is exact, so precision is 1.0.
+    Recall note: single-table LSH misses pairs split across buckets;
+    ``num_probes`` unions independently-seeded plane sets (multi-probe) —
+    a pair is a candidate if ANY probe buckets them together. Verification
+    is exact, so precision is 1.0 regardless.
     """
-    sig = hyperplane_signature(embeddings, num_planes, dim, seed, id_col, emb_col)
-    a = sig.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-                   F.col("bucket"))
-    b = sig.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-                   F.col("bucket"))
+    candidates = None
+    for probe in range(num_probes):
+        sig = hyperplane_signature(embeddings, num_planes, dim, seed + probe,
+                                   id_col, emb_col)
+        a = sig.select(F.col("vec_id").alias("id_a"), F.col("bucket"))
+        b = sig.select(F.col("vec_id").alias("id_b"), F.col("bucket"))
+        cand = (a.join(b, "bucket")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b"))
+        candidates = cand if candidates is None else candidates.union(cand)
+    candidates = candidates.distinct()
+
+    base = embeddings.select(F.col(id_col).alias("vec_id"),
+                             F.col(emb_col).cast("array<double>").alias("v"))
+    va = base.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    return (a.join(b, "bucket")
-            .filter(F.col("id_a") < F.col("id_b"))
+    return (candidates.join(va, "id_a").join(vb, "id_b")
             .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
-            .filter(F.col("cos_sim") >= threshold)
-            .distinct())
+            .filter(F.col("cos_sim") >= threshold))
