@@ -1,0 +1,94 @@
+"""Property tests: the parser must never throw, always round-trip, and keep
+spans monotone on arbitrary tag soup (SURVEY.md §5.2 item 3)."""
+
+import re
+
+import hypothesis.strategies as st
+from hypothesis import assume, given, settings
+
+# Known reference-lossy construct: whitespace between '</' and a tag name is
+# dropped from endTagText (html-parser.ts:633 builds '</' + tag + ws2 + '>'
+# without the leading run), so '</ p>' serializes as '</p>'. We replicate the
+# reference byte-for-byte, so the round-trip property excludes that shape.
+_LOSSY_END_TAG = re.compile(r"</[ \t\n\f\r\U00010000-\U0010FFFF]+[^ \t\n\f\r>]")
+
+from fortissimo_spark.dom import ELEMENT, TEXT, CDATA
+from fortissimo_spark.extract import extract
+from fortissimo_spark.parser import parse
+
+TAGS = ["div", "p", "span", "li", "ul", "table", "tr", "td", "b", "i", "u",
+        "script", "style", "textarea", "br", "img", "math", "svg", "custom-tag"]
+
+soup_atom = st.one_of(
+    st.text(alphabet="ab<>&;/\"'=! \n\t-?[]()x", max_size=12),
+    st.sampled_from([
+        "<!DOCTYPE html>", "<!-- c -->", "<!--", "-->", "<![CDATA[x]]>",
+        "<? pi >", "</>", "</ >", "&amp;", "&#65;", "&bogus;", "&#xD800;",
+        "<a href='x y'>", '<div class="a>b">', "<input value=x/>", "</div",
+        "<p", "<p >", "< p>", "<<p>", "=", "`", "\x00", "\x7f", "\ud800",
+        "😀", "\xa0", " ",
+    ]),
+    st.sampled_from(TAGS).map(lambda t: f"<{t}>"),
+    st.sampled_from(TAGS).map(lambda t: f"</{t}>"),
+    st.sampled_from(TAGS).map(lambda t: f"<{t} a=1 b='2' c=\"3\">"),
+)
+
+soup = st.lists(soup_atom, max_size=30).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(soup)
+def test_roundtrip_never_throws(doc):
+    assume(not _LOSSY_END_TAG.search(doc))
+    r = parse(doc)
+    assert r.to_string() == doc.replace("\r\n", "\n").replace("\r", "\n")
+    assert r.errors >= 0
+
+
+@settings(max_examples=150, deadline=None)
+@given(soup)
+def test_roundtrip_eol_false(doc):
+    assume(not _LOSSY_END_TAG.search(doc))
+    r = parse(doc, eol=False)
+    assert r.to_string() == doc
+
+
+@settings(max_examples=150, deadline=None)
+@given(soup)
+def test_roundtrip_empty_end_tag_false(doc):
+    assume(not _LOSSY_END_TAG.search(doc))
+    r = parse(doc, empty_end_tag=False)
+    assert r.to_string() == doc.replace("\r\n", "\n").replace("\r", "\n")
+
+
+@settings(max_examples=200, deadline=None)
+@given(soup)
+def test_spans_are_sane(doc):
+    r = parse(doc)
+    b = r.dom
+    n = len(r.text)
+    for i in range(len(b.kind)):
+        if b.kind[i] in (TEXT, CDATA) and b.src_start[i] >= 0:
+            assert 0 <= b.src_start[i] <= b.src_end[i] <= n
+    # extraction never throws either
+    for mode in ("none", "basic", "density"):
+        ext = extract(b, mode)
+        assert isinstance(ext.text, str)
+    # text node spans slice back to their raw content
+    for i in range(len(b.kind)):
+        if b.kind[i] == TEXT and b.src_start[i] >= 0:
+            assert r.text[b.src_start[i]:b.src_end[i]] == b.content[i]
+
+
+@settings(max_examples=100, deadline=None)
+@given(soup)
+def test_doc_order_consistency(doc):
+    b = parse(doc).dom
+    order = b.doc_order()
+    assert len(order) == len(set(order))
+    assert len(order) == len(b.kind) - 1
+    # every non-root node reachable, parents are elements
+    for node in order:
+        p = b.parent[node]
+        assert p >= 0
+        assert b.kind[p] == ELEMENT
