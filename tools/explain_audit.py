@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Physical-plan audit: verify predicate pushdown, column pruning, broadcast
+joins, and shuffle placement on the engine's key plans. Writes
+bench/explain_audit.txt. Run: python tools/explain_audit.py [sf_dir]"""
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from fortissimo_spark.io_tables import build_pages, load_table  # noqa: E402
+from fortissimo_spark.pipeline import dedup_latest_crawl, extract_df  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "bench", "explain_audit.txt")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sections = []
+
+    # 1. extraction pipeline: the kernel stage must sit directly on the scan
+    #    (broadcast dedup adds no payload shuffle)
+    pages = build_pages(spark, SF_DIR)
+    ext = extract_df(dedup_latest_crawl(pages), "density") \
+        .agg(F.count("*"), F.sum("token_count"))
+    p = plan_of(ext)
+    sections.append(("extraction (dedup=broadcast + kernel + agg)", p, [
+        ("payload never shuffles (only the winners agg exchanges)",
+         p.count("Exchange hashpartitioning(url") <= 1),
+        ("kernel runs via ArrowEvalPython/MapInPandas", "MapInPandas" in p or "ArrowEval" in p),
+    ]))
+
+    # 2. q1: filter pushdown + partial aggregation
+    li = load_table(spark, SF_DIR, "lineitem")
+    q1 = (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(F.sum("l_quantity").alias("sum_qty")))
+    p = plan_of(q1)
+    sections.append(("q1 filter+agg", p, [
+        ("shipdate predicate pushed to parquet", "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p),
+        ("column pruning (only 4 cols read)", "ReadSchema: struct<l_quantity" in p),
+        ("partial aggregation before shuffle", "partial_sum" in p),
+    ]))
+
+    # 3. q5: dimension tables broadcast
+    cust = load_table(spark, SF_DIR, "customer")
+    orders = load_table(spark, SF_DIR, "orders")
+    nation = load_table(spark, SF_DIR, "nation")
+    q5ish = (cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+             .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+             .groupBy("n_name").agg(F.count("*").alias("n")))
+    p = plan_of(q5ish)
+    sections.append(("join w/ broadcast dim", p, [
+        ("nation broadcast", "BroadcastHashJoin" in p),
+    ]))
+
+    # 4. metrics-only query must not read the html payload
+    pages2 = build_pages(spark, SF_DIR)
+    meta_only = pages2.groupBy("lang").count()
+    p = plan_of(meta_only)
+    sections.append(("pages metrics-only (html prune)", p, [
+        # html is produced by the generator kernel, so pruning happens at the
+        # documents scan: only doc_id/text/lang are read
+        ("documents scan pruned", "ReadSchema: struct<doc_id" in p),
+    ]))
+
+    checks_failed = 0
+    with open(OUT, "w") as f:
+        for title, plan, checks in sections:
+            f.write(f"==== {title} ====\n{plan}\n")
+            for desc, ok in checks:
+                line = f"[{'PASS' if ok else 'FAIL'}] {desc}"
+                print(line)
+                f.write(line + "\n")
+                checks_failed += 0 if ok else 1
+            f.write("\n")
+    print("wrote", OUT, "failed checks:", checks_failed)
+    spark.stop()
+    return 1 if checks_failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
