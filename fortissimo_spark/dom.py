@@ -630,6 +630,133 @@ class DocBuilder:
             return "<?" + c + (">" if t else "")
         raise AssertionError("unknown node kind %r" % k)
 
+    # --- attribute mutation API (dom.ts:274-352; formatter-facing) -------------
+
+    def set_attribute(self, node: int, name: str, value: str = "",
+                      leading_space: str | None = None, equals: str | None = None,
+                      quote: str | None = None) -> None:
+        nd = self.nodes[node]
+        names = nd[N_ATTR_NAMES]
+        try:
+            index = names.index(name)
+        except ValueError:
+            self.add_attribute_to(node, name, value, leading_space or " ",
+                                  equals, quote)
+            return
+        if value is None:
+            self.delete_attribute(node, index)
+            return
+        nd[N_ATTR_VALUES][index] = value
+        if leading_space is not None:
+            nd[N_ATTR_SPACING][index] = leading_space
+        if equals is not None:
+            nd[N_ATTR_EQUALS][index] = equals
+        if quote is not None:
+            nd[N_ATTR_QUOTES][index] = quote
+        if value:
+            if not nd[N_ATTR_EQUALS][index]:
+                nd[N_ATTR_EQUALS][index] = "="
+            if not nd[N_ATTR_QUOTES][index]:
+                nd[N_ATTR_QUOTES][index] = '"'
+
+    def add_attribute_to(self, node: int, name: str, value: str = "",
+                         leading_space: str = " ", equals: str | None = None,
+                         quote: str | None = None) -> None:
+        if value is None:
+            return
+        if value == "":
+            equals = equals if equals is not None else ""
+            quote = quote if quote is not None else ""
+        else:
+            equals = equals if equals is not None else "="
+            quote = quote if quote is not None else '"'
+        nd = self.nodes[node]
+        nd[N_ATTR_NAMES].append(name)
+        nd[N_ATTR_VALUES].append(value)
+        nd[N_ATTR_SPACING].append(leading_space)
+        nd[N_ATTR_EQUALS].append(equals)
+        nd[N_ATTR_QUOTES].append(quote)
+
+    def delete_attribute(self, node: int, name_or_index) -> bool:
+        nd = self.nodes[node]
+        names = nd[N_ATTR_NAMES]
+        if isinstance(name_or_index, str):
+            try:
+                name_or_index = names.index(name_or_index)
+            except ValueError:
+                return False
+        if not (0 <= name_or_index < len(names)):
+            return False
+        for f in (N_ATTR_NAMES, N_ATTR_VALUES, N_ATTR_EQUALS,
+                  N_ATTR_QUOTES, N_ATTR_SPACING):
+            del nd[f][name_or_index]
+        return True
+
+    def clear_attributes(self, node: int) -> None:
+        nd = self.nodes[node]
+        for f in (N_ATTR_NAMES, N_ATTR_VALUES, N_ATTR_EQUALS,
+                  N_ATTR_QUOTES, N_ATTR_SPACING):
+            nd[f].clear()
+
+    def remove_child_at(self, node: int, index: int) -> None:
+        """dom.ts:360-362: splice the index-th child out of ``node``."""
+        children = self.nodes[node][N_CHILDREN]
+        if children and 0 <= index < len(children):
+            del children[index]
+
+    def detach(self, node: int) -> None:
+        """dom.ts:369-374: remove ``node`` from its parent's children."""
+        p = self.nodes[node][N_PARENT]
+        if p >= 0:
+            children = self.nodes[p][N_CHILDREN]
+            if node in children:
+                children.remove(node)
+
+    def create_closed_element(self, tag: str) -> int:
+        """dom.ts:228-235 createNode: a detached, explicitly-closed element."""
+        node = self.new_element(tag, 0, 0)
+        nd = self.nodes[node]
+        nd[N_END_TAG] = f"</{tag}>"
+        nd[N_CLOSURE] = EXPLICITLY_CLOSED
+        return node
+
+    # --- JSON debug sink (dom.ts:464-499, 128-133) ------------------------------
+
+    def to_json(self, node: int = 0):
+        """Debug-oriented nested dict mirroring the reference's toJSON."""
+        nd = self.nodes[node]
+        if nd[N_KIND] != ELEMENT:
+            return (self._leaf_str(node)
+                    + " (" + str(self.depth(node))
+                    + (f"; {nd[N_LINE]}, {nd[N_COL]}" if nd[N_LINE] else "")
+                    + (f"; {self.nodes[nd[N_PARENT]][N_TAG]}" if nd[N_PARENT] >= 0 else "")
+                    + ")" + ("" if nd[N_TERMINATED] else "!"))
+        json: dict = {"tag": nd[N_TAG]}
+        if nd[N_LINE]:
+            json["line"] = nd[N_LINE]
+        if nd[N_COL]:
+            json["column"] = nd[N_COL]
+        if nd[N_SYNTHETIC]:
+            json["synthetic"] = True
+        if nd[N_BAD_TERM] is not None:
+            json["badTerminator"] = nd[N_BAD_TERM]
+        json["depth"] = self.depth(node)
+        sd = self.synthetic_depth(node)
+        if json["depth"] != sd:
+            json["syntheticDepth"] = sd
+        json["closureState"] = nd[N_CLOSURE]
+        if nd[N_ATTR_NAMES]:
+            json["values"] = {name: nd[N_ATTR_VALUES][i]
+                              for i, name in enumerate(nd[N_ATTR_NAMES])}
+        if nd[N_PARENT] >= 0:
+            json["parentTag"] = self.nodes[nd[N_PARENT]][N_TAG]
+        if nd[N_CHILDREN]:
+            json["children"] = [self.to_json(c) for c in nd[N_CHILDREN]]
+        if nd[N_CLOSURE] == EXPLICITLY_CLOSED and nd[N_END_TAG]:
+            json["endTagText"] = (f"{nd[N_END_TAG]} "
+                                  f"({nd[N_END_LINE]}, {nd[N_END_COL]})")
+        return json
+
     # --- doctype helpers (dom.ts:154-174) --------------------------------------
 
     @staticmethod
