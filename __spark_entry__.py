@@ -165,6 +165,14 @@ def _q_window_running(spark, sf_dir):
                      F.round(F.sum("value").over(w), 4).alias("running_value"))
 
 
+def _q_cube_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.cube("event_type", F.year("ts").alias("event_year"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select("event_type", "event_year", "n_events", "total_value"))
+
+
 def _q_rollup_orders(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     return (orders.rollup("o_orderstatus", "o_orderpriority")
@@ -354,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_latest_event": _q_window_latest_event,
         "window_running_value": _q_window_running,
         "rollup_orders": _q_rollup_orders,
+        "cube_events": _q_cube_events,
         "topk_parts": _q_topk_parts,
         "setop_brands": _q_setop_brands,
         "scalar_fns": _q_scalar_fns,
@@ -455,6 +464,13 @@ def oracle_sql() -> dict[str, str]:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
                    AS running_value
             FROM events WHERE user_id < 50""",
+        "cube_events": """
+            SELECT event_type,
+                   CAST(year(ts) AS INT) AS event_year,
+                   count(*) AS n_events,
+                   round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+            FROM events
+            GROUP BY CUBE (event_type, year(ts))""",
         "rollup_orders": """
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n_orders,

@@ -131,6 +131,7 @@ _RE_XHTML = re.compile(r"\bxhtml\b", re.I | re.A)
 _RE_VARIETY = re.compile(r"\b(frameset|strict|transitional)\b")
 _RE_VERSION = re.compile(r"\bx?html[ \n\r\t\f]*([.\d]+)\b", re.I | re.A)
 _RE_HTML5 = re.compile(r"^doctype[ \n\r\t\f]+html[ \n\r\t\f]*$", re.I | re.A)
+_RE_EOL_COUNT = re.compile(r"\r\n|\n|\r")
 
 
 def oq(quote: str) -> str:
@@ -756,6 +757,43 @@ class DocBuilder:
             json["endTagText"] = (f"{nd[N_END_TAG]} "
                                   f"({nd[N_END_LINE]}, {nd[N_END_COL]})")
         return json
+
+    # --- line map (dom.ts:116-126, 251-268) --------------------------------------
+
+    def line_map(self, node: int = 0) -> list[tuple[int, int, int]]:
+        """(display_line, node_id, source_line) tuples for a (re)formatted
+        document: maps display lines of the serialized output back to the
+        source lines recorded at parse time."""
+        out: list[tuple[int, int, int]] = []
+        current = [1]
+        self._line_map(node, out, current)
+        out.sort(key=lambda e: e[0])
+        return out
+
+    @staticmethod
+    def _count_lines(*groups) -> int:
+        count = 0
+        for item in groups:
+            if isinstance(item, (list, tuple)):
+                for s in item:
+                    count += len(_RE_EOL_COUNT.findall(s or ""))
+            else:
+                count += len(_RE_EOL_COUNT.findall(item or ""))
+        return count
+
+    def _line_map(self, node: int, out: list, current: list[int]) -> None:
+        nd = self.nodes[node]
+        if nd[N_PARENT] >= 0:
+            out.append((current[0], node, nd[N_LINE]))
+        if nd[N_KIND] != ELEMENT:
+            current[0] += self._count_lines(nd[N_CONTENT])
+            return
+        current[0] += self._count_lines(nd[N_INNER_WS], nd[N_ATTR_EQUALS] or [],
+                                        nd[N_ATTR_SPACING] or [],
+                                        nd[N_ATTR_VALUES] or [])
+        for child in nd[N_CHILDREN] or []:
+            self._line_map(child, out, current)
+        current[0] += self._count_lines(nd[N_END_TAG])
 
     # --- doctype helpers (dom.ts:154-174) --------------------------------------
 

@@ -67,3 +67,12 @@ def test_synthetic_depth_in_json(sample_html):
     j = b.to_json(th)
     assert j["depth"] == 3
     assert j["syntheticDepth"] == 5
+
+
+def test_line_map(sample_html):
+    b = parse(sample_html).dom
+    lm = b.line_map(0)
+    assert len(lm) > 100
+    # sorted by display line; on an unformatted document display == source
+    assert lm == sorted(lm, key=lambda e: e[0])
+    assert all(display == source for display, _, source in lm if source)
