@@ -341,6 +341,13 @@ class DocBuilder:
                             node_index = -1
                             break
 
+            # Deliberate divergence from the reference: dom.ts:702 runs its
+            # unwind while-loop even after the marker scan resets nodeIndex
+            # to -1, which infinite-loops on inputs like '<b><td></b>'
+            # (verified against dom.ts:668-741 by hand; fuzzing found it).
+            # The intended semantics — a formatting end tag blocked by a
+            # marker element is unmatched — is what the guard below applies.
+            if node_index > 0:
                 while len(stack) > node_index:
                     cur = stack[-1]
                     nd = nodes[cur]

@@ -92,3 +92,11 @@ def test_doc_order_consistency(doc):
         p = b.parent[node]
         assert p >= 0
         assert b.kind[p] == ELEMENT
+
+
+def test_marker_blocked_formatting_no_hang():
+    # the reference infinite-loops on this input (dom.ts:702 runs the unwind
+    # with nodeIndex=-1); we treat the blocked end tag as unmatched
+    r = parse("<b><td></b>")
+    assert r.to_string() == "<b><td></b>"
+    assert r.errors == 1
