@@ -476,9 +476,14 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                 w = pend_ws
                 pend_ws = None
             if i >= n:
-                # EOF in AT_ATTRIBUTE_START
+                # EOF in AT_ATTRIBUTE_START; pending collectedSpace becomes a
+                # trailing text child at wrap-up (html-parser.ts:498-501)
                 errors += 1
                 b.bad_term[node] = ""
+                if w:
+                    ln, col = lc(n - len(w))
+                    b.add_child(b.new_leaf(D.TEXT, w, ln, col, poss_ent=True,
+                                           src_start=n - len(w), src_end=n))
                 tag_end_kind = "eof"
                 break
             c = t[i]
@@ -516,6 +521,10 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                     errors += 1
                     b.add_attribute(name, "", w, "", "")
                     b.bad_term[node] = ""
+                    if w2:
+                        ln, col = lc(n - len(w2))
+                        b.add_child(b.new_leaf(D.TEXT, w2, ln, col, poss_ent=True,
+                                               src_start=n - len(w2), src_end=n))
                     tag_end_kind = "eof"
                     break
                 if t[i] != "=":
@@ -532,6 +541,10 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                     errors += 1
                     b.add_attribute(name, "", w, pre_eq + "=", "")
                     b.bad_term[node] = ""
+                    if w3:
+                        ln, col = lc(n - len(w3))
+                        b.add_child(b.new_leaf(D.TEXT, w3, ln, col, poss_ent=True,
+                                               src_start=n - len(w3), src_end=n))
                     tag_end_kind = "eof"
                     break
                 c3 = t[i]
