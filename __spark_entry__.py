@@ -165,6 +165,34 @@ def _q_window_running(spark, sf_dir):
                      F.round(F.sum("value").over(w), 4).alias("running_value"))
 
 
+def _q_asof_join(spark, sf_dir):
+    """As-of join (operator Spark lacks natively): for each event, the
+    user's most recent order on or before the event time. Composition:
+    equi-join on user + range filter + row_number, the standard Spark
+    as-of expansion (SURVEY.md §2.7 range/as-of row)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    orders = load_table(spark, sf_dir, "orders")
+    joined = (ev.join(orders, (ev.user_id == orders.o_custkey)
+                      & (orders.o_orderdate <= F.to_date("ts")), "inner"))
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (joined.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("event_id", "user_id",
+                    F.col("o_orderkey").alias("last_orderkey"),
+                    F.col("o_orderdate").alias("last_orderdate")))
+
+
+def _q_time_rollup(spark, sf_dir):
+    """Hypertable-style time-bucket rollup: tumbling 6-hour windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("w.start").alias("bucket_start"), "event_type",
+                    "n_events", "total_value"))
+
+
 def _q_cube_events(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return (ev.cube("event_type", F.year("ts").alias("event_year"))
@@ -337,10 +365,16 @@ def _q_cosine_pairs_lsh(spark, sf_dir):
     return cosine_near_pairs(emb, threshold=0.45, num_planes=6)
 
 
+_BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def _q_token_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     out = with_token_counts(docs)
-    return out.select("doc_id", "n_tokens_ws", "n_tokens_bpe_ish")
+    return out.select(
+        "doc_id", "n_tokens_ws", "n_tokens_bpe_ish",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_ISH_PATTERN), 0))
+        .alias("n_tokens_re"))
 
 
 def _q_langid_profile(spark, sf_dir):
@@ -363,6 +397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_value": _q_window_running,
         "rollup_orders": _q_rollup_orders,
         "cube_events": _q_cube_events,
+        "asof_join": _q_asof_join,
+        "time_rollup": _q_time_rollup,
         "topk_parts": _q_topk_parts,
         "setop_brands": _q_setop_brands,
         "scalar_fns": _q_scalar_fns,
@@ -464,6 +500,27 @@ def oracle_sql() -> dict[str, str]:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
                    AS running_value
             FROM events WHERE user_id < 50""",
+        "asof_join": """
+            WITH j AS (
+              SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+                     row_number() OVER (PARTITION BY e.event_id
+                                        ORDER BY o.o_orderdate DESC,
+                                                 o.o_orderkey DESC) AS rn
+              FROM events e JOIN orders o
+                ON e.user_id = o.o_custkey
+               AND o.o_orderdate <= CAST(e.ts AS DATE)
+              WHERE e.event_id < 2000)
+            SELECT event_id, user_id,
+                   o_orderkey AS last_orderkey,
+                   o_orderdate AS last_orderdate
+            FROM j WHERE rn = 1""",
+        "time_rollup": """
+            SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+            FROM events
+            GROUP BY 1, 2""",
         "cube_events": """
             SELECT event_type,
                    CAST(year(ts) AS INT) AS event_year,
@@ -587,7 +644,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(list_transform(
                           regexp_split_to_array(trim(text), '\\s+'),
                           w -> CAST(ceil(length(w) / 4.0) AS INT))) AS INT)
-                     AS n_tokens_bpe_ish
+                     AS n_tokens_bpe_ish,
+                   CAST(length(regexp_extract_all(text,
+                          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+                     AS n_tokens_re
             FROM documents""",
         "langid_profile": """
             WITH m AS (
