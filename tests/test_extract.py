@@ -127,3 +127,16 @@ def test_spans_cover_extracted_text_sources():
     ext = extract(r.dom, "density")
     joined = "".join(r.text[s:e] for s, e in ext.spans)
     assert "alpha beta gamma" in joined
+
+
+def test_utf32_decode_paths():
+    html = "<html><body><p>thirty-two bit page body long enough to keep.</p></body></html>\n"
+    import codecs
+    raw = codecs.BOM_UTF32_LE + html.encode("utf-32-le")
+    doc = process_document(raw, "density", verify_roundtrip=True)
+    assert doc["used_encoding"] == "utf-32-le"
+    assert doc["roundtrip_ok"] is True
+    raw = codecs.BOM_UTF32_BE + html.encode("utf-32-be")
+    doc = process_document(raw, "density", verify_roundtrip=True)
+    assert doc["used_encoding"] == "utf-32-be"
+    assert "thirty-two" in doc["text"]

@@ -216,3 +216,21 @@ def test_streaming_extract(spark, pages, tmp_path_factory):
     # the stream dedups by url within the watermark horizon
     assert out.count() == n_urls
     assert out.filter(F.col("text").isNull()).count() == 0
+
+
+def test_salted_repartition_balances_skew(spark, pages):
+    from fortissimo_spark.io_tables import with_layout_columns
+    from fortissimo_spark.pipeline import salted_repartition
+    laid = with_layout_columns(pages)
+    # the corpus is Zipf-skewed: the hottest host holds ~45% of pages
+    top_share = (laid.groupBy("host").count().orderBy(F.desc("count"))
+                 .limit(1).collect()[0]["count"]) / laid.count()
+    assert top_share > 0.3
+
+    parts = salted_repartition(laid, 16, salt_factor=8)
+    sizes = (parts.withColumn("pid", F.spark_partition_id())
+             .groupBy("pid").count().collect())
+    counts = [r["count"] for r in sizes]
+    total = sum(counts)
+    # no task partition may hold anywhere near the hot host's share
+    assert max(counts) / total < 0.2
