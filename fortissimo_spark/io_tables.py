@@ -89,3 +89,30 @@ def write_pages_table(pages: DataFrame, path: str) -> None:
 
 def read_pages_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+N_URL_BUCKETS = 32
+
+
+def write_bucketed_pages(pages: DataFrame, table_name: str,
+                         n_buckets: int = N_URL_BUCKETS) -> None:
+    """Warehouse-scale layout: bucket + sort by url so the per-url dedup
+    window needs NO exchange and NO sort (the 10^12-doc design point; at that
+    scale this is the Iceberg ``bucket(N, url)`` partition transform)."""
+    (pages.write.bucketBy(n_buckets, "url").sortBy("url", "warc_ts")
+     .mode("overwrite").format("parquet").saveAsTable(table_name))
+
+
+def register_bucketed_pages(spark: SparkSession, table_name: str,
+                            location: str, n_buckets: int = N_URL_BUCKETS) -> DataFrame:
+    """Re-attach an existing bucketed-pages directory in a fresh session
+    (the default catalog is in-memory; the files + bucket spec are durable)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    spark.sql(f"""
+        CREATE TABLE {table_name}
+        (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)
+        USING parquet
+        CLUSTERED BY (url) SORTED BY (url, warc_ts) INTO {n_buckets} BUCKETS
+        LOCATION '{location}'
+    """)
+    return spark.table(table_name)
