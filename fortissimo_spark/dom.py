@@ -492,16 +492,22 @@ class DocBuilder:
         return True
 
     def _query_impl(self, node: int, sel, results: list[int], limit: int) -> None:
+        # explicit stack: adversarially deep pages must not hit the Python
+        # recursion limit inside a long-running kernel
         element, id_, qlass = sel
-        if self._selector_matches(node, element, id_, qlass):
-            results.append(node)
-        children = self.nodes[node][N_CHILDREN]
-        if children:
-            for child in children:
+        nodes = self.nodes
+        stack = [node]
+        while stack and len(results) < limit:
+            cur = stack.pop()
+            if self._selector_matches(cur, element, id_, qlass):
+                results.append(cur)
                 if len(results) >= limit:
                     break
-                if self.nodes[child][N_KIND] == ELEMENT:
-                    self._query_impl(child, sel, results, limit)
+            children = nodes[cur][N_CHILDREN]
+            if children:
+                for child in reversed(children):
+                    if nodes[child][N_KIND] == ELEMENT:
+                        stack.append(child)
 
     def query_selector(self, node: int, selector: str) -> int | None:
         results: list[int] = []
@@ -543,8 +549,9 @@ class DocBuilder:
         children = nodes[node][N_CHILDREN]
         if not children:
             return
-        for child in children:
-            nd = nodes[child]
+        stack = list(reversed(children))
+        while stack:
+            nd = nodes[stack.pop()]
             k = nd[N_KIND]
             if k == CDATA:
                 out.append(nd[N_CONTENT])
@@ -554,7 +561,9 @@ class DocBuilder:
                     c = unescape_entities(c)
                 out.append(c)
             elif k == ELEMENT:
-                self._text_content(child, out)
+                kids = nd[N_CHILDREN]
+                if kids:
+                    stack.extend(reversed(kids))
 
     def count_unclosed(self, node: int = 0):
         nodes = self.nodes
@@ -581,45 +590,53 @@ class DocBuilder:
         return "".join(parts)
 
     def _serialize(self, node: int, include_self: bool, parts: list[str]) -> None:
-        nd = self.nodes[node]
-        if nd[N_KIND] != ELEMENT:
-            parts.append(self._leaf_str(node))
-            return
+        # explicit stack with end-tag phase tokens (deep pages must not hit
+        # the recursion limit); -1 in the second slot marks an end-tag emit
+        nodes = self.nodes
+        stack: list = [(node, include_self)]
+        while stack:
+            node, inc = stack.pop()
+            if inc == -1:
+                parts.append(nodes[node][N_END_TAG])
+                continue
+            nd = nodes[node]
+            if nd[N_KIND] != ELEMENT:
+                parts.append(self._leaf_str(node))
+                continue
 
-        emit_self = include_self and not nd[N_SYNTHETIC]
-        if emit_self:
-            parts.append("<")
-            parts.append(nd[N_TAG])
-            names = nd[N_ATTR_NAMES]
-            if names:
-                values = nd[N_ATTR_VALUES]
-                spacing = nd[N_ATTR_SPACING]
-                equals = nd[N_ATTR_EQUALS]
-                quotes = nd[N_ATTR_QUOTES]
-                for i in range(len(names)):
-                    q = quotes[i]
-                    parts.append(spacing[i])
-                    parts.append(names[i])
-                    parts.append(equals[i])
-                    parts.append(oq(q))
-                    parts.append(values[i])
-                    parts.append(cq(q))
-            if nd[N_INNER_WS]:
-                parts.append(nd[N_INNER_WS])
-            if nd[N_BAD_TERM] is not None:
-                parts.append(nd[N_BAD_TERM])
-            elif nd[N_CLOSURE] == SELF_CLOSED:
-                parts.append("/>")
-            else:
-                parts.append(">")
+            emit_self = inc and not nd[N_SYNTHETIC]
+            if emit_self:
+                parts.append("<")
+                parts.append(nd[N_TAG])
+                names = nd[N_ATTR_NAMES]
+                if names:
+                    values = nd[N_ATTR_VALUES]
+                    spacing = nd[N_ATTR_SPACING]
+                    equals = nd[N_ATTR_EQUALS]
+                    quotes = nd[N_ATTR_QUOTES]
+                    for i in range(len(names)):
+                        q = quotes[i]
+                        parts.append(spacing[i])
+                        parts.append(names[i])
+                        parts.append(equals[i])
+                        parts.append(oq(q))
+                        parts.append(values[i])
+                        parts.append(cq(q))
+                if nd[N_INNER_WS]:
+                    parts.append(nd[N_INNER_WS])
+                if nd[N_BAD_TERM] is not None:
+                    parts.append(nd[N_BAD_TERM])
+                elif nd[N_CLOSURE] == SELF_CLOSED:
+                    parts.append("/>")
+                else:
+                    parts.append(">")
+                if nd[N_CLOSURE] == EXPLICITLY_CLOSED and nd[N_END_TAG]:
+                    stack.append((node, -1))
 
-        children = nd[N_CHILDREN]
-        if children:
-            for child in children:
-                self._serialize(child, True, parts)
-
-        if emit_self and nd[N_CLOSURE] == EXPLICITLY_CLOSED and nd[N_END_TAG]:
-            parts.append(nd[N_END_TAG])
+            children = nd[N_CHILDREN]
+            if children:
+                for child in reversed(children):
+                    stack.append((child, True))
 
     def _leaf_str(self, node: int) -> str:
         nd = self.nodes[node]

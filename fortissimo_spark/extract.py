@@ -74,30 +74,34 @@ def _decoded(b: DocBuilder, node: int) -> str:
 
 
 def _collect_spans(b: DocBuilder, node: int, spans: list) -> None:
-    children = b.children[node]
-    if not children:
-        return
-    for child in children:
-        k = b.kind[child]
-        if k in (TEXT, CDATA):
-            if b.src_start[child] >= 0:
-                spans.append((b.src_start[child], b.src_end[child]))
-        elif k == ELEMENT:
-            _collect_spans(b, child, spans)
+    from .dom import N_CHILDREN, N_KIND, N_SRC_END, N_SRC_START
+    nodes = b.nodes
+    stack = list(reversed(nodes[node][N_CHILDREN] or []))
+    while stack:
+        child = stack.pop()
+        nd = nodes[child]
+        k = nd[N_KIND]
+        if k == TEXT or k == CDATA:
+            if nd[N_SRC_START] >= 0:
+                spans.append((nd[N_SRC_START], nd[N_SRC_END]))
+        elif k == ELEMENT and nd[N_CHILDREN]:
+            stack.extend(reversed(nd[N_CHILDREN]))
 
 
 def _text_content_skipping(b: DocBuilder, node: int, out: list, spans: list) -> None:
-    children = b.children[node]
-    if not children:
-        return
-    for child in children:
-        k = b.kind[child]
-        if k in (TEXT, CDATA):
+    from .dom import N_CHILDREN, N_KIND, N_SRC_END, N_SRC_START, N_TAG_LC
+    nodes = b.nodes
+    stack = list(reversed(nodes[node][N_CHILDREN] or []))
+    while stack:
+        child = stack.pop()
+        nd = nodes[child]
+        k = nd[N_KIND]
+        if k == TEXT or k == CDATA:
             out.append(_decoded(b, child))
-            if b.src_start[child] >= 0:
-                spans.append((b.src_start[child], b.src_end[child]))
-        elif k == ELEMENT and b.tag_lc[child] not in DROP_TAGS:
-            _text_content_skipping(b, child, out, spans)
+            if nd[N_SRC_START] >= 0:
+                spans.append((nd[N_SRC_START], nd[N_SRC_END]))
+        elif k == ELEMENT and nd[N_TAG_LC] not in DROP_TAGS and nd[N_CHILDREN]:
+            stack.extend(reversed(nd[N_CHILDREN]))
 
 
 def extract(b: DocBuilder, strip: str = "density",

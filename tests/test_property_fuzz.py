@@ -105,3 +105,18 @@ def test_marker_blocked_formatting_no_hang():
     r = parse("<b><td></b>")
     assert r.to_string() == "<b><td></b>"
     assert r.errors == 1
+
+
+def test_deep_nesting_no_recursion_limit():
+    # adversarial 20k-deep page: parse, extract (all modes), serialize, and
+    # selectors must all run on explicit stacks, never the Python call stack
+    doc = ("<div>" * 20000
+           + "deep text long enough to be kept by the density scorer here"
+           + "</div>" * 20000)
+    r = parse(doc)
+    assert r.to_string() == doc
+    from fortissimo_spark.extract import extract
+    for mode in ("none", "basic", "density"):
+        assert "deep text" in extract(r.dom, mode).text
+    assert r.dom.query_selector(0, "div") is not None
+    assert r.dom.count_unclosed(0) == (0, 0)
