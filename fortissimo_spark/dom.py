@@ -307,6 +307,7 @@ class DocBuilder:
         if end_tag_text is None:
             end_tag_text = "</%s>" % ("" if is_sentinel else tag_lc)
 
+        unwound = False
         cur = self.open_stack[-1]
         nd = nodes[cur]
         if is_sentinel or not tag_lc or nd[N_TAG_LC] == tag_lc:
@@ -348,6 +349,7 @@ class DocBuilder:
             # The intended semantics — a formatting end tag blocked by a
             # marker element is unmatched — is what the guard below applies.
             if node_index > 0:
+                unwound = True
                 while len(stack) > node_index:
                     cur = stack[-1]
                     nd = nodes[cur]
@@ -371,17 +373,24 @@ class DocBuilder:
             self.add_child(child)
             parse_error = True
 
-        if not self.open_stack:
-            self.open_stack.append(0)
-
-        # recompute math/svg depth and re-parent the remaining stack
-        self.in_math_or_svg = 0
-        stack = self.open_stack
-        for index, node in enumerate(stack):
-            if nodes[node][N_TAG_LC] in ("math", "svg"):
-                self.in_math_or_svg += 1
-            if index > 0:
-                nodes[node][N_PARENT] = stack[index - 1]
+        # The reference recomputes math/svg depth and re-parents the whole
+        # stack after EVERY pop (dom.ts:733-738), which is quadratic in
+        # document depth. For a simple top-pop the re-parent is a no-op
+        # (parents already equal their stack predecessors), so we only run
+        # the full pass after an unwind or when the stack emptied; otherwise
+        # an O(1) counter update is behavior-identical.
+        if unwound or not self.open_stack:
+            if not self.open_stack:
+                self.open_stack.append(0)
+            self.in_math_or_svg = 0
+            stack = self.open_stack
+            for index, node in enumerate(stack):
+                if nodes[node][N_TAG_LC] in ("math", "svg"):
+                    self.in_math_or_svg += 1
+                if index > 0:
+                    nodes[node][N_PARENT] = stack[index - 1]
+        elif popped and nd[N_TAG_LC] in ("math", "svg"):
+            self.in_math_or_svg -= 1
 
         return not parse_error
 
