@@ -176,6 +176,48 @@ def make_extract_kernel(strip: str = "density", verify_roundtrip: bool = False):
     return kernel
 
 
+def make_format_kernel(format_options: dict | None = None):
+    """mapInPandas kernel: pages batches -> (url, formatted_html) — the
+    document-parallel pretty-printer (formatter.ts's role at corpus scale)."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .formatter import FormatOptions, format_html
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            urls, outs = [], []
+            for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+                text_src, _, _ = decode_page_bytes(bytes(raw or b""))
+                result = parse(text_src, positions=False)
+                format_html(result.dom, FormatOptions(**(format_options or {})))
+                urls.append(url)
+                outs.append(result.dom.serialize(0))
+            yield pd.DataFrame({"url": urls, "formatted_html": outs})
+
+    return kernel
+
+
+def make_stylize_kernel(style_options: dict | None = None):
+    """mapInPandas kernel: pages batches -> (url, stylized_html) — the
+    syntax-highlighting serializer, document-parallel."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .stylizer import StyleOptions, stylize_html
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            urls, outs = [], []
+            for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+                text_src, _, _ = decode_page_bytes(bytes(raw or b""))
+                result = parse(text_src, positions=False)
+                urls.append(url)
+                outs.append(stylize_html(result.dom, 0,
+                                         StyleOptions(**(style_options or {}))))
+            yield pd.DataFrame({"url": urls, "stylized_html": outs})
+
+    return kernel
+
+
 def make_nodes_kernel():
     """Build a mapInPandas kernel: pages batches -> NODES_SCHEMA batches
     (flat per-node export for node-level corpus analytics)."""

@@ -234,3 +234,20 @@ def test_salted_repartition_balances_skew(spark, pages):
     total = sum(counts)
     # no task partition may hold anywhere near the hot host's share
     assert max(counts) / total < 0.2
+
+
+def test_format_and_stylize_kernels(spark, pages):
+    from pyspark.sql.types import StringType, StructField, StructType
+    from fortissimo_spark.kernel import make_format_kernel, make_stylize_kernel
+    fmt_schema = StructType([StructField("url", StringType()),
+                             StructField("formatted_html", StringType())])
+    out = pages.limit(10).mapInPandas(
+        make_format_kernel({"indent": 2}), fmt_schema).collect()
+    assert len(out) == 10
+    assert all("<main>" in r.formatted_html for r in out)
+
+    sty_schema = StructType([StructField("url", StringType()),
+                             StructField("stylized_html", StringType())])
+    sty = pages.limit(5).mapInPandas(make_stylize_kernel(), sty_schema).collect()
+    assert len(sty) == 5
+    assert all("fh-tag" in r.stylized_html for r in sty)
