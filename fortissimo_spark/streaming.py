@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .pipeline import extract_df
 from .schema import PAGES_SCHEMA
 
-__all__ = ["read_pages_stream", "streaming_extract", "start_streaming_job"]
+__all__ = ["read_pages_stream", "streaming_extract", "start_streaming_job",
+           "streaming_host_stats"]
 
 
 def read_pages_stream(spark: SparkSession, input_path: str,
@@ -42,6 +43,36 @@ def streaming_extract(pages_stream: DataFrame, *, strip: str = "density",
                .withWatermark("warc_ts", watermark)
                .dropDuplicates(["url"]))
     return extract_df(deduped, strip)
+
+
+def streaming_host_stats(extracted_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    running per-host page/token/error counters across micro-batches — the
+    kind of arbitrary keyed state Spark's built-in windowed aggregations
+    can't express when the update logic grows beyond sums."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        pages = tokens = errors = 0
+        if state.exists:
+            pages, tokens, errors = state.get
+        for pdf in pdfs:
+            pages += len(pdf)
+            tokens += int(pdf["token_count"].sum())
+            errors += int(pdf["errors"].sum())
+        state.update((pages, tokens, errors))
+        yield pd.DataFrame({"host": [key[0]], "pages": [pages],
+                            "tokens": [tokens], "errors": [errors]})
+
+    keyed = extracted_stream.withColumn(
+        "host", F.parse_url(F.col("url"), F.lit("HOST")))
+    return keyed.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType="host string, pages bigint, tokens bigint, errors bigint",
+        stateStructType="pages bigint, tokens bigint, errors bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
 
 
 def start_streaming_job(spark: SparkSession, input_path: str, output_path: str,

@@ -120,3 +120,34 @@ def test_deep_nesting_no_recursion_limit():
         assert "deep text" in extract(r.dom, mode).text
     assert r.dom.query_selector(0, "div") is not None
     assert r.dom.count_unclosed(0) == (0, 0)
+
+
+# xmlMode fuzz: quote chars inside attribute names are a documented
+# divergence (SURVEY.md §8), so the xml soup avoids bare quotes in tag
+# positions; everything else must round-trip and never throw.
+xml_atom = st.one_of(
+    st.text(alphabet="ab <>&;/=!?-[]x.\n\t", max_size=10),
+    st.sampled_from([
+        "<?xml version='1.0'?>", "<!DOCTYPE xhtml>", "<Tag>", "</Tag>",
+        "<tag>", "</tag>", "<a b='c'/>", '<a b="c">', "<![CDATA[x]]>",
+        "<!-- c -->", "&amp;", "&#65;", "<svg>", "</svg>", "text ",
+    ]),
+)
+xml_soup = st.lists(xml_atom, max_size=20).map("".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(xml_soup)
+def test_xml_mode_roundtrip(doc):
+    assume(not _LOSSY_END_TAG.search(doc))
+    r = parse(doc, xml_mode=True, eol=False)
+    assert r.to_string() == doc
+
+
+@settings(max_examples=100, deadline=None)
+@given(soup)
+def test_xml_mode_never_throws(doc):
+    r = parse(doc, xml_mode=True, eol=False)
+    assert r.errors >= 0
+    r.to_string()
+    extract(r.dom, "density")

@@ -251,3 +251,28 @@ def test_format_and_stylize_kernels(spark, pages):
     sty = pages.limit(5).mapInPandas(make_stylize_kernel(), sty_schema).collect()
     assert len(sty) == 5
     assert all("fh-tag" in r.stylized_html for r in sty)
+
+
+def test_streaming_stateful_host_stats(spark, pages, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stateful")
+    in_dir, ckpt = str(base / "in"), str(base / "ckpt")
+    # two file drops -> two micro-batches; state must accumulate across them
+    pages.limit(40).coalesce(1).write.mode("overwrite").parquet(in_dir)
+
+    from fortissimo_spark.streaming import read_pages_stream, streaming_host_stats
+    from fortissimo_spark.pipeline import extract_df
+
+    stream = read_pages_stream(spark, in_dir, max_files_per_trigger=1)
+    stats = streaming_host_stats(extract_df(stream, "density"))
+    q = (stats.writeStream.format("memory").queryName("host_stats")
+         .outputMode("update")
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        total_pages = pages.limit(40).count()
+        # latest state row per host must sum to the full input
+        latest = spark.sql("""
+            SELECT host, max(pages) AS pages FROM host_stats GROUP BY host""")
+        assert latest.agg(F.sum("pages")).collect()[0][0] == total_pages
+    finally:
+        q.stop()
