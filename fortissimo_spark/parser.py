@@ -201,7 +201,27 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
     find = t.find
     errors = 0
     charset: str | None = None
+    checking_charset = False
+    content_type = False
+    pending_charset: str | None = None
     trailing_markup_error = False  # EOF with pending markup / trailing text
+
+    def check_charset(name: str, value: str) -> None:
+        # meta-charset sniff (html-parser.ts:729-758)
+        nonlocal charset, content_type, pending_charset
+        al = name.lower()
+        if al == "charset":
+            charset = value.strip()
+        elif al == "http-equiv" and value.lower() == "content-type":
+            content_type = True
+            charset = pending_charset
+        elif al == "content":
+            cm = _RE_CHARSET_IN_CONTENT.search(value)
+            cs = cm.group(1) if cm else None
+            if content_type:
+                charset = cs
+            else:
+                pending_charset = cs
 
     i = 0
     while i < n:
@@ -557,6 +577,10 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                     if e < 0:
                         value = t[i + 1:n]
                         b.add_attribute(name, value, w, pre_eq + "=" + w3, "_" + c3)
+                        # stepTwo still runs for the unterminated value
+                        # (html-parser.ts:419,721-758)
+                        if checking_charset:
+                            check_charset(name, value)
                         i = n
                         errors += 1
                         b.bad_term[node] = ""
@@ -575,19 +599,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                     quote = ""
                 b.add_attribute(name, value, w, pre_eq + "=" + w3, quote)
                 if checking_charset:
-                    al = name.lower()
-                    if al == "charset":
-                        charset = value.strip()
-                    elif al == "http-equiv" and value.lower() == "content-type":
-                        content_type = True
-                        charset = pending_charset
-                    elif al == "content":
-                        cm = _RE_CHARSET_IN_CONTENT.search(value)
-                        cs = cm.group(1) if cm else None
-                        if content_type:
-                            charset = cs
-                        else:
-                            pending_charset = cs
+                    check_charset(name, value)
                 continue
             # not an attribute-name char: only '=' (HTML) or strict-mode
             # specials reach here -> bad terminator, back to text
