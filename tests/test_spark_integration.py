@@ -276,3 +276,18 @@ def test_streaming_stateful_host_stats(spark, pages, tmp_path_factory):
         assert latest.agg(F.sum("pages")).collect()[0][0] == total_pages
     finally:
         q.stop()
+
+
+def test_driver_entry_contract(spark):
+    # exactly what the driver smoke-checks: entry(spark) -> DataFrame with
+    # stable schema and > 0 rows
+    import __spark_entry__ as entrymod
+    df = entrymod.entry(spark)
+    assert df.columns == ["doc_id", "url", "lang", "text", "text_len",
+                          "token_count", "errors", "node_count", "roundtrip_ok"]
+    rows = df.limit(5).collect()
+    assert len(rows) == 5
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 31
