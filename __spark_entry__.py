@@ -651,7 +651,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "langid_profile": """
             WITH m AS (
-              SELECT doc_id, ' ' || text || ' ' AS t FROM documents),
+              -- mirror textstats._occurrences: whitespace runs -> two spaces
+              SELECT doc_id,
+                     ' ' || regexp_replace(text, '\\s+', '  ', 'g') || ' ' AS t
+              FROM documents),
             s AS (
               SELECT doc_id,
                 length(string_split(t,' the '))-1 + length(string_split(t,' and '))-1

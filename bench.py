@@ -24,7 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import SparkSession, Window, functions as F  # noqa: E402
 
-from fortissimo_spark.io_tables import build_pages, load_table  # noqa: E402
+from fortissimo_spark.io_tables import (  # noqa: E402
+    build_pages, load_table, register_bucketed_pages, write_bucketed_pages,
+)
 from fortissimo_spark.pipeline import dedup_latest_crawl, extract_df  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,16 +54,22 @@ def corpus_path() -> str:
 
 
 def ensure_corpus(spark: SparkSession) -> str:
-    path = corpus_path()
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    """Materialize the pages corpus in the PRODUCTION layout: a url-bucketed,
+    url-sorted table (io_tables.write_bucketed_pages), so the dedup window
+    runs with no Exchange — the same plan shape the 10^12-doc design uses.
+    Returns the registered table name."""
+    tag = os.path.basename(SF_DIR.rstrip("/")).replace(".", "_").replace("-", "_")
+    table = f"bench_pages_{tag}_x{AMPLIFY}"
+    location = os.path.join(SCRATCH, "warehouse", table)
+    if not os.path.exists(os.path.join(location, "_SUCCESS")):
         pages = build_pages(spark, SF_DIR, amplify=AMPLIFY, num_partitions=128)
-        pages.write.mode("overwrite").parquet(path)
-    return path
+        write_bucketed_pages(pages, table, location=location)
+    register_bucketed_pages(spark, table, location)
+    return table
 
 
-def bench_extract(spark: SparkSession, path: str, reps: int = 2) -> tuple[float, dict]:
-    pages = spark.read.parquet(path)
+def bench_extract(spark: SparkSession, table: str, reps: int = 2) -> tuple[float, dict]:
+    pages = spark.table(table)
     best = float("inf")
     row = None
     for _ in range(reps):  # best-of-N: the sandbox host has noisy neighbors
@@ -123,12 +131,12 @@ def main():
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
 
-    path = ensure_corpus(spark)
+    table = ensure_corpus(spark)
     # JVM/codegen warmup on a single-partition no-op so timings are steady
     spark.range(1000).agg(F.sum("id")).collect()
 
     queries = {}
-    extract_sec, extract_stats = bench_extract(spark, path)
+    extract_sec, extract_stats = bench_extract(spark, table)
     queries["extract_density"] = round(extract_sec, 3)
 
     for name, fn in [("q1_pricing", bench_q1), ("q3_topk_join", bench_q3),

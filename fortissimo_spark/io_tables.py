@@ -95,12 +95,18 @@ N_URL_BUCKETS = 32
 
 
 def write_bucketed_pages(pages: DataFrame, table_name: str,
-                         n_buckets: int = N_URL_BUCKETS) -> None:
+                         n_buckets: int = N_URL_BUCKETS,
+                         location: str | None = None) -> None:
     """Warehouse-scale layout: bucket + sort by url so the per-url dedup
-    window needs NO exchange and NO sort (the 10^12-doc design point; at that
-    scale this is the Iceberg ``bucket(N, url)`` partition transform)."""
-    (pages.write.bucketBy(n_buckets, "url").sortBy("url", "warc_ts")
-     .mode("overwrite").format("parquet").saveAsTable(table_name))
+    window needs NO exchange (the 10^12-doc design point; at that scale this
+    is the Iceberg ``bucket(N, url)`` partition transform). ``location``
+    makes the table external so it survives the in-memory catalog
+    (re-attach with :func:`register_bucketed_pages`)."""
+    w = (pages.write.bucketBy(n_buckets, "url").sortBy("url", "warc_ts")
+         .mode("overwrite").format("parquet"))
+    if location:
+        w = w.option("path", location)
+    w.saveAsTable(table_name)
 
 
 def register_bucketed_pages(spark: SparkSession, table_name: str,

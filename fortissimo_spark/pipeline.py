@@ -40,21 +40,28 @@ __all__ = ["dedup_latest_crawl", "salted_repartition", "run_extraction",
 DEFAULT_SALT_FACTOR = 8
 
 
-def dedup_latest_crawl(pages: DataFrame, strategy: str = "broadcast") -> DataFrame:
+def dedup_latest_crawl(pages: DataFrame, strategy: str = "window") -> DataFrame:
     """Latest crawl wins per url (SURVEY.md §2.7 window dedup).
 
-    * ``broadcast`` (default): aggregate ``max(warc_ts)`` per url — the
-      shuffle moves only keys thanks to map-side combine — then broadcast-join
-      the winner set back, so the html payload never shuffles. Assumes
-      (url, warc_ts) uniqueness (crawl timestamps). The winner set must fit
-      in executor memory; at 10^12-doc scale use ``window`` over an
-      url-bucketed table (bucketing makes that shuffle-free too).
-    * ``window``: the general row_number() path; shuffles the full payload
-      by hash(url).
+    * ``window`` (default — the scale-safe path): ``row_number()`` over
+      ``partition by url order by warc_ts desc``. One exchange on hash(url)
+      (uniformly distributed, so no skew by construction); reads the source
+      exactly once. Over a url-bucketed+sorted table
+      (:func:`fortissimo_spark.io_tables.write_bucketed_pages`, the 10^12-doc
+      production layout) Catalyst drops both the Exchange and the Sort, so
+      this path is exchange-free there too.
+    * ``broadcast`` (opt-in, small corpora ONLY): aggregate ``max(warc_ts)``
+      per url and broadcast the winner set back so the html payload never
+      shuffles. The winner set is the ENTIRE url universe — it must fit in
+      executor memory, and the source is executed twice (once for the winners
+      aggregate, once for the main branch). Never the default: at web scale
+      this is a guaranteed OOM.
     """
     if strategy == "broadcast":
         winners = pages.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
         return pages.join(F.broadcast(winners), ["url", "warc_ts"], "left_semi")
+    if strategy != "window":
+        raise ValueError(f"unknown dedup strategy: {strategy!r}")
     w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc(), F.col("html").isNull())
     return (pages.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
@@ -133,13 +140,10 @@ class ExtractionJob:
 
         extracted = extract_df(pages, self.strip)
         # layout columns re-derived post-kernel (rows are now small: the html
-        # payload is gone, so this repartition moves ~1% of the input bytes)
-        extracted = (extracted
-                     .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
-                     .withColumn("crawl_date", F.to_date("warc_ts"))
-                     .withColumn("host_bucket",
-                                 F.pmod(F.xxhash64("host"),
-                                        F.lit(16))))
+        # payload is gone, so this repartition moves ~1% of the input bytes).
+        # Shared helper so the bucket count can never drift from the lineage
+        # table / resume anti-join (both key on the same host_bucket).
+        extracted = with_layout_columns(extracted)
 
         # dynamic partition overwrite = atomic per-partition commit
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

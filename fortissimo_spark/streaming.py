@@ -18,8 +18,11 @@ surface (html-parser.ts:276-304): micro-batches play the role of the
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .io_tables import with_layout_columns
 from .pipeline import extract_df
 from .schema import PAGES_SCHEMA
 
@@ -78,19 +81,24 @@ def streaming_host_stats(extracted_stream: DataFrame) -> DataFrame:
 def start_streaming_job(spark: SparkSession, input_path: str, output_path: str,
                         checkpoint_path: str, *, strip: str = "density",
                         trigger_seconds: int = 10):
-    """End-to-end streaming job; returns the StreamingQuery handle."""
+    """End-to-end streaming job; returns the StreamingQuery handle.
+
+    Idempotency: ``foreachBatch`` is at-least-once — a batch retried after a
+    failure runs again with the SAME batch_id. Each batch therefore writes to
+    its own ``batch_id=N`` subdirectory with ``overwrite`` mode, so a retry
+    replaces its own previous (possibly partial) output instead of appending
+    duplicates. Readers of ``output_path`` see ``batch_id`` as a discovered
+    partition column.
+    """
     stream = read_pages_stream(spark, input_path)
     extracted = streaming_extract(stream, strip=strip)
-    extracted = (extracted
-                 .withColumn("crawl_date", F.to_date("warc_ts"))
-                 .withColumn("host_bucket",
-                             F.pmod(F.xxhash64(F.parse_url(F.col("url"), F.lit("HOST"))),
-                                    F.lit(16))))
+    # same layout helper as the batch job: bucket count can't drift
+    extracted = with_layout_columns(extracted)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (batch_df.write.mode("append")
+        (batch_df.write.mode("overwrite")
          .partitionBy("crawl_date", "host_bucket")
-         .parquet(output_path))
+         .parquet(os.path.join(output_path, f"batch_id={batch_id}")))
 
     return (extracted.writeStream
             .foreachBatch(write_batch)

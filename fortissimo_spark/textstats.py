@@ -22,8 +22,14 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def _occurrences(col, word: str):
-    """Count of whitespace-delimited occurrences of ``word`` (JVM-side)."""
-    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    """Count of whitespace-delimited occurrences of ``word`` (JVM-side).
+
+    Every whitespace run is first normalized to TWO spaces so (a) adjacent
+    occurrences ("the the") don't share a delimiter — each gets its own
+    surrounding spaces — and (b) newline/tab-delimited occurrences count.
+    RE2-safe (no lookarounds), so the DuckDB oracle can mirror it exactly.
+    """
+    padded = F.concat(F.lit(" "), F.regexp_replace(col, r"\s+", "  "), F.lit(" "))
     return F.size(F.split(padded, f" {word} ", -1)) - 1
 
 
@@ -73,8 +79,8 @@ def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
             score = occ if score is None else score + occ
         scored.append(F.struct(score.alias("score"),
                                F.lit(lang).alias("lang")))
-    # max over structs: highest score, then lexicographically LAST lang wins;
-    # negate for deterministic first-lang preference
+    # max over structs: highest score wins; ties resolve to the
+    # lexicographically LAST language code (deterministic)
     best = F.greatest(*scored) if len(scored) > 1 else scored[0]
     return (df
             .withColumn("langid_guess", best["lang"])
