@@ -20,7 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from fortissimo_spark.dedup import near_duplicate_pairs, simhash64  # noqa: E402
+from fortissimo_spark.dedup import (  # noqa: E402
+    md5_word_hash, near_duplicate_pairs, simhash64,
+)
 from fortissimo_spark.io_tables import build_pages, load_table  # noqa: E402
 from fortissimo_spark.pipeline import dedup_latest_crawl, extract_df  # noqa: E402
 from fortissimo_spark.similarity import cosine_near_pairs  # noqa: E402
@@ -337,8 +339,13 @@ def _q_minhash_near_dups(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
+    """SimHash signatures, oracle-verifiable variant: the word hash is the
+    first 15 hex chars of md5 (computable identically in DuckDB), 60 bits.
+    The production variant (xxhash64, 64 bits) is pinned by a pure-Python
+    ground-truth recompute in tests/test_spark_integration.py."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return simhash64(docs).select(F.col("id").alias("doc_id"), "simhash")
+    return (simhash64(docs, num_bits=60, word_hash=md5_word_hash)
+            .select(F.col("id").alias("doc_id"), "simhash"))
 
 
 def _q_cosine_pairs_exact(spark, sf_dir):
@@ -359,10 +366,22 @@ def _q_cosine_pairs_exact(spark, sf_dir):
 
 
 def _q_cosine_pairs_lsh(spark, sf_dir):
-    """Hyperplane-LSH-bucketed near pairs (the scale path; rows-only check:
-    bucketing trades recall for not scanning n^2)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_near_pairs(emb, threshold=0.45, num_planes=6)
+    """Hyperplane-LSH-bucketed near-dup pairs (the scale path) over planted
+    near-duplicate embeddings (v vs v+0.01 per coordinate, cos >= 0.999).
+
+    Oracle-exact: verification is exact cosine (precision 1.0 always), and
+    on near-identical pairs multi-probe recall is total — verified against
+    the n^2 DuckDB oracle. Recall below ~0.9 similarity degrades by design
+    (that's the n^2-avoidance trade; cosine_pairs_exact is the anchor)."""
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    pert = (emb.filter(F.col("vec_id") % 5 == 0)
+            .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                    F.transform("embedding", lambda x: x + 0.01).alias("embedding")))
+    pairs = cosine_near_pairs(emb.union(pert), threshold=0.98,
+                              num_planes=8, num_probes=6)
+    return pairs.select("id_a", "id_b",
+                        F.round("cos_sim", 4).alias("cos_sim"))
 
 
 _BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -625,6 +644,18 @@ def oracle_sql() -> dict[str, str]:
                            / length(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
             SELECT doc_id, dup_id, jaccard FROM pairs WHERE jaccard >= 0.5""",
+        "simhash": """
+            WITH w AS (
+              SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs
+              FROM documents)
+            SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 60), b ->
+                CASE WHEN list_sum(list_transform(hs,
+                       h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                     THEN (CAST(1 AS BIGINT) << b)
+                     ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+            FROM w""",
         "cosine_pairs_exact": """
             WITH sims AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -637,6 +668,24 @@ def oracle_sql() -> dict[str, str]:
                        AS cos_sim
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= 0.45""",
+        "cosine_pairs_lsh": """
+            WITH all_e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS v
+              FROM embeddings WHERE vec_id % 5 = 0),
+            sims AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))) AS s
+              FROM all_e a JOIN all_e b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b,
+                   -- mirror the Spark side: the operator emits round(s, 6),
+                   -- the query then rounds that to 4 (double-rounding)
+                   round(round(s, 6), 4) AS cos_sim
+            FROM sims WHERE round(s, 6) >= 0.98""",
         "token_stats": """
             SELECT doc_id,
                    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT)

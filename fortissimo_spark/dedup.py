@@ -20,11 +20,11 @@ intermediate product under 2^62, inside Spark's ANSI bigint range.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["exact_duplicates", "shingle_sets", "minhash_signatures",
            "lsh_candidate_pairs", "verified_near_duplicates", "simhash64",
-           "near_duplicate_pairs"]
+           "md5_word_hash", "near_duplicate_pairs"]
 
 _MERSENNE_P = (1 << 31) - 1
 
@@ -43,13 +43,29 @@ def _coeffs(k: int, seed: int) -> list[tuple[int, int]]:
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
-    """Groups of byte-identical documents: (text_hash, n_copies, doc_ids)."""
-    return (docs
-            .groupBy(F.sha2(F.col(text_col), 256).alias("text_hash"))
-            .agg(F.count("*").alias("n_copies"),
-                 F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
-            .filter(F.col("n_copies") > 1))
+                     text_col: str = "text", sample_ids: int = 8) -> DataFrame:
+    """Groups of byte-identical documents:
+    (text_hash, n_copies, first_doc_id, sample_doc_ids).
+
+    Per-group state is BOUNDED: count + min + a row_number-capped id sample
+    (``sample_ids`` per group, 0 disables the sample entirely). A boilerplate
+    page repeated 10^8 times costs one counter, never a 10^8-element array —
+    the unbounded ``collect_list`` this replaces would OOM on exactly the
+    groups this operator exists to find."""
+    hashed = docs.select(F.sha2(F.col(text_col), 256).alias("text_hash"),
+                         F.col(id_col).alias("_id"))
+    groups = (hashed.groupBy("text_hash")
+              .agg(F.count("*").alias("n_copies"),
+                   F.min("_id").alias("first_doc_id"))
+              .filter(F.col("n_copies") > 1))
+    if not sample_ids:
+        return groups
+    w = Window.partitionBy("text_hash").orderBy("_id")
+    sample = (hashed.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= sample_ids)
+              .groupBy("text_hash")
+              .agg(F.sort_array(F.collect_list("_id")).alias("sample_doc_ids")))
+    return groups.join(sample, "text_hash")
 
 
 def shingle_sets(docs: DataFrame, id_col: str = "doc_id",
@@ -76,9 +92,17 @@ def minhash_signatures(shingled: DataFrame, num_hashes: int = 128,
     return shingled.withColumn("sig", F.array(*sig_cols))
 
 
-def lsh_candidate_pairs(signed: DataFrame, bands: int = 32) -> DataFrame:
+def lsh_candidate_pairs(signed: DataFrame, bands: int = 32,
+                        max_bucket_size: int = 1000) -> DataFrame:
     """Band the signature, bucket-join on (band, band_hash), emit (id_a, id_b)
-    candidate pairs (id_a < id_b). Shuffle key = (band, hash(slice))."""
+    candidate pairs (id_a < id_b). Shuffle key = (band, hash(slice)).
+
+    Degenerate-bucket guard: a bucket is capped at ``max_bucket_size``
+    members (first K by id, deterministic), so one hot bucket — e.g. a
+    constant boilerplate column — contributes at most K(K-1)/2 pairs instead
+    of going quadratic in the corpus. Pairs beyond the cap within a bucket
+    are exact duplicates of each other's neighborhoods and are the domain of
+    ``exact_duplicates``, not near-dup search. 0 disables the cap."""
     sig_size_expr = F.size("sig")
     # rows per band r = len(sig)/bands, computed with fixed bands
     buckets = (signed
@@ -90,6 +114,10 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = 32) -> DataFrame:
                                    (sig_size_expr / bands).cast("int")),
                            lambda v: v.cast("string"))))))
                    .alias("band", "band_hash")))
+    if max_bucket_size:
+        w = Window.partitionBy("band", "band_hash").orderBy("id")
+        buckets = (buckets.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") <= max_bucket_size).drop("_rn"))
     joined = (buckets.alias("x")
               .join(buckets.alias("y"),
                     (F.col("x.band") == F.col("y.band"))
@@ -114,36 +142,58 @@ def verified_near_duplicates(shingled: DataFrame, candidates: DataFrame,
 def near_duplicate_pairs(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", *, n: int = 3,
                          num_hashes: int = 128, bands: int = 32,
-                         threshold: float = 0.5) -> DataFrame:
+                         threshold: float = 0.5,
+                         max_bucket_size: int = 1000) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: shingle → sign → band →
     bucket-join → exact-verify."""
     shingled = shingle_sets(docs, id_col, text_col, n)
     signed = minhash_signatures(shingled, num_hashes)
-    candidates = lsh_candidate_pairs(signed.select("id", "sig"), bands)
+    candidates = lsh_candidate_pairs(signed.select("id", "sig"), bands,
+                                     max_bucket_size)
     return verified_near_duplicates(shingled, candidates, threshold)
 
 
+def md5_word_hash(w):
+    """60-bit word hash both Spark and DuckDB can compute identically:
+    the first 15 hex chars of md5 parsed as an integer (always positive).
+    DuckDB equivalent: ``CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
-    """(id, simhash) — 64-bit SimHash over word hashes, fully JVM-side.
+              text_col: str = "text", *, num_bits: int = 64,
+              word_hash=None) -> DataFrame:
+    """(id, simhash) — SimHash over word hashes, fully JVM-side.
 
-    For each bit b: count(+1/-1 over words by bit b of xxhash64(word)); the
-    simhash sets bit b when the count is positive.
+    For each bit b: count(+1/-1 over words by bit b of hash(word)); the
+    simhash sets bit b when the count is positive. Single traversal of the
+    word-hash array: one ``F.aggregate`` carries an array of ``num_bits``
+    counters (zip_with against a literal mask array), then one more pass
+    folds the counters into the signature — O(W) array visits per row, not
+    O(64·W) separate aggregates.
+
+    ``word_hash`` defaults to ``xxhash64`` (production). Pass
+    :func:`md5_word_hash` with ``num_bits=60`` for the oracle-verifiable
+    variant (DuckDB has no xxhash64).
     """
+    if word_hash is None:
+        def word_hash(w):
+            return F.xxhash64(w)
+    # signed-long mask literals (bit 63 wraps negative)
+    masks = [(1 << b) if b < 63 else (1 << b) - (1 << 64)
+             for b in range(num_bits)]
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    docs = docs.withColumn("_wh", F.transform(words, lambda w: F.xxhash64(w)))
-
-    def merge_for(mask_lit):
-        # closure (not default-arg capture: PySpark introspects lambda arity)
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask_lit)) != 0, 1).otherwise(-1)
-
-    sim = None
-    for bit in range(64):
-        # signed-long literal for the bit mask (bit 63 wraps negative)
-        mask = 1 << bit
-        mask_lit = mask if mask < (1 << 63) else mask - (1 << 64)
-        cnt = F.aggregate(F.col("_wh"), F.lit(0), merge_for(mask_lit))
-        term = F.when(cnt > 0, F.lit(mask_lit).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
+    hashes = F.transform(words, word_hash)
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), num_bits),
+        lambda acc, h: F.zip_with(
+            acc, mask_arr,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)))
+    sim = F.aggregate(
+        F.zip_with(counts, mask_arr,
+                   lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda a, v: a + v)
     return docs.select(F.col(id_col).alias("id"), sim.alias("simhash"))

@@ -83,20 +83,32 @@ def hyperplane_signature(embeddings: DataFrame, num_planes: int = 16,
 def cosine_near_pairs(embeddings: DataFrame, threshold: float = 0.9,
                       num_planes: int = 12, dim: int = 64, seed: int = 42,
                       num_probes: int = 4, id_col: str = "vec_id",
-                      emb_col: str = "embedding") -> DataFrame:
+                      emb_col: str = "embedding",
+                      max_bucket_size: int = 1000) -> DataFrame:
     """Embedding near-dup pairs: hyperplane bucket join + exact cosine verify.
 
     Recall note: single-table LSH misses pairs split across buckets;
     ``num_probes`` unions independently-seeded plane sets (multi-probe) —
     a pair is a candidate if ANY probe buckets them together. Verification
     is exact, so precision is 1.0 regardless.
+
+    Degenerate-bucket guard: each probe's buckets are capped at
+    ``max_bucket_size`` members (first K by id), bounding a hot bucket —
+    e.g. a constant embedding column — at K(K-1)/2 candidate pairs instead
+    of quadratic blowup. 0 disables the cap.
     """
     candidates = None
     for probe in range(num_probes):
         sig = hyperplane_signature(embeddings, num_planes, dim, seed + probe,
                                    id_col, emb_col)
-        a = sig.select(F.col("vec_id").alias("id_a"), F.col("bucket"))
-        b = sig.select(F.col("vec_id").alias("id_b"), F.col("bucket"))
+        buckets = sig.select("vec_id", "bucket")
+        if max_bucket_size:
+            from pyspark.sql import Window
+            w = Window.partitionBy("bucket").orderBy("vec_id")
+            buckets = (buckets.withColumn("_rn", F.row_number().over(w))
+                       .filter(F.col("_rn") <= max_bucket_size).drop("_rn"))
+        a = buckets.select(F.col("vec_id").alias("id_a"), F.col("bucket"))
+        b = buckets.select(F.col("vec_id").alias("id_b"), F.col("bucket"))
         cand = (a.join(b, "bucket")
                 .filter(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b"))

@@ -129,6 +129,38 @@ def test_exact_duplicates(spark):
     assert groups.filter(F.col("n_copies") != 2).count() == 0
 
 
+def test_exact_duplicates_bounded_state(spark):
+    # one hash group with many members: state must stay capped
+    rows = [(i, "same boilerplate page text") for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = exact_duplicates(docs, sample_ids=8).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g.n_copies == 200
+    assert g.first_doc_id == 0
+    assert g.sample_doc_ids == list(range(8))
+
+
+def test_lsh_bucket_cap_bounds_adversarial_input(spark):
+    # adversarial constant column: every doc identical -> one hot bucket
+    from fortissimo_spark.dedup import lsh_candidate_pairs, minhash_signatures, shingle_sets
+    rows = [(i, "identical text all the way down " * 3) for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    signed = minhash_signatures(shingle_sets(docs), num_hashes=16)
+    capped = lsh_candidate_pairs(signed.select("id", "sig"), bands=4,
+                                 max_bucket_size=10)
+    n = capped.count()
+    assert 0 < n <= 10 * 9 // 2  # bounded, not 60*59/2 = 1770
+    # embeddings: constant vectors -> every probe puts all in one bucket
+    from fortissimo_spark.similarity import cosine_near_pairs
+    emb = spark.createDataFrame([(i, [1.0] * 8) for i in range(60)],
+                                ["vec_id", "embedding"])
+    pairs = cosine_near_pairs(emb, threshold=0.5, num_planes=4, dim=8,
+                              num_probes=2, max_bucket_size=10)
+    n2 = pairs.count()
+    assert 0 < n2 <= 10 * 9 // 2
+
+
 def test_minhash_lsh_finds_planted_pairs(spark):
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text") \
         .filter(F.col("doc_id") < 100)
@@ -157,6 +189,90 @@ def test_simhash_close_for_near_dups(spark):
         hamming = bin((a ^ b) & ((1 << 64) - 1)).count("1")
         # near-dups must be far below the ~32-bit expectation of random pairs
         assert hamming <= 24, (doc_id, hamming)
+
+
+def _xxh64(data: bytes, seed: int = 42) -> int:
+    """Pure-Python XXH64 (public algorithm; parity with Spark's xxhash64
+    validated in test_simhash_ground_truth)."""
+    P1, P2, P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    P4, P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+    M = (1 << 64) - 1
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    n, i = len(data), 0
+    if n >= 32:
+        v = [(seed + P1 + P2) & M, (seed + P2) & M, seed & M, (seed - P1) & M]
+        while i + 32 <= n:
+            for j in range(4):
+                k = int.from_bytes(data[i:i + 8], "little")
+                v[j] = (rotl((v[j] + k * P2) & M, 31) * P1) & M
+                i += 8
+        h = (rotl(v[0], 1) + rotl(v[1], 7) + rotl(v[2], 12) + rotl(v[3], 18)) & M
+        for vj in v:
+            h ^= (rotl((vj * P2) & M, 31) * P1) & M
+            h = (h * P1 + P4) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while i + 8 <= n:
+        k = int.from_bytes(data[i:i + 8], "little")
+        h ^= (rotl((k * P2) & M, 31) * P1) & M
+        h = (rotl(h, 27) * P1 + P4) & M
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * P1) & M
+        h = (rotl(h, 23) * P2 + P3) & M
+        i += 4
+    while i < n:
+        h ^= (data[i] * P5) & M
+        h = (rotl(h, 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    return h
+
+
+def _simhash_ground_truth(text: str, num_bits: int, word_hash) -> int:
+    import re
+    words = re.split(r"\s+", text.strip())
+    counts = [0] * num_bits
+    for w in words:
+        h = word_hash(w)
+        for b in range(num_bits):
+            counts[b] += 1 if (h >> b) & 1 else -1
+    sim = sum((1 << b) for b in range(num_bits) if counts[b] > 0)
+    return sim - (1 << 64) if sim >= (1 << 63) else sim
+
+
+def test_simhash_ground_truth(spark):
+    """Exact pure-Python recompute of both simhash variants (the xxhash64
+    production path has no DuckDB oracle — this is its correctness pin)."""
+    import hashlib
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text") \
+        .filter(F.col("doc_id") < 30)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    from fortissimo_spark.dedup import md5_word_hash
+
+    got_xx = {r.id: r.simhash for r in simhash64(docs).collect()}
+    want_xx = {i: _simhash_ground_truth(t, 64,
+                                        lambda w: _xxh64(w.encode("utf-8")))
+               for i, t in texts.items()}
+    assert got_xx == want_xx
+
+    got_md5 = {r.id: r.simhash
+               for r in simhash64(docs, num_bits=60,
+                                  word_hash=md5_word_hash).collect()}
+    want_md5 = {i: _simhash_ground_truth(
+        t, 60, lambda w: int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16))
+        for i, t in texts.items()}
+    assert got_md5 == want_md5
 
 
 def test_cosine_topk(spark):
