@@ -16,6 +16,7 @@ from __future__ import annotations
 import re
 
 from . import dom as D
+from ._walk import run_trampoline
 from .chars import (
     EscapeOptions, ReencodeOptions, column_width, compact_newlines,
     compact_whitespace, escape_to_entities, reencode_entities, trim_left,
@@ -177,16 +178,24 @@ def format_html(b: DocBuilder, options: FormatOptions | None = None) -> None:
 
 
 def _instantiate_synthetic(b: DocBuilder, node: int) -> None:
+    run_trampoline(_instantiate_synthetic_gen(b, node))
+
+
+def _instantiate_synthetic_gen(b: DocBuilder, node: int):
     for elem in b.children[node] or []:
         if b.kind[elem] == D.ELEMENT:
             if b.synthetic[elem]:
                 b.synthetic[elem] = False
                 b.closure[elem] = D.EXPLICITLY_CLOSED
                 b.end_tag[elem] = "</" + b.tag[elem] + ">"
-            _instantiate_synthetic(b, elem)
+            yield _instantiate_synthetic_gen(b, elem)
 
 
 def _remove_synthetic(b: DocBuilder, node: int) -> None:
+    run_trampoline(_remove_synthetic_gen(b, node))
+
+
+def _remove_synthetic_gen(b: DocBuilder, node: int):
     children = b.children[node]
     if not children:
         return
@@ -197,7 +206,7 @@ def _remove_synthetic(b: DocBuilder, node: int) -> None:
                 child = b.children[child][0]
             children[i] = child
             b.parent[child] = node
-            _remove_synthetic(b, child)
+            yield _remove_synthetic_gen(b, child)
 
 
 def _only_contains_inline(b: DocBuilder, node: int, opts: FormatOptions) -> bool:
@@ -269,6 +278,10 @@ def _format_attributes(b: DocBuilder, node: int, indent: int,
 
 
 def _format_node(b: DocBuilder, node: int, opts: FormatOptions, indent: int) -> None:
+    run_trampoline(_format_node_gen(b, node, opts, indent))
+
+
+def _format_node_gen(b: DocBuilder, node: int, opts: FormatOptions, indent: int):
     children = b.children[node]
     if not children:
         return
@@ -317,7 +330,7 @@ def _format_node(b: DocBuilder, node: int, opts: FormatOptions, indent: int) -> 
 
             save_last_text = opts.last_text
             opts.last_text = NULL_TEXT
-            _format_node(b, elem, opts, indent + delta)
+            yield _format_node_gen(b, elem, opts, indent + delta)
 
             if not b.children[elem]:
                 opts.last_text = (CLEAR_TEXT
@@ -387,6 +400,11 @@ def _followed_by_block(b: DocBuilder, parent: int, child_index: int,
 
 def _preprocess_whitespace(b: DocBuilder, node: int, opts: FormatOptions,
                            block_start: bool = False, block_end: bool = False) -> None:
+    run_trampoline(_preprocess_whitespace_gen(b, node, opts, block_start, block_end))
+
+
+def _preprocess_whitespace_gen(b: DocBuilder, node: int, opts: FormatOptions,
+                               block_start: bool = False, block_end: bool = False):
     tag_lc = b.tag_lc[node]
     if tag_lc in opts.keep_whitespace_inside or tag_lc in ("script", "style"):
         opts.block_ctx[node] = True
@@ -406,7 +424,7 @@ def _preprocess_whitespace(b: DocBuilder, node: int, opts: FormatOptions,
 
         kind = b.kind[child]
         if kind == D.ELEMENT:
-            _preprocess_whitespace(b, child, opts, block_start, block_end)
+            yield _preprocess_whitespace_gen(b, child, opts, block_start, block_end)
             block_start = bool(opts.block_ctx.get(child))
         elif kind == D.TEXT:
             after_comment = i > 0 and _is_comment_like(b, children[i - 1])

@@ -17,6 +17,7 @@ from __future__ import annotations
 import re
 
 from . import dom as D
+from ._walk import run_trampoline
 from .chars import (
     is_all_pcen_char, is_known_named_entity, is_valid_entity_codepoint,
     minimal_escape, replace_isolated_surrogates, separate_entities, _js_parse_int,
@@ -96,6 +97,10 @@ def stylize_html(b: DocBuilder, node: int = 0,
 
 
 def _stylize(b: DocBuilder, node: int, opts: StyleOptions) -> str:
+    return run_trampoline(_stylize_gen(b, node, opts))
+
+
+def _stylize_gen(b: DocBuilder, node: int, opts: StyleOptions):
     pf = opts.style_prefix
     ws = opts.show_whitespace
     kind = b.kind[node]
@@ -157,7 +162,7 @@ def _stylize(b: DocBuilder, node: int, opts: StyleOptions) -> str:
             result.append(_markup(">", pf, "markup", False, False))
 
     for child in b.children[node] or []:
-        result.append(_stylize(b, child, opts))
+        result.append((yield _stylize_gen(b, child, opts)))
 
     if not b.synthetic[node] and b.closure[node] == D.EXPLICITLY_CLOSED:
         end_tag = b.end_tag[node]

@@ -72,3 +72,28 @@ def test_blank_line_cap():
     format_html(b, FormatOptions(
         end_document_with_newline=False, indent=2, max_blank_lines=1))
     assert b.serialize(0) == "<span>A</span>\n\n<span>B</span>"
+
+
+def test_deep_nesting_no_recursion_error():
+    """Adversarial crawl HTML: ~5000 nested open tags must not blow the
+    Python C stack (walkers are trampoline-driven, heap-bound depth)."""
+    from fortissimo_spark.formatter import FormatOptions, format_html
+    from fortissimo_spark.parser import parse
+    from fortissimo_spark.stylizer import stylize_html
+
+    depth = 5000
+    html = "<div>" * depth + "x" + "</div>" * depth
+    result = parse(html, positions=False)
+    format_html(result.dom, FormatOptions(indent=2))
+    formatted = result.dom.serialize(0)
+    assert "x" in formatted
+    assert formatted.count("<div>") == depth
+
+    result2 = parse(html, positions=False)
+    styled = stylize_html(result2.dom, 0)
+    assert styled.count("div") >= 2 * depth
+
+    # synthetic-node walkers too (instantiate + remove)
+    result3 = parse("<table>" + "<div>" * depth + "</table>", positions=False)
+    format_html(result3.dom, FormatOptions(instantiate_synthetic_nodes=True))
+    assert result3.dom.serialize(0)
