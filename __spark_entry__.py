@@ -80,6 +80,30 @@ def _q_extract_roundtrip(spark, sf_dir):
         F.count("*").alias("n_docs"))
 
 
+def _q_sax_events(spark, sf_dir):
+    """SAX event-stream surface (events.py; reference html-parser.ts:85-213):
+    every deduped page's event stream must reconstitute the source
+    byte-identically (html-parser.spec.ts:57-120 contract), checked
+    in-kernel and aggregated."""
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType,
+    )
+    from fortissimo_spark.kernel import make_events_kernel
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("n_events", LongType()),
+        StructField("n_text_events", LongType()),
+        StructField("n_tag_events", LongType()),
+        StructField("reconstituted_ok", BooleanType()),
+    ])
+    pages = dedup_latest_crawl(build_pages(spark, sf_dir))
+    stats = pages.select("url", "html").mapInPandas(make_events_kernel(), schema)
+    return stats.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("reconstituted_ok"), 1).otherwise(0))
+        .alias("n_reconstructed_ok"))
+
+
 def _q1_pricing_summary(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -407,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_tokens": _q_extract_tokens,
         "extract_lang_stats": _q_extract_lang_stats,
         "extract_roundtrip": _q_extract_roundtrip,
+        "sax_events": _q_sax_events,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_local_supplier": _q5_local_supplier,
@@ -453,6 +478,10 @@ def oracle_sql() -> dict[str, str]:
         "extract_roundtrip": """
             SELECT CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
                    count(*) AS n_docs
+            FROM documents""",
+        "sax_events": """
+            SELECT count(*) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_reconstructed_ok
             FROM documents""",
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

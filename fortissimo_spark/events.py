@@ -1,0 +1,192 @@
+"""SAX-style event stream over a parsed document.
+
+Parity target: the reference's callback API (html-parser.ts:85-213, event
+kinds at :185-187) and its reconstitution contract (html-parser.spec.ts:
+57-120: concatenating the source text of every fired event rebuilds the
+document byte-identically). This is the reference's primary extensibility
+surface — per-token processing without touching the DOM.
+
+Spark-first design: events are a lazy *iterator view over the parse*
+(an explicit-stack walk of the node arrays, same order/branches as
+``DocBuilder.serialize``), not parser-interleaved callbacks — the kernel
+already owns the parse loop, and a view keeps the hot path untouched. The
+event *sequence and payloads* match the reference's callbacks; memory is
+O(document) because the node arrays exist either way in this engine.
+``request-data`` has no batch equivalent — in the streaming pipeline the
+micro-batch boundary plays that role (streaming.py docstring).
+
+The 15 reference event kinds map as:
+
+=================  ========================================================
+reference event    here
+=================  ========================================================
+attribute          ``Event('attribute', (spacing, name, equals, value,
+                   quote))``
+cdata / comment /  ``Event(kind, (content, terminated))``
+declaration /
+processing
+doctype            ``Event('doctype', (dt_type, variety, version, content,
+                   terminated))``
+encoding           ``Event('encoding', (charset, explicit))`` — fired once
+                   before ``completion`` when a charset was declared (the
+                   reference fires it mid-parse; position is irrelevant to
+                   reconstitution since its source text is empty)
+end-tag            ``Event('end-tag', (tag, trailing))``
+error              ``Event('error', (message, line, column, source))`` —
+                   unmatched closing tags; source reconstitutes
+start-tag-start    ``Event('start-tag-start', (tag,))``
+start-tag-end      ``Event('start-tag-end', (inner_ws, end, terminated))``
+                   — ``end`` is the literal terminator ('>', '/>', or the
+                   malformed/EOF-truncated text), so reconstitution never
+                   needs the error channel the reference uses for bad ends
+text               ``Event('text', (content, possible_entities))``
+completion         ``Event('completion', ())`` — always last
+generic            :func:`to_generic` maps any event to (depth, text)
+request-data       n/a in batch; micro-batches play this role in streaming
+=================  ========================================================
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple
+
+from . import dom as D
+from .dom import DocBuilder, cq, oq
+from .parser import ParseResult
+
+__all__ = ["Event", "parse_events", "iter_events", "to_generic",
+           "reconstitute", "GENERIC_EVENTS"]
+
+
+class Event(NamedTuple):
+    kind: str
+    depth: int
+    args: tuple
+    src: str        # the exact source text this event accounts for
+    start: int      # source span (offsets into the parsed text; -1 if n/a)
+    end: int
+
+
+#: events the reference folds into the 'generic' callback
+#: (html-parser.ts:189-190 CAN_BE_HANDLED_GENERICALLY)
+GENERIC_EVENTS = frozenset({
+    "attribute", "cdata", "comment", "declaration", "end-tag", "error",
+    "processing", "start-tag-end", "start-tag-start", "text",
+})
+
+
+def iter_events(b: DocBuilder, node: int = 0, *,
+                charset: str | None = None) -> Iterator[Event]:
+    """Yield events for ``node``'s subtree in document order.
+
+    Walk order and branch structure mirror ``DocBuilder._serialize``
+    exactly, so ``''.join(e.src for e in events)`` == ``b.serialize(node,
+    include_self=False)`` for the root — the reconstitution contract.
+    """
+    # stack entries: (node, phase, depth); phase 0 = emit, -1 = end-tag
+    stack: list[tuple[int, int, int]] = [(c, 0, 0)
+                                         for c in reversed(b.children[node] or [])]
+    while stack:
+        nd, phase, depth = stack.pop()
+        if phase == -1:
+            end_tag = b.end_tag[nd]
+            # split '</tag<trailing>'; trailing keeps whatever follows the
+            # name (inner whitespace + '>' — or nothing at EOF)
+            body = end_tag[2:]
+            i = 0
+            while i < len(body) and body[i] not in ">\t\n\f\r ":
+                i += 1
+            yield Event("end-tag", depth, (body[:i], body[i:]), end_tag,
+                        b.src_start[nd], b.src_end[nd])
+            continue
+
+        kind = b.kind[nd]
+        if kind == D.ELEMENT:
+            emit_self = not b.synthetic[nd]
+            if emit_self:
+                tag = b.tag[nd]
+                yield Event("start-tag-start", depth, (tag,), "<" + tag,
+                            b.src_start[nd], b.src_end[nd])
+                names = b.attr_names[nd]
+                if names:
+                    values = b.attr_values[nd]
+                    spacing = b.attr_spacing[nd]
+                    equals = b.attr_equals[nd]
+                    quotes = b.attr_quotes[nd]
+                    for i in range(len(names)):
+                        q = quotes[i]
+                        src = (spacing[i] + names[i] + equals[i]
+                               + oq(q) + values[i] + cq(q))
+                        yield Event("attribute", depth,
+                                    (spacing[i], names[i], equals[i],
+                                     values[i], q), src, -1, -1)
+                inner_ws = b.inner_ws[nd] or ""
+                bad = b.bad_term[nd]
+                if bad is not None:
+                    end, terminated = bad, False
+                elif b.closure[nd] == D.SELF_CLOSED:
+                    end, terminated = "/>", True
+                else:
+                    end, terminated = ">", True
+                yield Event("start-tag-end", depth, (inner_ws, end, terminated),
+                            inner_ws + end, -1, -1)
+                if b.closure[nd] == D.EXPLICITLY_CLOSED and b.end_tag[nd]:
+                    stack.append((nd, -1, depth))
+            child_depth = depth + 1 if emit_self else depth
+            for child in reversed(b.children[nd] or []):
+                stack.append((child, 0, child_depth))
+            continue
+
+        content = b.content[nd]
+        terminated = b.terminated[nd]
+        s, e = b.src_start[nd], b.src_end[nd]
+        if kind == D.TEXT:
+            yield Event("text", depth, (content, b.poss_ent[nd]), content, s, e)
+        elif kind == D.COMMENT:
+            yield Event("comment", depth, (content, terminated),
+                        "<!--" + content + ("-->" if terminated else ""), s, e)
+        elif kind == D.CDATA:
+            yield Event("cdata", depth, (content, terminated),
+                        "<![CDATA[" + content + ("]]>" if terminated else ""), s, e)
+        elif kind == D.DOCTYPE:
+            dt_type, variety, version = DocBuilder.doctype_info(content)
+            yield Event("doctype", depth,
+                        (dt_type, variety, version, content, terminated),
+                        "<!" + content + (">" if terminated else ""), s, e)
+        elif kind == D.DECLARATION:
+            yield Event("declaration", depth, (content, terminated),
+                        "<!" + content + (">" if terminated else ""), s, e)
+        elif kind == D.PROCESSING:
+            yield Event("processing", depth, (content, terminated),
+                        "<?" + content + (">" if terminated else ""), s, e)
+        elif kind == D.UNMATCHED_CLOSE:
+            yield Event("error", depth,
+                        ("unmatched closing tag", -1, -1, content), content, s, e)
+
+    if charset:
+        yield Event("encoding", 0, (charset, True), "", -1, -1)
+    yield Event("completion", 0, (), "", -1, -1)
+
+
+def parse_events(result: ParseResult) -> Iterator[Event]:
+    """Event stream for a :class:`ParseResult` (root subtree + encoding +
+    completion)."""
+    return iter_events(result.dom, 0, charset=result.charset)
+
+
+def to_generic(event: Event) -> tuple[int, str] | None:
+    """The reference's 'generic' fold: (depth, source text), or None for
+    events the generic callback never receives (html-parser.ts:189-190).
+
+    Doctypes ARE folded: with no specific doctype handler the reference
+    re-fires them as 'declaration' (html-parser.ts:796-799), which is
+    generically handleable."""
+    if event.kind not in GENERIC_EVENTS and event.kind != "doctype":
+        return None
+    return (event.depth, event.src)
+
+
+def reconstitute(events) -> str:
+    """Rebuild the document from an event stream (must equal the parsed
+    source byte-for-byte — html-parser.spec.ts:57-120 contract)."""
+    return "".join(e.src for e in events)

@@ -218,6 +218,41 @@ def make_stylize_kernel(style_options: dict | None = None):
     return kernel
 
 
+def make_events_kernel():
+    """mapInPandas kernel: pages batches -> per-document SAX event stats
+    (url, n_events, n_text_events, n_tag_events, reconstituted_ok) — the
+    document-parallel form of the reference's callback API (events.py);
+    ``reconstituted_ok`` asserts the byte-identity contract per page."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .events import parse_events
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in ("url", "n_events", "n_text_events",
+                                    "n_tag_events", "reconstituted_ok")}
+            for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+                text_src, _, _ = decode_page_bytes(bytes(raw or b""))
+                result = parse(text_src, positions=False)
+                n = n_text = n_tag = 0
+                parts = []
+                for ev in parse_events(result):
+                    n += 1
+                    if ev.kind == "text":
+                        n_text += 1
+                    elif ev.kind == "start-tag-start":
+                        n_tag += 1
+                    parts.append(ev.src)
+                rows["url"].append(url)
+                rows["n_events"].append(n)
+                rows["n_text_events"].append(n_text)
+                rows["n_tag_events"].append(n_tag)
+                rows["reconstituted_ok"].append("".join(parts) == result.text)
+            yield pd.DataFrame(rows)
+
+    return kernel
+
+
 def make_nodes_kernel():
     """Build a mapInPandas kernel: pages batches -> NODES_SCHEMA batches
     (flat per-node export for node-level corpus analytics)."""
