@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The Spark-side contract is real and tested — schemas, Arrow batch shapes,
-``mapInPandas`` signatures, partitioning — while the actual media decoding
-is stubbed (no image/audio libs in this container): ``decode_image`` raises
-``NotImplementedError`` unless ``deterministic_fake=True``, in which case a
-seeded, content-derived fake is produced so downstream plumbing (resize
-dims, frame sampling, feature vectors) is fully exercisable and assertable.
+The Spark-side contract — schemas, Arrow batch shapes, ``mapInPandas``
+signatures, partitioning — is real and tested, and so is the decode step
+for BMP (uncompressed 24/32-bit) and PPM (P6/P3): pure-Python decoders
+produce real dimensions and a pixel-derived 4x4 grayscale feature grid.
+Formats needing an imaging library not present in this container
+(JPEG/PNG/...) raise ``NotImplementedError`` unless
+``deterministic_fake=True``, which substitutes a seeded content-derived
+stand-in so downstream plumbing stays exercisable end-to-end.
 """
 
 from __future__ import annotations
@@ -21,7 +23,8 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["MEDIA_SCHEMA", "IMAGE_FEATURES_SCHEMA", "decode_image",
-           "make_image_feature_kernel", "image_features", "sample_frames"]
+           "decode_bmp", "decode_ppm", "make_image_feature_kernel",
+           "image_features", "sample_frames"]
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType()),
@@ -42,25 +45,119 @@ IMAGE_FEATURES_SCHEMA = StructType([
 ])
 
 
-def decode_image(payload: bytes, *, deterministic_fake: bool = False):
-    """Decode encoded image bytes to (width, height, pixel summary).
+def _gray_grid(width: int, height: int, gray_at, grid: int = 4) -> bytes:
+    """``grid``x``grid`` block-averaged grayscale summary (0-255 per cell) —
+    the content-derived feature source for decoded images."""
+    cells = []
+    for gy in range(grid):
+        y0, y1 = gy * height // grid, max((gy + 1) * height // grid, gy * height // grid + 1)
+        y1 = min(y1, height)
+        for gx in range(grid):
+            x0, x1 = gx * width // grid, max((gx + 1) * width // grid, gx * width // grid + 1)
+            x1 = min(x1, width)
+            total = n = 0
+            for y in range(y0, y1):
+                for x in range(x0, x1):
+                    total += gray_at(x, y)
+                    n += 1
+            cells.append(total // n if n else 0)
+    return bytes(cells)
 
-    Real decoding requires an image library not present in this container.
-    With ``deterministic_fake`` the result is a pure function of the bytes,
-    keeping the distributed plumbing testable end-to-end.
+
+def decode_bmp(payload: bytes):
+    """Pure-Python decode of uncompressed 24/32-bit BI_RGB BMP →
+    (width, height, 4x4 grayscale grid)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pixel_offset = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3
+
+    def gray_at(x: int, y: int) -> int:
+        row = y if top_down else height - 1 - y
+        p = pixel_offset + row * stride + x * bytes_pp
+        b, g, r = payload[p], payload[p + 1], payload[p + 2]
+        return (r * 299 + g * 587 + b * 114) // 1000
+
+    return width, height, _gray_grid(width, height, gray_at)
+
+
+def decode_ppm(payload: bytes):
+    """Pure-Python decode of PPM P6 (binary) / P3 (ascii), maxval <= 255 →
+    (width, height, 4x4 grayscale grid)."""
+    if payload[:2] not in (b"P6", b"P3"):
+        raise ValueError("not a PPM")
+    binary = payload[:2] == b"P6"
+    # header: magic, width, height, maxval — whitespace/comment separated
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i] in b" \t\r\n":
+            i += 1
+        if i < len(payload) and payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i] not in b"\r\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and payload[j] not in b" \t\r\n":
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    width, height, maxval = fields
+    if maxval > 255 or width <= 0 or height <= 0:
+        raise ValueError("unsupported PPM")
+    i += 1  # single whitespace after maxval
+    if binary:
+        raster = payload[i:i + width * height * 3]
+    else:
+        raster = bytes(int(v) for v in payload[i:].split())
+    if len(raster) < width * height * 3:
+        raise ValueError("truncated PPM raster")
+
+    def gray_at(x: int, y: int) -> int:
+        p = (y * width + x) * 3
+        return (raster[p] * 299 + raster[p + 1] * 587 + raster[p + 2] * 114) // 1000
+
+    return width, height, _gray_grid(width, height, gray_at)
+
+
+def decode_image(payload: bytes, *, deterministic_fake: bool = False):
+    """Decode encoded image bytes to (width, height, 16-byte pixel summary).
+
+    REAL pure-Python decoders cover BMP (uncompressed 24/32-bit) and PPM
+    (P6/P3) — no imaging library needed. Other formats (JPEG/PNG/...) need
+    a codec not present in this container: they raise ``NotImplementedError``
+    unless ``deterministic_fake=True``, which substitutes a seeded,
+    content-derived stand-in so the distributed plumbing stays testable.
     """
+    raw = payload or b""
+    if raw[:2] == b"BM":
+        return decode_bmp(raw)
+    if raw[:2] in (b"P6", b"P3"):
+        return decode_ppm(raw)
     if not deterministic_fake:
         raise NotImplementedError(
-            "image decoding requires an imaging library (not in this container); "
-            "pass deterministic_fake=True for the content-derived stand-in")
-    digest = hashlib.sha256(payload or b"").digest()
+            "only BMP/PPM have in-container decoders; other formats need an "
+            "imaging library — pass deterministic_fake=True for the "
+            "content-derived stand-in")
+    digest = hashlib.sha256(raw).digest()
     width = 16 + digest[0] % 64
     height = 16 + digest[1] % 64
     return width, height, digest
 
 
-def _fake_feature(digest: bytes, dim: int = 16) -> list[float]:
-    return [(digest[i % len(digest)] - 128) / 128.0 for i in range(dim)]
+def _feature_from_summary(summary: bytes, dim: int = 16) -> list[float]:
+    """Map a 16-byte pixel summary (real gray grid, or the fake digest) to a
+    dim-16 embedding in [-1, 1)."""
+    return [(summary[i % len(summary)] - 128) / 128.0 for i in range(dim)]
 
 
 def make_image_feature_kernel(target: tuple[int, int] = (32, 32),
@@ -79,12 +176,12 @@ def make_image_feature_kernel(target: tuple[int, int] = (32, 32),
             for mid, payload in zip(pdf["media_id"].tolist(),
                                     pdf["payload"].tolist()):
                 raw = bytes(payload or b"")
-                w, h, digest = decode_image(raw, deterministic_fake=deterministic_fake)
+                w, h, summary = decode_image(raw, deterministic_fake=deterministic_fake)
                 out["media_id"].append(mid)
                 out["out_width"].append(min(w, target[0]))
                 out["out_height"].append(min(h, target[1]))
                 out["n_bytes"].append(len(raw))
-                out["feature"].append(_fake_feature(digest))
+                out["feature"].append(_feature_from_summary(summary))
             yield pd.DataFrame(out)
 
     return kernel

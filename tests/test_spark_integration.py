@@ -315,6 +315,61 @@ def test_modality_kernels(spark):
     assert all(v == [0, 1000, 2000, 3000] for v in per_video.values())
 
 
+def _make_bmp(width, height, rgb_at):
+    """Minimal uncompressed 24-bit BMP (bottom-up) from a pixel function."""
+    stride = (width * 3 + 3) & ~3
+    raster = bytearray()
+    for row in range(height - 1, -1, -1):  # bottom-up storage
+        line = bytearray()
+        for x in range(width):
+            r, g, b = rgb_at(x, row)
+            line += bytes((b, g, r))
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    pixel_offset = 54
+    size = pixel_offset + len(raster)
+    header = (b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+              + pixel_offset.to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + width.to_bytes(4, "little", signed=True)
+              + height.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + len(raster).to_bytes(4, "little")
+              + b"\x00" * 16)
+    return bytes(header + raster)
+
+
+def test_modality_real_decode(spark):
+    """Real BMP/PPM bytes through the distributed kernel: true dimensions
+    and pixel-derived features, no deterministic_fake involved."""
+    from fortissimo_spark.modality import decode_bmp, decode_ppm, image_features
+
+    # 8x4 BMP: left half black, right half white
+    bmp = _make_bmp(8, 4, lambda x, y: (255, 255, 255) if x >= 4 else (0, 0, 0))
+    w, h, grid = decode_bmp(bmp)
+    assert (w, h) == (8, 4)
+    # 4x4 grid: columns 0-1 black, 2-3 white, every row
+    assert list(grid) == [0, 0, 255, 255] * 4
+
+    # 4x4 PPM P6: all mid-gray
+    ppm = b"P6\n4 4\n255\n" + bytes([100, 100, 100]) * 16
+    assert decode_ppm(ppm) == (4, 4, bytes([100] * 16))
+    # P3 ascii variant decodes identically
+    ppm3 = b"P3\n# comment\n4 4\n255\n" + b" ".join(b"100" for _ in range(48))
+    assert decode_ppm(ppm3) == (4, 4, bytes([100] * 16))
+
+    rows = [(1, "image", bytearray(bmp), "image/bmp", None, None, None),
+            (2, "image", bytearray(ppm), "image/x-portable-pixmap", None, None, None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in image_features(media).collect()}
+    assert (feats[1].out_width, feats[1].out_height) == (8, 4)
+    assert (feats[2].out_width, feats[2].out_height) == (4, 4)
+    # features are pixel-derived: black cells -> -1.0, white -> ~0.99
+    f1 = feats[1].feature
+    assert f1[0] == pytest.approx(-1.0) and f1[2] == pytest.approx(127 / 128)
+    assert all(v == pytest.approx((100 - 128) / 128) for v in feats[2].feature)
+
+
 def test_streaming_extract(spark, pages, tmp_path_factory):
     base = tmp_path_factory.mktemp("stream")
     in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
