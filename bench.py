@@ -24,9 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import SparkSession, Window, functions as F  # noqa: E402
 
-from fortissimo_spark.io_tables import (  # noqa: E402
-    build_pages, load_table, register_bucketed_pages, write_bucketed_pages,
-)
+from fortissimo_spark.io_tables import build_pages, load_table  # noqa: E402
 from fortissimo_spark.pipeline import dedup_latest_crawl, extract_df  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,22 +52,24 @@ def corpus_path() -> str:
 
 
 def ensure_corpus(spark: SparkSession) -> str:
-    """Materialize the pages corpus in the PRODUCTION layout: a url-bucketed,
-    url-sorted table (io_tables.write_bucketed_pages), so the dedup window
-    runs with no Exchange — the same plan shape the 10^12-doc design uses.
-    Returns the registered table name."""
-    tag = os.path.basename(SF_DIR.rstrip("/")).replace(".", "_").replace("-", "_")
-    table = f"bench_pages_{tag}_x{AMPLIFY}"
-    location = os.path.join(SCRATCH, "warehouse", table)
-    if not os.path.exists(os.path.join(location, "_SUCCESS")):
+    """Materialize the pages corpus as splittable parquet.
+
+    Layout note (measured at sf0.1/local[32], best-of-2): the url-bucketed
+    table makes the dedup window exchange-free, but buckets aren't
+    splittable — N_URL_BUCKETS fixed tasks, no AQE rebalancing — and at this
+    corpus size that costs more than the exchange it saves (16.6k vs 22.7k
+    docs/s). Splittable parquet + the window's uniform hash(url) exchange is
+    the faster local plan; the bucketed layout is the 10^12-doc design point
+    (bench/ab_run.py measures it per cluster size). Both are single-scan."""
+    path = corpus_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         pages = build_pages(spark, SF_DIR, amplify=AMPLIFY, num_partitions=128)
-        write_bucketed_pages(pages, table, location=location)
-    register_bucketed_pages(spark, table, location)
-    return table
+        pages.write.mode("overwrite").parquet(path)
+    return path
 
 
-def bench_extract(spark: SparkSession, table: str, reps: int = 2) -> tuple[float, dict]:
-    pages = spark.table(table)
+def bench_extract(spark: SparkSession, path: str, reps: int = 2) -> tuple[float, dict]:
+    pages = spark.read.parquet(path)
     best = float("inf")
     row = None
     for _ in range(reps):  # best-of-N: the sandbox host has noisy neighbors
@@ -131,12 +131,12 @@ def main():
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
 
-    table = ensure_corpus(spark)
+    path = ensure_corpus(spark)
     # JVM/codegen warmup on a single-partition no-op so timings are steady
     spark.range(1000).agg(F.sum("id")).collect()
 
     queries = {}
-    extract_sec, extract_stats = bench_extract(spark, table)
+    extract_sec, extract_stats = bench_extract(spark, path)
     queries["extract_density"] = round(extract_sec, 3)
 
     for name, fn in [("q1_pricing", bench_q1), ("q3_topk_join", bench_q3),

@@ -143,22 +143,22 @@ def is_eol(ch: str) -> bool:
     return ch == "\n" or ch == "\r" or ch == "\r\n"
 
 
+# str.strip with an explicit char set strips exactly the HTML whitespace
+# class — same semantics as the regex form, C-speed (hot in extract blocks)
+_TRIM_CHARS = " \t\n\f\r"
+_TRIM_CHARS_NN = " \t\f"
+
+
 def trim(s: str, skip_newlines: bool = False) -> str:
-    if skip_newlines:
-        return re.sub(r"(?:^[ \t\f]+)|(?:[ \t\f]+$)", "", s or "")
-    return re.sub(r"(?:^[ \t\n\f\r]+)|(?:[ \t\n\f\r]+$)", "", s or "")
+    return (s or "").strip(_TRIM_CHARS_NN if skip_newlines else _TRIM_CHARS)
 
 
 def trim_left(s: str, skip_newlines: bool = False) -> str:
-    if skip_newlines:
-        return re.sub(r"^[ \t\f]+", "", s or "")
-    return re.sub(r"^[ \t\n\f\r]+", "", s or "")
+    return (s or "").lstrip(_TRIM_CHARS_NN if skip_newlines else _TRIM_CHARS)
 
 
 def trim_right(s: str, skip_newlines: bool = False) -> str:
-    if skip_newlines:
-        return re.sub(r"[ \t\f]+$", "", s or "")
-    return re.sub(r"[ \t\n\f\r]+$", "", s or "")
+    return (s or "").rstrip(_TRIM_CHARS_NN if skip_newlines else _TRIM_CHARS)
 
 
 def compact_whitespace(s: str, skip_newlines: bool = False) -> str:

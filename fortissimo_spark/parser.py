@@ -48,6 +48,10 @@ _WS_SET = frozenset(_WS)
 # docstring on the 2-unit-read quirk)
 _RE_WS_RUN = re.compile(r"[ \t\n\f\r\U00010000-\U0010FFFF]*")
 _RE_MARKUP_START = re.compile(r"[a-z:/!?]", re.I | re.A)
+# same class as a set — the per-'<' dispatch check is the hottest test in
+# the text gather loop and needs no regex machinery
+_MARKUP_START_SET = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ:/!?")
 _RE_ANY_EOL = re.compile(r"\r\n|\r|\n")
 
 # tag name runs: loose (HTML) / strict PCEN (xmlMode)
@@ -197,7 +201,20 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
         def lc(_p):
             return _NO_POS
 
-    ws_match = _RE_WS_RUN.match
+    ws_set = _WS_SET
+
+    def ws_end(p: int) -> int:
+        # whitespace-run gather (incl. the astral-char quirk, like
+        # _RE_WS_RUN) — runs are almost always 0-2 chars, where a direct
+        # scan beats the regex engine + match-object allocation
+        while p < n:
+            c0 = t[p]
+            if c0 in ws_set or c0 > "￿":
+                p += 1
+            else:
+                break
+        return p
+
     find = t.find
     errors = 0
     charset: str | None = None
@@ -236,10 +253,10 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                 k = n
                 break
             c2 = t[k + 1] if k + 1 < n else ""
-            if c2 and _RE_MARKUP_START.match(c2):
+            if c2 in _MARKUP_START_SET:
                 if c2 == "/" and not empty_end_tag:
                     c3 = t[k + 2] if k + 2 < n else ""
-                    if c3 != "/" and c3 and _RE_MARKUP_START.match(c3):
+                    if c3 != "/" and c3 in _MARKUP_START_SET:
                         break
                     j = k + 3 if c3 else k + 2
                     continue
@@ -273,7 +290,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
         if c2 == "/":
             # ---- end tag ----
             i = k + 2
-            iw = ws_match(t, i).end()
+            iw = ws_end(i)
             if iw >= n:
                 errors += 1
                 ln, col = lc(n - 1)
@@ -294,7 +311,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
             tag_end = m.end()
             tag_lc = tag if xml else tag.lower()
 
-            i2 = ws_match(t, tag_end).end()
+            i2 = ws_end(tag_end)
             ws2 = t[tag_end:i2]
             if i2 >= n:
                 errors += 1
@@ -339,7 +356,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
         if c2 == "!":
             # ---- declaration / comment / cdata / doctype ----
             i = k + 2
-            iw = ws_match(t, i).end()
+            iw = ws_end(i)
             w = t[i:iw]
             if not w and t[iw:iw + 2] == "--":
                 # comment; body from iw+2, closes on '>' after m%3==2 dashes
@@ -435,7 +452,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
         if c2 == "?":
             # ---- processing instruction ----
             i = k + 2
-            iw = ws_match(t, i).end()
+            iw = ws_end(i)
             w = t[i:iw]
             if not w and iw < n and t[iw] == ">":
                 content = ""
@@ -489,7 +506,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
 
         while True:
             if pend_ws is None:
-                iw = ws_match(t, i).end()
+                iw = ws_end(i)
                 w = t[i:iw]
                 i = iw
             else:
@@ -534,7 +551,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                 name = am.group(0)
                 i = am.end()
                 # AT_ATTRIBUTE_ASSIGNMENT
-                iw2 = ws_match(t, i).end()
+                iw2 = ws_end(i)
                 w2 = t[i:iw2]
                 i = iw2
                 if i >= n:
@@ -554,7 +571,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                 pre_eq = w2
                 i += 1
                 # AT_ATTRIBUTE_VALUE
-                iw3 = ws_match(t, i).end()
+                iw3 = ws_end(i)
                 w3 = t[i:iw3]
                 i = iw3
                 if i >= n:
