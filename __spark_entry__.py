@@ -26,7 +26,9 @@ from fortissimo_spark.dedup import (  # noqa: E402
 from fortissimo_spark.io_tables import build_pages, load_table  # noqa: E402
 from fortissimo_spark.pipeline import dedup_latest_crawl, extract_df  # noqa: E402
 from fortissimo_spark.similarity import cosine_near_pairs  # noqa: E402
-from fortissimo_spark.textstats import with_langid, with_token_counts  # noqa: E402
+from fortissimo_spark.textstats import (  # noqa: E402
+    with_langid, with_quality_features, with_token_counts,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -420,6 +422,16 @@ def _q_token_stats(spark, sf_dir):
         .alias("n_tokens_re"))
 
 
+def _q_quality_features(spark, sf_dir):
+    """Full quality-scoring operator (textstats.with_quality_features):
+    length/word/alpha/digit/punct/upper/stopword ratios, all JVM-side."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = with_quality_features(docs)
+    return out.select("doc_id", "q_len", "q_n_words", "q_alpha_ratio",
+                      "q_digit_ratio", "q_punct_ratio", "q_upper_ratio",
+                      "q_mean_word_len", "q_stopword_ratio")
+
+
 def _q_langid_profile(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return with_langid(docs).select("doc_id", "langid_guess", "langid_score")
@@ -458,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs_exact": _q_cosine_pairs_exact,
         "cosine_pairs_lsh": _q_cosine_pairs_lsh,
         "token_stats": _q_token_stats,
+        "quality_features": _q_quality_features,
         "langid_profile": _q_langid_profile,
     }
 
@@ -727,6 +740,30 @@ def oracle_sql() -> dict[str, str]:
                           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
                      AS n_tokens_re
             FROM documents""",
+        "quality_features": """
+            WITH base AS (
+              SELECT doc_id, text AS t,
+                     greatest(length(text), 1) AS n,
+                     CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS nw,
+                     greatest(length(regexp_split_to_array(trim(text), '\\s+')), 1) AS nwg,
+                     ' ' || regexp_replace(text, '\\s+', '  ', 'g') || ' ' AS p
+              FROM documents)
+            SELECT doc_id,
+              CAST(length(t) AS INT) AS q_len,
+              nw AS q_n_words,
+              round(CAST(length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / n, 6) AS q_alpha_ratio,
+              round(CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS DOUBLE) / n, 6) AS q_digit_ratio,
+              round(CAST(length(regexp_replace(t, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / n, 6) AS q_punct_ratio,
+              round(CAST(length(regexp_replace(t, '[^A-Z]', '', 'g')) AS DOUBLE) / n, 6) AS q_upper_ratio,
+              round(CAST(n - nwg + 1 AS DOUBLE) / nwg, 6) AS q_mean_word_len,
+              round(CAST(length(string_split(p, ' the ')) - 1
+                         + length(string_split(p, ' and ')) - 1
+                         + length(string_split(p, ' of ')) - 1
+                         + length(string_split(p, ' to ')) - 1
+                         + length(string_split(p, ' a ')) - 1
+                         + length(string_split(p, ' is ')) - 1 AS DOUBLE) / nwg, 6)
+                AS q_stopword_ratio
+            FROM base""",
         "langid_profile": """
             WITH m AS (
               -- mirror textstats._occurrences: whitespace runs -> two spaces

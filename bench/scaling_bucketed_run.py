@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Single-cluster-size timing of the PRODUCTION layout: url-bucketed pages
+table + window dedup (exchange-free — the html payload never crosses the
+network) + extract kernel. Usage:
+  python bench/scaling_bucketed_run.py <n_executors> [reps]
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from fortissimo_spark.io_tables import register_bucketed_pages  # noqa: E402
+from fortissimo_spark.pipeline import dedup_latest_crawl, extract_df  # noqa: E402
+from fortissimo_spark.submit import attach_to_session  # noqa: E402
+
+BUCKETED = "/root/repo/.bench_scratch/warehouse/pages_bucketed"
+
+
+def main():
+    n_exec = int(sys.argv[1])
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    spark = (SparkSession.builder
+             .master(f"local-cluster[{n_exec},2,3072]")
+             .config("spark.executor.memory", "2g")
+             .config("spark.sql.shuffle.partitions", str(max(n_exec * 4, 8)))
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.driver.memory", "8g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    attach_to_session(spark)
+    bt = register_bucketed_pages(spark, "pages_bucketed_scaling", BUCKETED)
+    # warmup: executor JVMs + python workers
+    extract_df(bt.limit(2000), "density").agg(F.count("*")).collect()
+
+    docs = 0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        docs = (extract_df(dedup_latest_crawl(bt), "density")
+                .agg(F.count("*").alias("docs")).collect()[0]["docs"])
+        best = min(best, time.time() - t0)
+    print(json.dumps({"executors": n_exec, "cores_per_executor": 2,
+                      "layout": "url-bucketed (exchange-free window dedup)",
+                      "docs": docs, "seconds": round(best, 2),
+                      "docs_per_sec": round(docs / best, 1)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -35,15 +35,20 @@ def main():
 
     sections = []
 
-    # 1. extraction pipeline: the kernel stage must sit directly on the scan
-    #    (broadcast dedup adds no payload shuffle)
+    # 1. extraction pipeline (window dedup, the scale-safe default):
+    #    ONE source scan, ONE uniform hash(url) exchange, no broadcast of
+    #    the url universe, kernel directly above the window
     pages = build_pages(spark, SF_DIR)
     ext = extract_df(dedup_latest_crawl(pages), "density") \
         .agg(F.count("*"), F.sum("token_count"))
     p = plan_of(ext)
-    sections.append(("extraction (dedup=broadcast + kernel + agg)", p, [
-        ("payload never shuffles (only the winners agg exchanges)",
-         p.count("Exchange hashpartitioning(url") <= 1),
+    sections.append(("extraction (dedup=window default + kernel + agg)", p, [
+        ("single source execution (one pages kernel)",
+         p.count("_pages_kernel") == 1),
+        ("exactly one url exchange (the window's)",
+         p.count("hashpartitioning(url") == 1),
+        ("no full-universe BroadcastExchange", "BroadcastExchange" not in p),
+        ("window top-1 pushed down (WindowGroupLimit)", "WindowGroupLimit" in p),
         ("kernel runs via ArrowEvalPython/MapInPandas", "MapInPandas" in p or "ArrowEval" in p),
     ]))
 
