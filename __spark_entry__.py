@@ -21,11 +21,13 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from fortissimo_spark.dedup import (  # noqa: E402
-    md5_word_hash, near_duplicate_pairs, simhash64,
+    duplicate_clusters, md5_word_hash, near_duplicate_pairs, simhash64,
 )
 from fortissimo_spark.io_tables import build_pages, load_table  # noqa: E402
 from fortissimo_spark.pipeline import dedup_latest_crawl, extract_df  # noqa: E402
-from fortissimo_spark.similarity import cosine_near_pairs  # noqa: E402
+from fortissimo_spark.similarity import (  # noqa: E402
+    cosine_near_pairs, ivf_centroids, ivf_topk,
+)
 from fortissimo_spark.textstats import (  # noqa: E402
     with_langid, with_quality_features, with_token_counts,
 )
@@ -174,6 +176,69 @@ def _q_anti_join(spark, sf_dir):
             .agg(F.count("*").alias("n_customers"),
                  F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
             .select("c_mktsegment", "n_customers", "total_acctbal"))
+
+
+def _q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS subquery as a semi join."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01")))
+    # the synthetic lineitem has no commit/receipt dates; the EXISTS
+    # predicate uses late shipping instead (same TPC-H Q4 plan shape)
+    late = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-08-15"))
+    return (orders.join(late, F.col("o_orderkey") == F.col("l_orderkey"),
+                        "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+def _q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS via the SQL surface (finer than cube/rollup)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_gs")
+    return spark.sql("""
+        SELECT event_type,
+               CAST(year(ts) AS INT) AS event_year,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (CAST(year(ts) AS INT)), ())
+    """)
+
+
+def _q_percentiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation) per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
+                 F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90"),
+                 F.round(F.percentile("l_extendedprice", 0.99), 4).alias("p99"))
+            .select("l_returnflag", "p50", "p90", "p99"))
+
+
+def _q_word_freq(spark, sf_dir):
+    """Corpus term frequency: explode tokens -> top-20 (training-data op)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), "word")
+            .limit(20))
+
+
+def _q_pivot_orders(spark, sf_dir):
+    """Pivot order counts: status rows x priority columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    piv = (orders.groupBy("o_orderstatus")
+           .pivot("o_orderpriority", prios)
+           .agg(F.count(F.lit(1))))
+    renamed = piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i + 1}")
+          for i, p in enumerate(prios)])
+    return renamed.orderBy("o_orderstatus")
 
 
 def _q_window_latest_event(spark, sf_dir):
@@ -346,6 +411,16 @@ def _q_ann_cosine(spark, sf_dir):
             .limit(10))
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: deterministic unit centroids, one-pass cell assign,
+    probe the query's 2 nearest of 8 cells, exact cosine within probes.
+    Oracle replicates assignment/probe/scan with the same centroid
+    literals in DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_vec_id=0, k=10, n_centroids=8, n_probe=2,
+                    dim=64, seed=7)
+
+
 def _planted_near_dups(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     perturbed = (docs.filter(F.col("doc_id") % 7 == 0)
@@ -362,6 +437,17 @@ def _q_minhash_near_dups(spark, sf_dir):
                                  threshold=0.5)
     return pairs.select(F.col("id_a").alias("doc_id"),
                         F.col("id_b").alias("dup_id"), "jaccard")
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> connected components (dedup.duplicate_clusters):
+    the dedup endgame, one canonical id per near-dup group. Oracle = DuckDB
+    recursive CTE over the identical exact-Jaccard pair set."""
+    all_docs = _planted_near_dups(spark, sf_dir)
+    pairs = near_duplicate_pairs(all_docs, n=3, num_hashes=128, bands=32,
+                                 threshold=0.5)
+    return duplicate_clusters(pairs.select("id_a", "id_b")) \
+        .select("id", "cluster_id")
 
 
 def _q_simhash(spark, sf_dir):
@@ -447,6 +533,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_local_supplier": _q5_local_supplier,
+        "q4_order_priority": _q4_order_priority,
+        "grouping_sets_events": _q_grouping_sets,
+        "percentile_prices": _q_percentiles,
+        "word_freq_top20": _q_word_freq,
+        "pivot_orders": _q_pivot_orders,
         "semi_join_orders": _q_semi_join,
         "anti_join_customers": _q_anti_join,
         "window_latest_event": _q_window_latest_event,
@@ -465,7 +556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "quality_score": _q_quality,
         "ann_cosine_topk": _q_ann_cosine,
+        "ann_ivf_topk": _q_ann_ivf,
         "minhash_near_dups": _q_minhash_near_dups,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash": _q_simhash,
         "cosine_pairs_exact": _q_cosine_pairs_exact,
         "cosine_pairs_lsh": _q_cosine_pairs_lsh,
@@ -474,6 +567,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_profile": _q_langid_profile,
     }
 
+
+
+
+def _ivf_oracle_sql() -> str:
+    cents = ivf_centroids(64, 8, 7)
+    vals = ",\n                   ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cents))
+    return """
+            WITH cents(cid, c) AS (VALUES {vals}),
+            base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+            assign AS (
+              SELECT b.vec_id, b.v, c.cid,
+                     row_number() OVER (PARTITION BY b.vec_id
+                        ORDER BY list_dot_product(b.v, c.c) DESC, c.cid) AS rn
+              FROM base b CROSS JOIN cents c),
+            cells AS (SELECT vec_id, v, cid AS cell FROM assign WHERE rn = 1),
+            probes AS (SELECT cid FROM assign WHERE vec_id = 0 AND rn <= 2),
+            q AS (SELECT v AS qv FROM base WHERE vec_id = 0)
+            SELECT c.vec_id,
+                   round(list_dot_product(c.v, q.qv)
+                     / (sqrt(list_dot_product(c.v, c.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+            FROM cells c, q
+            WHERE c.vec_id != 0 AND c.cell IN (SELECT cid FROM probes)
+            ORDER BY cos_sim DESC, c.vec_id LIMIT 10""".format(vals=vals)
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -532,6 +653,44 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
             GROUP BY n_name
             ORDER BY revenue DESC, n_name""",
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= DATE '1996-07-01'
+              AND o_orderdate < DATE '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > DATE '1996-08-15')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority""",
+        "grouping_sets_events": """
+            SELECT event_type,
+                   CAST(year(ts) AS INT) AS event_year,
+                   count(*) AS n_events,
+                   round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+            FROM events
+            GROUP BY GROUPING SETS ((event_type), (CAST(year(ts) AS INT)), ())""",
+        "percentile_prices": """
+            SELECT l_returnflag,
+                   round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50,
+                   round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 4) AS p90,
+                   round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 4) AS p99
+            FROM lineitem GROUP BY l_returnflag""",
+        "word_freq_top20": """
+            SELECT word, count(*) AS n_occurrences
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                  FROM documents)
+            GROUP BY word
+            ORDER BY n_occurrences DESC, word
+            LIMIT 20""",
+        "pivot_orders": """
+            SELECT o_orderstatus,
+                   count(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+                   count(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+                   count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+                   count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+                   count(*) FILTER (o_orderpriority = '5-LOW') AS p5
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
         "semi_join_orders": """
             SELECT o_orderstatus, count(*) AS n_orders
             FROM orders
@@ -710,6 +869,35 @@ def oracle_sql() -> dict[str, str]:
                        AS cos_sim
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= 0.45""",
+        "dedup_clusters": """
+            WITH RECURSIVE all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, 'zz yy ' || text AS text
+              FROM documents WHERE doc_id % 7 = 0),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, length(string_split(trim(text), ' ')) - 1),
+                       i -> string_split(trim(text), ' ')[i] || ' ' ||
+                            string_split(trim(text), ' ')[i+1] || ' ' ||
+                            string_split(trim(text), ' ')[i+2])) AS t
+              FROM all_docs),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(length(list_intersect(a.t, b.t)) AS DOUBLE)
+                    / length(list_distinct(list_concat(a.t, b.t))) >= 0.5),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL
+              SELECT id_b AS a, id_a AS b FROM pairs),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            walk(id, lab) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.a, w.lab FROM edges e JOIN walk w ON e.b = w.id)
+            SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id""",
         "cosine_pairs_lsh": """
             WITH all_e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -794,6 +982,7 @@ def oracle_sql() -> dict[str, str]:
               FROM u)
             SELECT doc_id, lang AS langid_guess, CAST(score AS INT) AS langid_score
             FROM r WHERE rn = 1""",
+        "ann_ivf_topk": _ivf_oracle_sql(),
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             base AS (

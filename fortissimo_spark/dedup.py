@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["exact_duplicates", "shingle_sets", "minhash_signatures",
            "lsh_candidate_pairs", "verified_near_duplicates", "simhash64",
+           "duplicate_clusters",
            "md5_word_hash", "near_duplicate_pairs"]
 
 _MERSENNE_P = (1 << 31) - 1
@@ -158,6 +159,49 @@ def md5_word_hash(w):
     the first 15 hex chars of md5 parsed as an integer (always positive).
     DuckDB equivalent: ``CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)``."""
     return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+
+
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, cluster_id).
+
+    The dedup endgame: near-dup PAIRS must become GROUPS so one canonical
+    doc per group survives. Iterative min-label propagation expressed as
+    DataFrame joins (alternating large-star/small-star-style relaxation):
+    every node adopts the smallest label among itself and its neighbors;
+    rounds needed = component diameter, which is tiny for the clique/star
+    shapes near-dup graphs take. Each round is one shuffle on ``id``; the loop stops early when a
+    round changes nothing (count of changed labels — cheap, aggregated).
+
+    Scale note: label propagation keeps only (id, label) state — never an
+    adjacency list per node — and the pair input is already bounded by the
+    LSH bucket caps upstream. cluster_id = min doc id of the component (a
+    stable canonical representative).
+    """
+    edges = (pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+             .union(pairs.select(F.col("id_b").alias("a"),
+                                 F.col("id_a").alias("b"))))
+    labels = (edges.select(F.col("a").alias("id"))
+              .union(edges.select(F.col("b").alias("id")))
+              .distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(max_iterations):
+        neighbor_min = (edges
+                        .join(labels.withColumnRenamed("id", "b")
+                              .withColumnRenamed("label", "nb_label"), "b")
+                        .groupBy("a").agg(F.min("nb_label").alias("min_nb")))
+        updated = (labels
+                   .join(neighbor_min.withColumnRenamed("a", "id"), "id", "left")
+                   .select("id", F.least(
+                       F.col("label"),
+                       F.coalesce(F.col("min_nb"), F.col("label"))).alias("label")))
+        updated = updated.localCheckpoint(eager=True)  # cut the lineage per round
+        changed = (labels.withColumnRenamed("label", "old")
+                   .join(updated, "id")
+                   .filter(F.col("old") != F.col("label")).count())
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",

@@ -17,7 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["cosine_topk", "hyperplane_signature", "cosine_near_pairs", "normalize_col"]
+__all__ = ["cosine_topk", "hyperplane_signature", "cosine_near_pairs",
+           "normalize_col", "ivf_centroids", "ivf_assign", "ivf_topk"]
 
 
 def _planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
@@ -78,6 +79,80 @@ def hyperplane_signature(embeddings: DataFrame, num_planes: int = 16,
         bit = F.when(_dot(F.col("v"), plane_col) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return base.withColumn("bucket", bucket.cast("long"))
+
+
+def ivf_centroids(dim: int, n_centroids: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic unit-norm coarse-quantizer centroids (seeded LCG).
+
+    With unit centroids, argmax over plain dot products == argmax over
+    cosine — so the cell assignment needs no per-centroid norm at runtime.
+    At production scale these would come from a sampled k-means fit
+    (pyspark.ml.clustering.KMeans) written to a small centroids table; the
+    assignment/probe/search plan below is identical either way.
+    """
+    raw = _planes(dim, n_centroids, seed)
+    out = []
+    for c in raw:
+        norm = sum(x * x for x in c) ** 0.5 or 1.0
+        out.append([x / norm for x in c])
+    return out
+
+
+def _cell_struct_array(v_col, cents):
+    """array<struct<s: dot, negcid>> — sortable cell-preference list.
+    Struct comparison is lexicographic: highest dot first, then highest
+    -cid == SMALLEST centroid id (the deterministic tie-break both the
+    engine and the DuckDB oracle use)."""
+    return F.array(*[
+        F.struct(_dot(v_col, F.array(*[F.lit(x) for x in c])).alias("s"),
+                 F.lit(-i).alias("negcid"))
+        for i, c in enumerate(cents)])
+
+
+def ivf_assign(embeddings: DataFrame, cents: list[list[float]],
+               id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """(vec_id, v, cell) — one-pass argmax assignment: greatest() over the
+    per-centroid dot structs, NO explode/shuffle (the corpus never
+    multiplies by n_centroids)."""
+    base = embeddings.select(F.col(id_col).alias("vec_id"),
+                             F.col(emb_col).cast("array<double>").alias("v"))
+    best = F.greatest(*[
+        F.struct(_dot(F.col("v"), F.array(*[F.lit(x) for x in c])).alias("s"),
+                 F.lit(-i).alias("negcid"))
+        for i, c in enumerate(cents)])
+    return base.withColumn("cell", (-best["negcid"]).cast("int"))
+
+
+def ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10, *,
+             n_centroids: int = 8, n_probe: int = 2, dim: int = 64,
+             seed: int = 7, id_col: str = "vec_id",
+             emb_col: str = "embedding") -> DataFrame:
+    """IVF-style approximate top-k: assign corpus vectors to coarse cells
+    (one JVM-side pass), probe the query's ``n_probe`` nearest cells, exact
+    cosine only within the probed cells.
+
+    Scale shape: the 100 TB path scans |corpus| * n_probe / n_centroids
+    vectors instead of all of them; assignment is embarrassingly parallel
+    and the probed-cell filter is a partition-prunable predicate when the
+    corpus is written partitioned by cell.
+    """
+    cents = ivf_centroids(dim, n_centroids, seed)
+    assigned = ivf_assign(embeddings, cents, id_col, emb_col)
+
+    q = assigned.filter(F.col("vec_id") == query_vec_id)
+    prefs = F.slice(F.sort_array(_cell_struct_array(F.col("v"), cents), False),
+                    1, n_probe)
+    q = q.select(F.col("v").alias("qv"),
+                 F.transform(prefs, lambda st: (-st["negcid"]).cast("int"))
+                 .alias("probe_cells"))
+
+    cand = (assigned.filter(F.col("vec_id") != query_vec_id)
+            .crossJoin(F.broadcast(q))
+            .filter(F.array_contains("probe_cells", F.col("cell"))))
+    sim = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    return (cand.select("vec_id", F.round(sim, 4).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(k))
 
 
 def cosine_near_pairs(embeddings: DataFrame, threshold: float = 0.9,

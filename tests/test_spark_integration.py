@@ -176,6 +176,20 @@ def test_minhash_lsh_finds_planted_pairs(spark):
     assert all(r.jaccard >= 0.5 for r in pairs)
 
 
+def test_duplicate_clusters(spark):
+    """Connected components over dup pairs: chain, star, isolated pair."""
+    from fortissimo_spark.dedup import duplicate_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+         (10, 11), (10, 12), (10, 13),    # star around 10
+         (20, 21)],                       # isolated pair
+        ["id_a", "id_b"])
+    got = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
+
+
 def test_simhash_close_for_near_dups(spark):
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text") \
         .filter(F.col("doc_id") < 40)
@@ -282,6 +296,30 @@ def test_cosine_topk(spark):
     sims = [r.cos_sim for r in top]
     assert sims == sorted(sims, reverse=True)
     assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_ivf_topk(spark):
+    from fortissimo_spark.similarity import cosine_topk, ivf_assign, ivf_centroids, ivf_topk
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = ivf_centroids(64, 8, 7)
+    assert all(abs(sum(x * x for x in c) - 1.0) < 1e-9 for c in cents)
+    # every vector lands in exactly one cell, all cells within range
+    cells = ivf_assign(emb, cents).select("vec_id", "cell").collect()
+    assert len(cells) == emb.count()
+    assert all(0 <= r.cell < 8 for r in cells)
+
+    approx = ivf_topk(emb, query_vec_id=0, k=10, n_centroids=8, n_probe=2)
+    got = approx.collect()
+    assert len(got) == 10
+    sims = [r.cos_sim for r in got]
+    assert sims == sorted(sims, reverse=True)
+    # approximate results are a subset of the exact candidate universe and
+    # never beat the exact top-1
+    exact = cosine_topk(emb, query_vec_id=0, k=10).collect()
+    assert sims[0] <= exact[0].cos_sim + 1e-9
+    # probing 2/8 cells: expect meaningful overlap with the exact top-10
+    overlap = {r.vec_id for r in got} & {r.vec_id for r in exact}
+    assert len(overlap) >= 3
 
 
 def test_textstats(spark):
