@@ -29,7 +29,7 @@ from fortissimo_spark.similarity import (  # noqa: E402
     cosine_near_pairs, ivf_centroids, ivf_topk,
 )
 from fortissimo_spark.textstats import (  # noqa: E402
-    with_langid, with_quality_features, with_token_counts,
+    tf_idf_top_terms, with_langid, with_quality_features, with_token_counts,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -508,6 +508,13 @@ def _q_token_stats(spark, sf_dir):
         .alias("n_tokens_re"))
 
 
+def _q_tfidf(spark, sf_dir):
+    """Per-doc top-5 tf-idf terms (textstats.tf_idf_top_terms)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text") \
+        .filter(F.col("doc_id") < 60)
+    return tf_idf_top_terms(docs, top_n=5)
+
+
 def _q_quality_features(spark, sf_dir):
     """Full quality-scoring operator (textstats.with_quality_features):
     length/word/alpha/digit/punct/upper/stopword ratios, all JVM-side."""
@@ -564,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs_lsh": _q_cosine_pairs_lsh,
         "token_stats": _q_token_stats,
         "quality_features": _q_quality_features,
+        "tfidf_top_terms": _q_tfidf,
         "langid_profile": _q_langid_profile,
     }
 
@@ -928,6 +936,29 @@ def oracle_sql() -> dict[str, str]:
                           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
                      AS n_tokens_re
             FROM documents""",
+        "tfidf_top_terms": """
+            WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+            terms AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM docs),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM terms GROUP BY doc_id, term),
+            dfr AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM terms GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs),
+            scored AS (
+              SELECT t.doc_id, t.term, t.tf, dfr.df,
+                     round(t.tf * ln(CAST(n.n_docs + 1 AS DOUBLE)
+                                     / (dfr.df + 1)), 6) AS tfidf
+              FROM tf t JOIN dfr USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER
+                       (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT)
+                     AS rank
+              FROM scored)
+            SELECT doc_id, term, tf, df, tfidf, rank
+            FROM ranked WHERE rank <= 5""",
         "quality_features": """
             WITH base AS (
               SELECT doc_id, text AS t,

@@ -87,6 +87,53 @@ def write_pages_table(pages: DataFrame, path: str) -> None:
      .parquet(path))
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime jar is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def write_pages_iceberg(pages: DataFrame, table_ident: str) -> None:
+    """Iceberg production layout: ``days(warc_ts)`` + ``bucket(16, host)``
+    partition transforms, created/replaced atomically. Requires the Iceberg
+    runtime jar + a configured catalog (not present in this sandbox — see
+    :func:`write_pages_production` for the auto-selected fallback)."""
+    try:
+        from pyspark.sql.functions import partitioning as P
+        days, bucket = P.days, P.bucket
+    except ImportError:  # pragma: no cover - older pyspark
+        days, bucket = F.days, F.bucket
+    (with_layout_columns(pages)
+     .writeTo(table_ident)
+     .partitionedBy(days(F.col("warc_ts")),
+                    bucket(N_HOST_BUCKETS, F.col("host")))
+     .using("iceberg")
+     .createOrReplace())
+
+
+def overwrite_committed_partitions(df: DataFrame, table_ident: str) -> None:
+    """Atomic per-partition commit (the resume unit) on an Iceberg table —
+    the one-line swap for the parquet dynamic-partition-overwrite path."""
+    df.writeTo(table_ident).overwritePartitions()
+
+
+def write_pages_production(pages: DataFrame, spark: SparkSession,
+                           destination: str) -> str:
+    """Write the corpus with the production layout, auto-selecting the
+    engine: Iceberg partition transforms when the runtime is on the
+    classpath, else the partitioned-parquet fallback with the same
+    partition semantics. Returns which engine was used."""
+    if iceberg_available(spark):
+        write_pages_iceberg(pages, destination)
+        return "iceberg"
+    write_pages_table(pages, destination)
+    return "parquet"
+
+
 def read_pages_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

@@ -27,7 +27,7 @@ from .pipeline import extract_df
 from .schema import PAGES_SCHEMA
 
 __all__ = ["read_pages_stream", "streaming_extract", "start_streaming_job",
-           "streaming_host_stats"]
+           "streaming_host_stats", "streaming_crawl_rates"]
 
 
 def read_pages_stream(spark: SparkSession, input_path: str,
@@ -46,6 +46,20 @@ def streaming_extract(pages_stream: DataFrame, *, strip: str = "density",
                .withWatermark("warc_ts", watermark)
                .dropDuplicates(["url"]))
     return extract_df(deduped, strip)
+
+
+def streaming_crawl_rates(pages_stream: DataFrame, *, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Event-time tumbling-window crawl rates per host with a late-data
+    watermark: rows older than ``watermark`` behind the max observed
+    ``warc_ts`` are dropped (bounded state); windows finalize once the
+    watermark passes them."""
+    return (pages_stream
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"),
+                     F.parse_url(F.col("url"), F.lit("HOST")).alias("host"))
+            .agg(F.count("*").alias("n_pages"))
+            .select(F.col("w.start").alias("window_start"), "host", "n_pages"))
 
 
 def streaming_host_stats(extracted_stream: DataFrame) -> DataFrame:

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["with_token_counts", "with_quality_features", "with_langid",
-           "with_fingerprints", "LANG_MARKERS"]
+           "with_fingerprints", "tf_idf_top_terms", "LANG_MARKERS"]
 
 # tiny marker-word profiles (public-knowledge function words)
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -85,6 +85,35 @@ def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (df
             .withColumn("langid_guess", best["lang"])
             .withColumn("langid_score", best["score"]))
+
+
+def tf_idf_top_terms(docs: DataFrame, top_n: int = 5, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document top-N terms by smoothed tf-idf (the corpus-weighting
+    building block for near-dup shingle weighting / quality filters).
+
+    All JVM-side: explode tokens -> tf per (doc, term); df per term
+    (distinct docs); idf = ln((N+1)/(df+1)); top-N per doc via row_number
+    (WindowGroupLimit pushes the per-group top-k down, so no full sort).
+    Shuffles: one on (doc, term), one on term — both uniform keys.
+    """
+    from pyspark.sql import Window
+
+    terms = docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                        .alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (tf.join(df_, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf",
+                          F.round(F.col("tf") * F.log((F.col("n_docs") + 1)
+                                                      / (F.col("df") + 1)), 6)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_n)
+            .select("doc_id", "term", "tf", "df", "tfidf", "rank"))
 
 
 def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:

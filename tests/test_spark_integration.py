@@ -105,6 +105,20 @@ def test_pipeline_run_and_resume(spark, pages, tmp_path_factory):
     assert stats2["rows"] == stats["rows"]
 
 
+def test_production_writer_fallback(spark, pages, tmp_path_factory):
+    """Engine auto-selection: no Iceberg jars in this sandbox, so the
+    production writer must route to the parquet fallback with the same
+    partition layout — and the written table must be readable/prunable."""
+    from fortissimo_spark.io_tables import iceberg_available, write_pages_production
+    assert iceberg_available(spark) is False
+    out = str(tmp_path_factory.mktemp("prod_writer") / "pages")
+    engine = write_pages_production(pages.limit(40), spark, out)
+    assert engine == "parquet"
+    back = spark.read.parquet(out)
+    assert back.count() == 40
+    assert {"crawl_date", "host_bucket"} <= set(back.columns)
+
+
 def test_nodes_kernel(spark, pages):
     nodes = (pages.limit(20)
              .mapInPandas(make_nodes_kernel(), NODES_SCHEMA))
@@ -425,6 +439,53 @@ def test_streaming_extract(spark, pages, tmp_path_factory):
     # the stream dedups by url within the watermark horizon
     assert out.count() == n_urls
     assert out.filter(F.col("text").isNull()).count() == 0
+
+
+def test_streaming_windowed_rates_drop_late_data(spark, tmp_path_factory):
+    """Event-time tumbling windows + watermark: rows far behind the max
+    observed warc_ts must be dropped; on-time rows aggregate per window."""
+    import datetime as dt
+    base = tmp_path_factory.mktemp("rates")
+    in_dir, ckpt = str(base / "in"), str(base / "ckpt")
+    from fortissimo_spark.schema import PAGES_SCHEMA
+    from fortissimo_spark.streaming import read_pages_stream, streaming_crawl_rates
+
+    t0 = dt.datetime(2026, 1, 10, 12, 0, 0)
+
+    def row(i, ts):
+        return (f"https://h{i % 2}.example.com/p/{i}", ts,
+                bytearray(b"<p>x</p>"), None, "en")
+
+    # drop 1: 6 on-time rows across two 1-hour windows, PLUS one row 3
+    # hours ahead so the post-batch watermark (max ts - 2h) lands at
+    # t0+1h — strictly after the first window's end
+    drop1 = [row(i, t0 + dt.timedelta(minutes=10 * i)) for i in range(6)]
+    drop1.append(row(99, t0 + dt.timedelta(hours=3)))
+    spark.createDataFrame(drop1, PAGES_SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+
+    stream = read_pages_stream(spark, in_dir, max_files_per_trigger=1)
+    rates = streaming_crawl_rates(stream, window="1 hour", watermark="2 hours")
+    q = (rates.writeStream.format("memory").queryName("crawl_rates")
+         .outputMode("update").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()  # batch 0 commits; watermark now t0+1h
+        # drop 2: one fresh row + one row 12 hours BEHIND the watermark
+        drop2 = [row(100, t0 + dt.timedelta(hours=6)),
+                 row(101, t0 - dt.timedelta(hours=12))]
+        spark.createDataFrame(drop2, PAGES_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        got = {(r.window_start, r.host): r.n_pages
+               for r in spark.sql("SELECT * FROM crawl_rates").collect()}
+    finally:
+        q.stop()
+    total = sum(got.values())
+    # 6 on-time + watermark-advancer + 1 fresh; the 12-hours-late row
+    # must NOT appear
+    assert total == 8
+    late_window = t0 - dt.timedelta(hours=12)
+    assert not any(ws <= late_window for ws, _ in got)
 
 
 def test_salted_repartition_balances_skew(spark, pages):
