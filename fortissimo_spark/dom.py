@@ -247,6 +247,62 @@ class DocBuilder:
         ])
         return idx
 
+    # --- fused hot-path constructors (parser-only; semantics identical to
+    # new_element+pre_push+add_child+push / new_leaf+add_child) -------------
+
+    def open_element(self, tag: str, line: int, col: int, *,
+                     case_sensitive: bool = False, src_start: int = -1) -> int:
+        nodes = self.nodes
+        idx = len(nodes)
+        tag_lc = tag if case_sensitive else tag.lower()
+        nodes.append([
+            ELEMENT, tag, tag_lc, -1, [],
+            UNCLOSED, None, True, False, line, col, "", 0, 0,
+            [], [], [], [], [], "", None, False, src_start, -1,
+        ])
+        stack = self.open_stack
+        if not self.xml_mode:
+            closers = OPEN_IMPLIES_CLOSE.get(tag_lc)
+            if closers:
+                while nodes[stack[-1]][N_TAG_LC] in closers:
+                    nodes[stack[-1]][N_CLOSURE] = IMPLICITLY_CLOSED
+                    stack.pop()
+        cur = stack[-1]
+        nodes[idx][N_PARENT] = cur
+        nodes[cur][N_CHILDREN].append(idx)
+        stack.append(idx)
+        if tag_lc == "math" or tag_lc == "svg":
+            self.in_math_or_svg += 1
+        return idx
+
+    def add_leaf(self, kind: int, content: str, line: int, col: int, *,
+                 terminated: bool = True, poss_ent: bool = False,
+                 src_start: int = -1, src_end: int = -1) -> int:
+        nodes = self.nodes
+        idx = len(nodes)
+        cur = self.open_stack[-1]
+        nodes.append([
+            kind, "", "", cur, None,
+            UNCLOSED, content, terminated, poss_ent, line, col, "", 0, 0,
+            None, None, None, None, None, "", None, False, src_start, src_end,
+        ])
+        nodes[cur][N_CHILDREN].append(idx)
+        return idx
+
+    def count_unclosed_flat(self):
+        """Parse-end census over the flat node list (equivalent to
+        count_unclosed(0) when no node has been removed — true at the end
+        of a parse; the tree walk remains for post-mutation callers)."""
+        unclosed = implicitly = 0
+        for nd in self.nodes:
+            if nd[N_KIND] == ELEMENT and not nd[N_SYNTHETIC]:
+                c = nd[N_CLOSURE]
+                if c == UNCLOSED:
+                    unclosed += 1
+                elif c == IMPLICITLY_CLOSED:
+                    implicitly += 1
+        return unclosed, implicitly
+
     # --- DomModel equivalents ---------------------------------------------
 
     @property

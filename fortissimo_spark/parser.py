@@ -269,9 +269,8 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
             if text:
                 is_all_ws = all(c in _WS_SET or ord(c) > 0xFFFF for c in text)
                 ln, col = lc(run_start)
-                node = b.new_leaf(D.TEXT, text, ln, col, poss_ent=True,
+                node = b.add_leaf(D.TEXT, text, ln, col, poss_ent=True,
                                   src_start=run_start, src_end=n)
-                b.add_child(node)
                 if not is_all_ws:
                     # handleText left the parser in AT_MARKUP_START at EOF
                     trailing_markup_error = True
@@ -280,9 +279,8 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
 
         if k > run_start:
             ln, col = lc(run_start)
-            node = b.new_leaf(D.TEXT, t[run_start:k], ln, col, poss_ent=True,
+            node = b.add_leaf(D.TEXT, t[run_start:k], ln, col, poss_ent=True,
                               src_start=run_start, src_end=k)
-            b.add_child(node)
 
         mk_ln, mk_col = lc(k)
 
@@ -294,16 +292,16 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
             if iw >= n:
                 errors += 1
                 ln, col = lc(n - 1)
-                b.add_child(b.new_leaf(D.UNMATCHED_CLOSE, t[k:n], ln, col,
-                                       src_start=k, src_end=n))
+                b.add_leaf(D.UNMATCHED_CLOSE, t[k:n], ln, col,
+                                       src_start=k, src_end=n)
                 i = n
                 break
             c = t[iw]
             if c == ">":
                 errors += 1
                 ln, col = lc(iw)
-                b.add_child(b.new_leaf(D.UNMATCHED_CLOSE, t[k:iw + 1], ln, col,
-                                       src_start=k, src_end=iw + 1))
+                b.add_leaf(D.UNMATCHED_CLOSE, t[k:iw + 1], ln, col,
+                                       src_start=k, src_end=iw + 1)
                 i = iw + 1
                 continue
             m = (_RE_TAG_STRICT if xml else _RE_TAG_LOOSE).match(t, iw + 1)
@@ -316,8 +314,8 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
             if i2 >= n:
                 errors += 1
                 ln, col = lc(n - 1)
-                b.add_child(b.new_leaf(D.UNMATCHED_CLOSE, t[k:n], ln, col,
-                                       src_start=k, src_end=n))
+                b.add_leaf(D.UNMATCHED_CLOSE, t[k:n], ln, col,
+                                       src_start=k, src_end=n)
                 i = n
                 break
             ws2 = t[tag_end:i2]
@@ -336,8 +334,8 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                 # EOF right after the offending char (html-parser.ts:615-616)
                 errors += 1
                 ln, col = lc(n - 1)
-                b.add_child(b.new_leaf(D.UNMATCHED_CLOSE, t[k:n], ln, col,
-                                       src_start=k, src_end=n))
+                b.add_leaf(D.UNMATCHED_CLOSE, t[k:n], ln, col,
+                                       src_start=k, src_end=n)
                 i = n
                 break
             else:
@@ -377,14 +375,12 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                     scan = g + 1
                 if e < 0:
                     errors += 1
-                    node = b.new_leaf(D.COMMENT, t[start:n], mk_ln, mk_col,
+                    node = b.add_leaf(D.COMMENT, t[start:n], mk_ln, mk_col,
                                       terminated=False, src_start=k, src_end=n)
-                    b.add_child(node)
                     i = n
                 else:
-                    node = b.new_leaf(D.COMMENT, t[start:e - 2], mk_ln, mk_col,
+                    node = b.add_leaf(D.COMMENT, t[start:e - 2], mk_ln, mk_col,
                                       src_start=k, src_end=e + 1)
-                    b.add_child(node)
                     i = e + 1
                 continue
 
@@ -403,14 +399,13 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                     scan = g + 1
                 if e < 0:
                     errors += 1
-                    node = b.new_leaf(D.CDATA, t[k + 9:n], mk_ln, mk_col,
+                    node = b.add_leaf(D.CDATA, t[k + 9:n], mk_ln, mk_col,
                                       terminated=False, src_start=k, src_end=n)
                     i = n
                 else:
-                    node = b.new_leaf(D.CDATA, t[k + 9:e - 2], mk_ln, mk_col,
+                    node = b.add_leaf(D.CDATA, t[k + 9:e - 2], mk_ln, mk_col,
                                       src_start=k, src_end=e + 1)
                     i = e + 1
-                b.add_child(node)
                 continue
 
             if not w and iw < n and t[iw] == ">":
@@ -433,18 +428,16 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                     i = e + 1
 
             if D._RE_DOCTYPE.match(content):
-                node = b.new_leaf(D.DOCTYPE, content, mk_ln, mk_col,
+                node = b.add_leaf(D.DOCTYPE, content, mk_ln, mk_col,
                                   terminated=terminated, src_start=k, src_end=i)
-                b.add_child(node)
                 if not terminated:
                     errors += 1
                 dt_type, _, _ = DocBuilder.doctype_info(content)
                 xml = dt_type == "xhtml"
                 b.xml_mode = xml
             else:
-                node = b.new_leaf(D.DECLARATION, content, mk_ln, mk_col,
+                node = b.add_leaf(D.DECLARATION, content, mk_ln, mk_col,
                                   terminated=terminated, src_start=k, src_end=i)
-                b.add_child(node)
                 if not terminated:
                     errors += 1
             continue
@@ -472,9 +465,8 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                     content = t[k + 2:e]
                     terminated = True
                     i = e + 1
-            node = b.new_leaf(D.PROCESSING, content, mk_ln, mk_col,
+            node = b.add_leaf(D.PROCESSING, content, mk_ln, mk_col,
                               terminated=terminated, src_start=k, src_end=i)
-            b.add_child(node)
             if not terminated:
                 errors += 1
             # dead by design in the reference: canDoXmlMode() is checked after
@@ -490,10 +482,8 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
         tag_end = m.end()
         tag_lc = tag if xml else tag.lower()
 
-        node = b.new_element(tag, mk_ln, mk_col, case_sensitive=xml, src_start=k)
-        b.pre_push(node)
-        b.add_child(node)
-        b.push(node)
+        node = b.open_element(tag, mk_ln, mk_col, case_sensitive=xml,
+                              src_start=k)
 
         checking_charset = (not charset) and tag_lc == "meta"
         content_type = False
@@ -519,8 +509,8 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                 b.bad_term[node] = ""
                 if w:
                     ln, col = lc(n - len(w))
-                    b.add_child(b.new_leaf(D.TEXT, w, ln, col, poss_ent=True,
-                                           src_start=n - len(w), src_end=n))
+                    b.add_leaf(D.TEXT, w, ln, col, poss_ent=True,
+                                           src_start=n - len(w), src_end=n)
                 tag_end_kind = "eof"
                 break
             c = t[i]
@@ -560,8 +550,8 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                     b.bad_term[node] = ""
                     if w2:
                         ln, col = lc(n - len(w2))
-                        b.add_child(b.new_leaf(D.TEXT, w2, ln, col, poss_ent=True,
-                                               src_start=n - len(w2), src_end=n))
+                        b.add_leaf(D.TEXT, w2, ln, col, poss_ent=True,
+                                               src_start=n - len(w2), src_end=n)
                     tag_end_kind = "eof"
                     break
                 if t[i] != "=":
@@ -580,8 +570,8 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                     b.bad_term[node] = ""
                     if w3:
                         ln, col = lc(n - len(w3))
-                        b.add_child(b.new_leaf(D.TEXT, w3, ln, col, poss_ent=True,
-                                               src_start=n - len(w3), src_end=n))
+                        b.add_leaf(D.TEXT, w3, ln, col, poss_ent=True,
+                                               src_start=n - len(w3), src_end=n)
                     tag_end_kind = "eof"
                     break
                 c3 = t[i]
@@ -675,20 +665,18 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                 content = t[i:n]
                 if content:
                     ln, col = lc(i)
-                    tn = b.new_leaf(D.TEXT, content, ln, col,
+                    tn = b.add_leaf(D.TEXT, content, ln, col,
                                     poss_ent=(tag_lc == "textarea"),
                                     src_start=i, src_end=n)
-                    b.add_child(tn)
                 i = n
                 # state OUTSIDE at EOF: no extra wrap-up error
                 break
             content = t[i:match_start]
             if content:
                 ln, col = lc(i)
-                tn = b.new_leaf(D.TEXT, content, ln, col,
+                tn = b.add_leaf(D.TEXT, content, ln, col,
                                 poss_ent=(tag_lc == "textarea"),
                                 src_start=i, src_end=match_start)
-                b.add_child(tn)
             e_ln, e_col = lc(match_start)
             if not b.pop(tag_lc, t[match_start:gt + 1], e_ln, e_col, end_pos=gt + 1):
                 errors += 1
@@ -701,6 +689,6 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
     result.errors = errors
     result.charset = charset
     result.xml_mode = xml
-    result.unclosed_tags, result.implicitly_closed_tags = b.count_unclosed(0)
+    result.unclosed_tags, result.implicitly_closed_tags = b.count_unclosed_flat()
     result.lines = len(pos.starts) if positions else 1 + len(_RE_ANY_EOL.findall(t))
     return result
