@@ -108,6 +108,29 @@ def _q_sax_events(spark, sf_dir):
         .alias("n_reconstructed_ok"))
 
 
+def _q_selector_stats(spark, sf_dir):
+    """querySelector/textContent surface over deduped pages: title text,
+    link count, paragraphs under <main>. The page template makes every
+    value an exact function of the source document, so DuckDB recomputes
+    them from `documents` directly."""
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+    from fortissimo_spark.kernel import make_selector_kernel
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("title_text", StringType()),
+        StructField("n_links", IntegerType()),
+        StructField("n_main_paragraphs", IntegerType()),
+    ])
+    pages = dedup_latest_crawl(build_pages(spark, sf_dir))
+    stats = pages.select("url", "html").mapInPandas(make_selector_kernel(), schema)
+    return (stats
+            .withColumn("doc_id",
+                        F.regexp_extract("url", _DOC_ID_FROM_URL, 1).cast("long"))
+            .select("doc_id", "title_text", "n_links", "n_main_paragraphs"))
+
+
 def _q1_pricing_summary(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -537,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_lang_stats": _q_extract_lang_stats,
         "extract_roundtrip": _q_extract_roundtrip,
         "sax_events": _q_sax_events,
+        "selector_stats": _q_selector_stats,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_local_supplier": _q5_local_supplier,
@@ -624,6 +648,15 @@ def oracle_sql() -> dict[str, str]:
         "sax_events": """
             SELECT count(*) AS n_docs,
                    CAST(count(*) AS BIGINT) AS n_reconstructed_ok
+            FROM documents""",
+        "selector_stats": """
+            SELECT doc_id,
+                   CASE WHEN substr(text, 1, 40) <> ''
+                        THEN substr(text, 1, 40) ELSE 'untitled' END AS title_text,
+                   -- template constants: 6 nav + 5 aside + 2 footer links
+                   CAST(13 AS INT) AS n_links,
+                   CAST(length(string_split(text, chr(10) || chr(10))) AS INT)
+                     AS n_main_paragraphs
             FROM documents""",
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

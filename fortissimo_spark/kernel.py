@@ -253,6 +253,34 @@ def make_events_kernel():
     return kernel
 
 
+def make_selector_kernel():
+    """mapInPandas kernel: pages batches -> per-document selector stats
+    (url, title_text, n_links, n_main_paragraphs) — the distributed form of
+    the querySelector/textContent surface (dom.ts:436-499 parity ops)."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in ("url", "title_text", "n_links",
+                                    "n_main_paragraphs")}
+            for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+                text_src, _, _ = decode_page_bytes(bytes(raw or b""))
+                b = parse(text_src, positions=False).dom
+                title = b.query_selector(0, "title")
+                main = b.query_selector(0, "main")
+                rows["url"].append(url)
+                rows["title_text"].append(
+                    b.text_content(title) if title is not None else None)
+                rows["n_links"].append(len(b.query_selector_all(0, "a")))
+                rows["n_main_paragraphs"].append(
+                    len(b.query_selector_all(main, "p"))
+                    if main is not None else 0)
+            yield pd.DataFrame(rows)
+
+    return kernel
+
+
 def make_nodes_kernel():
     """Build a mapInPandas kernel: pages batches -> NODES_SCHEMA batches
     (flat per-node export for node-level corpus analytics)."""
