@@ -39,7 +39,7 @@ def build_session() -> SparkSession:
             .appName("fortissimo-bench")
             .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
             .config("spark.sql.session.timeZone", "UTC")
-            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
             .config("spark.sql.files.maxPartitionBytes", "16m")
             .config("spark.driver.memory", "24g")
             .config("spark.ui.enabled", "false")
@@ -141,9 +141,12 @@ def main():
 
     for name, fn in [("q1_pricing", bench_q1), ("q3_topk_join", bench_q3),
                      ("window_dedup", bench_window_dedup), ("ann_cosine", bench_ann)]:
-        t0 = time.time()
-        fn(spark)
-        queries[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2, same rationale as bench_extract
+            t0 = time.time()
+            fn(spark)
+            best = min(best, time.time() - t0)
+        queries[name] = round(best, 3)
 
     total = round(sum(queries.values()), 3)
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else SF_DIR)
