@@ -119,6 +119,30 @@ def test_production_writer_fallback(spark, pages, tmp_path_factory):
     assert {"crawl_date", "host_bucket"} <= set(back.columns)
 
 
+def test_extraction_job_over_bucketed_layout(spark, pages, tmp_path_factory):
+    """The production input layout (url-bucketed, url-sorted table) must
+    flow through the FULL ExtractionJob — dedup window (exchange-free
+    there), kernel, partitioned write, lineage — and converge byte-
+    identically with the plain-parquet path."""
+    from fortissimo_spark.io_tables import register_bucketed_pages, write_bucketed_pages
+    base = tmp_path_factory.mktemp("bucketed_job")
+    loc = str(base / "bucketed_pages")
+    write_bucketed_pages(pages, "test_bucketed_pages", n_buckets=4, location=loc)
+    bt = register_bucketed_pages(spark, "test_bucketed_pages", loc, n_buckets=4)
+
+    job_b = ExtractionJob(spark, str(base / "out_bucketed"))
+    stats_b = job_b.run(bt)
+    job_p = ExtractionJob(spark, str(base / "out_plain"))
+    stats_p = job_p.run(pages)
+    assert stats_b["rows"] == stats_p["rows"] > 0
+
+    rows_b = [(r.url, r.text) for r in spark.read.parquet(job_b.text_path)
+              .select("url", "text").orderBy("url").collect()]
+    rows_p = [(r.url, r.text) for r in spark.read.parquet(job_p.text_path)
+              .select("url", "text").orderBy("url").collect()]
+    assert rows_b == rows_p
+
+
 def test_nodes_kernel(spark, pages):
     nodes = (pages.limit(20)
              .mapInPandas(make_nodes_kernel(), NODES_SCHEMA))
