@@ -2,12 +2,14 @@
 
 The Spark-side contract — schemas, Arrow batch shapes, ``mapInPandas``
 signatures, partitioning — is real and tested, and so is the decode step
-for BMP (uncompressed 24/32-bit) and PPM (P6/P3): pure-Python decoders
-produce real dimensions and a pixel-derived 4x4 grayscale feature grid.
-Formats needing an imaging library not present in this container
-(JPEG/PNG/...) raise ``NotImplementedError`` unless
-``deterministic_fake=True``, which substitutes a seeded content-derived
-stand-in so downstream plumbing stays exercisable end-to-end.
+for the formats decodable without external codecs: BMP (uncompressed
+24/32-bit) and PPM (P6/P3) images produce real dimensions and a
+pixel-derived 4x4 grayscale feature grid; WAV PCM audio produces real
+sample rate / channels / duration and a 16-window RMS loudness profile.
+Formats needing a codec not present in this container (JPEG/PNG/mp3/
+video) raise ``NotImplementedError`` unless ``deterministic_fake=True``,
+which substitutes a seeded content-derived stand-in so downstream
+plumbing stays exercisable end-to-end.
 """
 
 from __future__ import annotations
@@ -22,9 +24,11 @@ from pyspark.sql.types import (
     StructField, StructType,
 )
 
-__all__ = ["MEDIA_SCHEMA", "IMAGE_FEATURES_SCHEMA", "decode_image",
-           "decode_bmp", "decode_ppm", "make_image_feature_kernel",
-           "image_features", "sample_frames"]
+__all__ = ["MEDIA_SCHEMA", "IMAGE_FEATURES_SCHEMA", "AUDIO_FEATURES_SCHEMA",
+           "decode_image", "decode_bmp", "decode_ppm", "decode_wav",
+           "decode_audio", "make_image_feature_kernel",
+           "make_audio_feature_kernel", "image_features", "audio_features",
+           "sample_frames"]
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType()),
@@ -158,6 +162,96 @@ def _feature_from_summary(summary: bytes, dim: int = 16) -> list[float]:
     """Map a 16-byte pixel summary (real gray grid, or the fake digest) to a
     dim-16 embedding in [-1, 1)."""
     return [(summary[i % len(summary)] - 128) / 128.0 for i in range(dim)]
+
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+    StructField("n_bytes", IntegerType()),
+    StructField("rms", ArrayType(FloatType())),  # 16-window loudness profile
+])
+
+
+def decode_wav(payload: bytes):
+    """Pure-stdlib decode of RIFF/WAVE PCM →
+    (sample_rate, n_channels, duration_ms, 16-window RMS profile in [0,1])."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as w:
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        rate = w.getframerate()
+        nframes = w.getnframes()
+        frames = w.readframes(nframes)
+    if width == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        samples = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if nch > 1:
+        samples = samples[::nch]  # first channel
+    duration_ms = int(nframes * 1000 / rate) if rate else 0
+    n = len(samples)
+    rms = []
+    for g in range(16):
+        lo, hi = g * n // 16, max((g + 1) * n // 16, g * n // 16 + 1)
+        seg = samples[lo:min(hi, n)]
+        rms.append(float(np.sqrt(np.mean(seg * seg))) if len(seg) else 0.0)
+    return rate, nch, duration_ms, rms
+
+
+def decode_audio(payload: bytes, *, deterministic_fake: bool = False):
+    """WAV PCM decodes for real (stdlib ``wave`` + numpy); compressed
+    formats (mp3/ogg/...) need a codec not in this container — they raise
+    unless the documented deterministic stand-in is requested."""
+    raw = payload or b""
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        return decode_wav(raw)
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "only WAV PCM has an in-container decoder; other audio formats "
+            "need a codec — pass deterministic_fake=True for the stand-in")
+    digest = hashlib.sha256(raw).digest()
+    rate = 8000 * (1 + digest[0] % 6)
+    return rate, 1 + digest[1] % 2, 1000 + digest[2] * 16, \
+        [(digest[i % 32] / 255.0) for i in range(16)]
+
+
+def make_audio_feature_kernel(deterministic_fake: bool = True):
+    """mapInPandas kernel: MEDIA_SCHEMA batches -> AUDIO_FEATURES_SCHEMA."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {k: [] for k in ("media_id", "sample_rate", "n_channels",
+                                   "duration_ms", "n_bytes", "rms")}
+            for mid, payload in zip(pdf["media_id"].tolist(),
+                                    pdf["payload"].tolist()):
+                raw = bytes(payload or b"")
+                rate, nch, dur, rms = decode_audio(
+                    raw, deterministic_fake=deterministic_fake)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(nch)
+                out["duration_ms"].append(dur)
+                out["n_bytes"].append(len(raw))
+                out["rms"].append(rms)
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Distributed audio decode/feature-extract over audio rows."""
+    auds = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+    return auds.mapInPandas(make_audio_feature_kernel(), AUDIO_FEATURES_SCHEMA)
 
 
 def make_image_feature_kernel(target: tuple[int, int] = (32, 32),

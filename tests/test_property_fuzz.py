@@ -151,3 +151,22 @@ def test_xml_mode_never_throws(doc):
     assert r.errors >= 0
     r.to_string()
     extract(r.dom, "density")
+
+
+@settings(max_examples=300, deadline=None)
+@given(soup)
+def test_event_stream_reconstitutes(doc):
+    """SAX events must rebuild ANY tag soup byte-identically (same
+    reconstitution contract the reference spec pins on fixtures)."""
+    from fortissimo_spark.events import parse_events, reconstitute
+    r = parse(doc, eol=False)
+    assert reconstitute(parse_events(r)) == doc
+
+
+@settings(max_examples=150, deadline=None)
+@given(soup)
+def test_event_generic_fold_reconstitutes(doc):
+    from fortissimo_spark.events import parse_events, to_generic
+    r = parse(doc, eol=False)
+    rebuilt = "".join(g[1] for g in map(to_generic, parse_events(r)) if g)
+    assert rebuilt == doc
