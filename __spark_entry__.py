@@ -131,6 +131,39 @@ def _q_selector_stats(spark, sf_dir):
             .select("doc_id", "title_text", "n_links", "n_main_paragraphs"))
 
 
+def _q_extract_pdf(spark, sf_dir):
+    """PDF leg of the extraction pipeline (north-rule "PDF/layout parse"):
+    deterministic PDFs built per document (half FlateDecode-compressed),
+    then parsed back by the dependency-free extractor — text must match
+    the source document byte-for-byte (oracle = documents table)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+    )
+    from fortissimo_spark.pdf import build_pdf, make_pdf_extract_kernel
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build_kernel(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"].tolist(),
+                "pdf": [build_pdf(t, compress=bool(int(d) % 2))
+                        for d, t in zip(b["doc_id"].tolist(), b["text"].tolist())],
+            })
+
+    pdf_schema = StructType([StructField("doc_id", LongType()),
+                             StructField("pdf", BinaryType())])
+    out_schema = StructType([StructField("doc_id", LongType()),
+                             StructField("text", StringType()),
+                             StructField("n_bytes", IntegerType())])
+    pdfs = docs.repartition(8, "doc_id").mapInPandas(build_kernel, pdf_schema)
+    extracted = pdfs.mapInPandas(make_pdf_extract_kernel(), out_schema)
+    return extracted.select("doc_id", "text")
+
+
 def _q1_pricing_summary(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -561,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_roundtrip": _q_extract_roundtrip,
         "sax_events": _q_sax_events,
         "selector_stats": _q_selector_stats,
+        "extract_pdf": _q_extract_pdf,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_local_supplier": _q5_local_supplier,
@@ -649,6 +683,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_docs,
                    CAST(count(*) AS BIGINT) AS n_reconstructed_ok
             FROM documents""",
+        "extract_pdf": "SELECT doc_id, text FROM documents",
         "selector_stats": """
             SELECT doc_id,
                    CASE WHEN substr(text, 1, 40) <> ''
