@@ -131,6 +131,46 @@ def _q_selector_stats(spark, sf_dir):
             .select("doc_id", "title_text", "n_links", "n_main_paragraphs"))
 
 
+def _q_extract_spans_ok(spark, sf_dir):
+    """Source-span integrity over every deduped page (the north-star's
+    "source-span offsets per document"): each TEXT span must slice the
+    decoded source to exactly its node's contribution; in-bounds and
+    start-monotone. Checked in-kernel, aggregated."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType,
+    )
+    from fortissimo_spark.extract import validate_spans
+    from fortissimo_spark.kernel import decode_page_bytes
+    from fortissimo_spark.parser import parse as _parse
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("n_spans", LongType()),
+        StructField("spans_ok", BooleanType()),
+    ])
+
+    def kernel(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            rows = {"url": [], "n_spans": [], "spans_ok": []}
+            for url, raw in zip(b["url"].tolist(), b["html"].tolist()):
+                text_src, _, _ = decode_page_bytes(bytes(raw or b""))
+                r = _parse(text_src, positions=False)
+                n, ok = validate_spans(r.dom, r.text)
+                rows["url"].append(url)
+                rows["n_spans"].append(n)
+                rows["spans_ok"].append(ok)
+            yield pd.DataFrame(rows)
+
+    pages = dedup_latest_crawl(build_pages(spark, sf_dir))
+    stats = pages.select("url", "html").mapInPandas(kernel, schema)
+    return stats.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("spans_ok"), 1).otherwise(0)).alias("n_spans_ok"))
+
+
 def _q_extract_pdf(spark, sf_dir):
     """PDF leg of the extraction pipeline (north-rule "PDF/layout parse"):
     deterministic PDFs built per document (half FlateDecode-compressed),
@@ -595,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_events": _q_sax_events,
         "selector_stats": _q_selector_stats,
         "extract_pdf": _q_extract_pdf,
+        "extract_spans_ok": _q_extract_spans_ok,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_local_supplier": _q5_local_supplier,
@@ -684,6 +725,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_reconstructed_ok
             FROM documents""",
         "extract_pdf": "SELECT doc_id, text FROM documents",
+        "extract_spans_ok": """
+            SELECT count(*) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_spans_ok
+            FROM documents""",
         "selector_stats": """
             SELECT doc_id,
                    CASE WHEN substr(text, 1, 40) <> ''

@@ -23,7 +23,8 @@ from __future__ import annotations
 from .chars import trim, unescape_entities
 from .dom import CDATA, ELEMENT, TEXT, DocBuilder
 
-__all__ = ["DROP_TAGS", "INLINE_TAGS", "BOOST_TAGS", "ExtractResult", "extract"]
+__all__ = ["DROP_TAGS", "INLINE_TAGS", "BOOST_TAGS", "ExtractResult",
+           "extract", "validate_spans"]
 
 # subtrees that never contribute main content
 DROP_TAGS = frozenset([
@@ -86,6 +87,44 @@ def _collect_spans(b: DocBuilder, node: int, spans: list) -> None:
                 spans.append((nd[N_SRC_START], nd[N_SRC_END]))
         elif k == ELEMENT and nd[N_CHILDREN]:
             stack.extend(reversed(nd[N_CHILDREN]))
+
+
+def validate_spans(b: DocBuilder, source: str) -> tuple[int, bool]:
+    """Span-integrity check for the extraction contract: every TEXT span
+    must slice ``source`` to exactly the bytes whose entity-decode is the
+    node's text contribution; CDATA spans cover the full markup (``<![
+    CDATA[...]]>`` wrapper included) and must contain the content; spans
+    are in-bounds and start-monotone in document order.
+
+    Returns (n_spans_checked, all_ok).
+    """
+    from .dom import N_CHILDREN, N_CONTENT, N_KIND, N_SRC_END, N_SRC_START
+    nodes = b.nodes
+    n_src = len(source)
+    count = 0
+    last_start = -1
+    stack = list(reversed(nodes[0][N_CHILDREN] or []))
+    while stack:
+        child = stack.pop()
+        nd = nodes[child]
+        k = nd[N_KIND]
+        if k == TEXT or k == CDATA:
+            s, e = nd[N_SRC_START], nd[N_SRC_END]
+            if s < 0:
+                continue  # synthesized node (no source region)
+            count += 1
+            if not (0 <= s <= e <= n_src) or s < last_start:
+                return count, False
+            last_start = s
+            piece = source[s:e]
+            if k == TEXT:
+                if piece != nd[N_CONTENT]:
+                    return count, False
+            elif nd[N_CONTENT] not in piece:
+                return count, False
+        elif k == ELEMENT and nd[N_CHILDREN]:
+            stack.extend(reversed(nd[N_CHILDREN]))
+    return count, True
 
 
 def _text_content_skipping(b: DocBuilder, node: int, out: list, spans: list) -> None:

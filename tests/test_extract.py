@@ -140,3 +140,22 @@ def test_utf32_decode_paths():
     doc = process_document(raw, "density", verify_roundtrip=True)
     assert doc["used_encoding"] == "utf-32-be"
     assert "thirty-two" in doc["text"]
+
+
+def test_validate_spans():
+    from fortissimo_spark.extract import validate_spans
+    from fortissimo_spark.parser import parse
+
+    doc = "<p>hello &amp; world</p><div>more <b>text</b></div>"
+    r = parse(doc, positions=False)
+    n, ok = validate_spans(r.dom, r.text)
+    assert ok and n >= 3
+
+    # corrupt one span: the validator must notice
+    b = r.dom
+    for i in range(len(b.kind)):
+        if b.kind[i] == 1 and b.src_start[i] >= 0:  # TEXT
+            b.src_start[i] = b.src_start[i] + 1
+            break
+    n2, ok2 = validate_spans(b, r.text)
+    assert not ok2
