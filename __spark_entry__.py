@@ -198,7 +198,8 @@ def _q_extract_pdf(spark, sf_dir):
                              StructField("pdf", BinaryType())])
     out_schema = StructType([StructField("doc_id", LongType()),
                              StructField("text", StringType()),
-                             StructField("n_bytes", IntegerType())])
+                             StructField("n_bytes", IntegerType()),
+                             StructField("error", StringType())])
     pdfs = docs.repartition(8, "doc_id").mapInPandas(build_kernel, pdf_schema)
     extracted = pdfs.mapInPandas(make_pdf_extract_kernel(), out_schema)
     return extracted.select("doc_id", "text")

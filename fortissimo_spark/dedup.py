@@ -55,18 +55,24 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     groups this operator exists to find."""
     hashed = docs.select(F.sha2(F.col(text_col), 256).alias("text_hash"),
                          F.col(id_col).alias("_id"))
-    groups = (hashed.groupBy("text_hash")
-              .agg(F.count("*").alias("n_copies"),
-                   F.min("_id").alias("first_doc_id"))
-              .filter(F.col("n_copies") > 1))
     if not sample_ids:
-        return groups
+        return (hashed.groupBy("text_hash")
+                .agg(F.count("*").alias("n_copies"),
+                     F.min("_id").alias("first_doc_id"))
+                .filter(F.col("n_copies") > 1))
+    # single pass: the window and the groupBy share the text_hash
+    # partitioning, so the source (and its sha2) is scanned exactly once
+    # and only one exchange runs; collect_list skips the nulls the
+    # row_number cap produces, bounding the sample
     w = Window.partitionBy("text_hash").orderBy("_id")
-    sample = (hashed.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") <= sample_ids)
-              .groupBy("text_hash")
-              .agg(F.sort_array(F.collect_list("_id")).alias("sample_doc_ids")))
-    return groups.join(sample, "text_hash")
+    marked = hashed.withColumn("_rn", F.row_number().over(w))
+    return (marked.groupBy("text_hash")
+            .agg(F.count("*").alias("n_copies"),
+                 F.min("_id").alias("first_doc_id"),
+                 F.sort_array(F.collect_list(
+                     F.when(F.col("_rn") <= sample_ids, F.col("_id"))))
+                 .alias("sample_doc_ids"))
+            .filter(F.col("n_copies") > 1))
 
 
 def shingle_sets(docs: DataFrame, id_col: str = "doc_id",
@@ -184,6 +190,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
               .union(edges.select(F.col("b").alias("id")))
               .distinct()
               .withColumn("label", F.col("id")))
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (edges
                         .join(labels.withColumnRenamed("id", "b")
@@ -200,7 +207,12 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                    .filter(F.col("old") != F.col("label")).count())
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iterations} rounds "
+            "(component diameter exceeds the cap) — raise max_iterations")
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

@@ -62,8 +62,14 @@ class Event(NamedTuple):
     kind: str
     depth: int
     args: tuple
-    src: str        # the exact source text this event accounts for
-    start: int      # source span (offsets into the parsed text; -1 if n/a)
+    src: str        # the exact reconstitution text this event accounts for
+    # source span: the region of the parsed text this event covers
+    # (start-tag-start = the '<tag' run; end-tag = the end-tag run; leaves =
+    # the whole node). -1 when no source region exists (attributes /
+    # start-tag-end share the element's tag region; synthesized nodes).
+    # For reference-lossy shapes ('</ p>' drops the ws from endTagText) the
+    # end-tag span is the node region, not a byte-equal slice.
+    start: int
     end: int
 
 
@@ -96,8 +102,12 @@ def iter_events(b: DocBuilder, node: int = 0, *,
             i = 0
             while i < len(body) and body[i] not in ">\t\n\f\r ":
                 i += 1
+            # span = the end-tag region only (the element's src_end is the
+            # char after the closing '>')
+            src_end = b.src_end[nd]
+            s = src_end - len(end_tag) if src_end >= 0 else -1
             yield Event("end-tag", depth, (body[:i], body[i:]), end_tag,
-                        b.src_start[nd], b.src_end[nd])
+                        s, src_end)
             continue
 
         kind = b.kind[nd]
@@ -105,8 +115,10 @@ def iter_events(b: DocBuilder, node: int = 0, *,
             emit_self = not b.synthetic[nd]
             if emit_self:
                 tag = b.tag[nd]
+                s = b.src_start[nd]
+                # span = exactly the '<tag' run this event accounts for
                 yield Event("start-tag-start", depth, (tag,), "<" + tag,
-                            b.src_start[nd], b.src_end[nd])
+                            s, s + 1 + len(tag) if s >= 0 else -1)
                 names = b.attr_names[nd]
                 if names:
                     values = b.attr_values[nd]

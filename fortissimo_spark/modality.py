@@ -143,15 +143,23 @@ def decode_image(payload: bytes, *, deterministic_fake: bool = False):
     content-derived stand-in so the distributed plumbing stays testable.
     """
     raw = payload or b""
-    if raw[:2] == b"BM":
-        return decode_bmp(raw)
-    if raw[:2] in (b"P6", b"P3"):
-        return decode_ppm(raw)
-    if not deterministic_fake:
+    try:
+        if raw[:2] == b"BM":
+            return decode_bmp(raw)
+        if raw[:2] in (b"P6", b"P3"):
+            return decode_ppm(raw)
+        unrecognized = True
+    except Exception as e:  # noqa: BLE001 - corrupt payloads must degrade
+        if not deterministic_fake:
+            raise ValueError(f"corrupt image payload: {e}") from e
+        unrecognized = False
+    if unrecognized and not deterministic_fake:
         raise NotImplementedError(
             "only BMP/PPM have in-container decoders; other formats need an "
             "imaging library — pass deterministic_fake=True for the "
             "content-derived stand-in")
+    # stand-in: unrecognized format, or corrupt payload with fake enabled —
+    # a kernel row must never kill the Spark task
     digest = hashlib.sha256(raw).digest()
     width = 16 + digest[0] % 64
     height = 16 + digest[1] % 64
@@ -211,9 +219,15 @@ def decode_audio(payload: bytes, *, deterministic_fake: bool = False):
     formats (mp3/ogg/...) need a codec not in this container — they raise
     unless the documented deterministic stand-in is requested."""
     raw = payload or b""
-    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
-        return decode_wav(raw)
-    if not deterministic_fake:
+    try:
+        if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+            return decode_wav(raw)
+        unrecognized = True
+    except Exception as e:  # noqa: BLE001 - corrupt payloads must degrade
+        if not deterministic_fake:
+            raise ValueError(f"corrupt audio payload: {e}") from e
+        unrecognized = False
+    if unrecognized and not deterministic_fake:
         raise NotImplementedError(
             "only WAV PCM has an in-container decoder; other audio formats "
             "need a codec — pass deterministic_fake=True for the stand-in")

@@ -44,12 +44,10 @@ __all__ = ["ParseResult", "parse", "check_encoding", "normalize_encoding_name"]
 _WS = " \t\n\f\r"
 _WS_SET = frozenset(_WS)
 
-# loop-top whitespace gather: HTML whitespace plus astral chars (see module
-# docstring on the 2-unit-read quirk)
-_RE_WS_RUN = re.compile(r"[ \t\n\f\r\U00010000-\U0010FFFF]*")
-_RE_MARKUP_START = re.compile(r"[a-z:/!?]", re.I | re.A)
-# same class as a set — the per-'<' dispatch check is the hottest test in
-# the text gather loop and needs no regex machinery
+# markup-start dispatch class [a-zA-Z:/!?] as a set — the per-'<' check is
+# the hottest test in the text gather loop and needs no regex machinery
+# (whitespace runs are gathered by the ws_end scan inside parse(), which
+# keeps the astral-chars-as-whitespace quirk — see module docstring)
 _MARKUP_START_SET = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ:/!?")
 _RE_ANY_EOL = re.compile(r"\r\n|\r|\n")
@@ -204,9 +202,9 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
     ws_set = _WS_SET
 
     def ws_end(p: int) -> int:
-        # whitespace-run gather (incl. the astral-char quirk, like
-        # _RE_WS_RUN) — runs are almost always 0-2 chars, where a direct
-        # scan beats the regex engine + match-object allocation
+        # whitespace-run gather (incl. the astral-char quirk) — runs are
+        # almost always 0-2 chars, where a direct scan beats the regex
+        # engine + match-object allocation
         while p < n:
             c0 = t[p]
             if c0 in ws_set or c0 > "￿":

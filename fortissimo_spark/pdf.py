@@ -107,7 +107,8 @@ _RE_STREAM = re.compile(rb"stream\r?\n")
 _OCTAL = b"01234567"
 
 
-_RE_LENGTH = re.compile(rb"/Length[ \t\r\n]+(\d+)[^0-9R]")
+# direct /Length only: a number NOT followed by '<gen> R' (indirect ref)
+_RE_LENGTH = re.compile(rb"/Length[ \t\r\n]+(\d+)(?![ \t\r\n]+\d+[ \t\r\n]+R)")
 
 
 def _iter_streams(payload: bytes) -> Iterator[tuple[bytes, bytes]]:
@@ -115,31 +116,36 @@ def _iter_streams(payload: bytes) -> Iterator[tuple[bytes, bytes]]:
 
     The stream's byte count comes from the dict's direct ``/Length`` when
     present — binary data may legitimately end in EOL bytes, so trimming
-    by pattern would corrupt it (e.g. Flate data ending in 0x0D). The
-    EOL-strip heuristic is only the fallback for indirect /Length refs.
-    """
+    by pattern would corrupt it (e.g. Flate data ending in 0x0D) — and the
+    scan resumes past the /Length-delimited body, so binary data
+    containing the letters ``endstream`` can't derail it. The EOL-strip
+    heuristic only covers indirect ``/Length N 0 R`` dictionaries (whose
+    value lives in another object)."""
     pos = 0
+    n = len(payload)
     while True:
         m = _RE_STREAM.search(payload, pos)
         if not m:
             return
-        end = payload.find(b"endstream", m.end())
-        if end < 0:
-            return
         # owning dictionary: back-scan to the nearest 'obj' keyword
         obj_at = payload.rfind(b"obj", 0, m.start())
         head = payload[obj_at:m.start()] if obj_at >= 0 else b""
-        lm = _RE_LENGTH.search(head + b" ")
+        lm = _RE_LENGTH.search(head)
         if lm:
-            raw = payload[m.end():m.end() + int(lm.group(1))]
+            body_end = min(m.end() + int(lm.group(1)), n)
+            raw = payload[m.end():body_end]
+            end = payload.find(b"endstream", body_end)
         else:
+            end = payload.find(b"endstream", m.end())
+            if end < 0:
+                return
             raw = payload[m.end():end]
             if raw.endswith(b"\r\n"):
                 raw = raw[:-2]
             elif raw.endswith(b"\n"):
                 raw = raw[:-1]
         yield head, raw
-        pos = end + 9
+        pos = (end + 9) if end >= 0 else n
 
 
 def _parse_literal(data: bytes, i: int) -> tuple[bytes, int]:
@@ -207,7 +213,9 @@ def _text_from_content(data: bytes) -> list[bytes]:
         if c == 0x28:  # (
             s, i = _parse_literal(data, i)
             pending.append(s)
-        elif c == 0x3C and not data.startswith(b"<<", i):  # < hex string
+        elif data.startswith(b"<<", i):  # inline dict (BDC/DP props): skip
+            i += 2
+        elif c == 0x3C:  # < hex string
             s, i = _parse_hex(data, i)
             pending.append(s)
         elif c == 0x5B:  # [ TJ array: strings inside collect as one run
@@ -257,20 +265,28 @@ def extract_pdf_text(payload: bytes) -> str:
 
 def make_pdf_extract_kernel():
     """mapInPandas kernel: (doc_id, pdf binary) batches ->
-    (doc_id, text, n_bytes) — the PDF leg of the extraction pipeline."""
+    (doc_id, text, n_bytes, error) — the PDF leg of the extraction
+    pipeline. One undecodable document (encrypted, corrupt) degrades to a
+    null-text row with the error recorded; it must never fail the Spark
+    task (crawled corpora always contain hostile documents)."""
     import pandas as pd
 
     def kernel(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf_batch in batches:
             if len(pdf_batch) == 0:
                 continue
-            out = {"doc_id": [], "text": [], "n_bytes": []}
+            out = {"doc_id": [], "text": [], "n_bytes": [], "error": []}
             for doc_id, raw in zip(pdf_batch["doc_id"].tolist(),
                                    pdf_batch["pdf"].tolist()):
                 raw = bytes(raw or b"")
+                try:
+                    text, err = extract_pdf_text(raw), None
+                except Exception as e:  # noqa: BLE001 - per-row degradation
+                    text, err = None, f"{type(e).__name__}: {e}"
                 out["doc_id"].append(doc_id)
-                out["text"].append(extract_pdf_text(raw))
+                out["text"].append(text)
                 out["n_bytes"].append(len(raw))
+                out["error"].append(err)
             yield pd.DataFrame(out)
 
     return kernel

@@ -96,6 +96,14 @@ def test_event_depths_and_spans(sample_w3c):
     for e in events:
         if e.kind == "text" and e.start >= 0:
             assert result.text[e.start:e.start + 1] == e.src[:1]
+        if e.kind == "start-tag-start" and e.start >= 0:
+            # span covers exactly the '<tag' run
+            assert result.text[e.start:e.end] == e.src
+    # well-formed end tags: span slices to the end-tag text
+    simple = parse("<div><p>x</p></div>", positions=False)
+    for e in parse_events(simple):
+        if e.kind == "end-tag" and e.start >= 0:
+            assert simple.text[e.start:e.end] == e.src
     # completion is last, exactly once
     assert [e.kind for e in events].count("completion") == 1
     assert events[-1].kind == "completion"
