@@ -67,3 +67,29 @@ def test_refusals():
            + b" /Filter /DCTDecode >>\nstream\n" + content
            + b"\nendstream\nendobj\n%%EOF\n")
     assert extract_pdf_text(pdf) == ""
+
+
+def test_indirect_length_falls_back():
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length 2 0 R >>\nstream\n"
+           b"BT (Hello indirect world) Tj ET\nendstream\nendobj\n"
+           b"2 0 obj\n31\nendobj\n%%EOF\n")
+    assert extract_pdf_text(pdf) == "Hello indirect world"
+
+
+def test_inline_content_dict_skipped():
+    content = b"BT /P << /MCID 0 >> BDC (real text) Tj EMC ET"
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(content)).encode()
+           + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF\n")
+    assert extract_pdf_text(pdf) == "real text"
+
+
+def test_kernel_degrades_per_row(spark_is_not_needed=None):
+    # kernel-level: encrypted/corrupt rows produce null text + error, not a crash
+    import pandas as pd
+    from fortissimo_spark.pdf import make_pdf_extract_kernel
+    enc = build_pdf("secret").replace(b"/Root", b"/Encrypt 9 0 R /Root")
+    batch = pd.DataFrame({"doc_id": [1, 2], "pdf": [build_pdf("fine"), enc]})
+    out = pd.concat(list(make_pdf_extract_kernel()([batch])))
+    rows = {r.doc_id: r for r in out.itertuples()}
+    assert rows[1].text == "fine" and rows[1].error is None
+    assert rows[2].text is None and "encrypted" in rows[2].error

@@ -629,3 +629,27 @@ def test_modality_real_audio_decode(spark):
     from fortissimo_spark.modality import decode_audio
     with _pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x04mp3data")
+
+
+def test_corrupt_media_degrades_not_crashes(spark):
+    """Payloads with real-format magic but corrupt bodies must degrade to
+    the deterministic stand-in in kernels (one bad crawl document cannot
+    fail a task), and raise clean ValueError without it."""
+    from fortissimo_spark.modality import audio_features, decode_audio, decode_image, image_features
+
+    bad_bmp = b"BM" + b"\x00" * 52  # header-only, claims nothing readable
+    bad_wav = b"RIFF\x00\x00\x00\x00WAVEjunk"
+
+    with pytest.raises(ValueError):
+        decode_image(b"BM" + bytes(60) + b"\x01")  # corrupt, no fake
+    with pytest.raises(ValueError):
+        decode_audio(bad_wav)
+    # fake-enabled: deterministic stand-in, no exception
+    w, h, summary = decode_image(bad_bmp, deterministic_fake=True)
+    assert w > 0 and h > 0 and len(summary) >= 16
+
+    rows = [(1, "image", bytearray(bad_bmp), "image/bmp", None, None, None),
+            (2, "audio", bytearray(bad_wav), "audio/wav", None, None, None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    assert len(image_features(media).collect()) == 1
+    assert len(audio_features(media).collect()) == 1
