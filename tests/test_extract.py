@@ -159,3 +159,31 @@ def test_validate_spans():
             break
     n2, ok2 = validate_spans(b, r.text)
     assert not ok2
+
+
+def test_kernel_linear_in_page_size():
+    """No superlinear blowup on realistic (75KB+) crawl pages: per-byte
+    cost at 80x the small-page size stays within 4x of the small-page
+    per-byte cost (generous bound — measured ~1.1x)."""
+    import time
+
+    from fortissimo_spark.kernel import process_document
+    from fortissimo_spark.pages import html_for_doc
+
+    base = "some words " * 40 + "\n\n" + "more text here " * 30
+
+    def cost_per_byte(reps):
+        text = "\n\n".join([base] * reps)
+        page = html_for_doc(7, text, "en").encode("utf-8")
+        for _ in range(2):
+            process_document(page)
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            process_document(page)
+            best = min(best, time.time() - t0)
+        return best / len(page)
+
+    small = cost_per_byte(1)
+    big = cost_per_byte(80)
+    assert big < small * 4
