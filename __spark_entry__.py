@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from fortissimo_spark.dedup import (  # noqa: E402
-    duplicate_clusters, md5_word_hash, near_duplicate_pairs, simhash64,
+    canonicalize, duplicate_clusters, md5_word_hash, near_duplicate_pairs,
+    simhash64,
 )
 from fortissimo_spark.io_tables import build_pages, load_table  # noqa: E402
 from fortissimo_spark.pipeline import dedup_latest_crawl, extract_df  # noqa: E402
@@ -547,6 +548,21 @@ def _q_dedup_clusters(spark, sf_dir):
         .select("id", "cluster_id")
 
 
+def _q_canonical_corpus(spark, sf_dir):
+    """Full dedup endgame over a corpus with planted exact AND near dups:
+    exact dedup -> near-dup clusters -> keep one canonical (min id) per
+    group. Returns the surviving doc ids."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_plants = (docs.filter(F.col("doc_id") % 10 == 0)
+                    .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    near_plants = (docs.filter(F.col("doc_id") % 7 == 0)
+                   .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                           F.concat(F.lit("zz yy "), F.col("text")).alias("text")))
+    corpus = docs.union(exact_plants).union(near_plants)
+    kept = canonicalize(corpus, threshold=0.5)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 def _q_simhash(spark, sf_dir):
     """SimHash signatures, oracle-verifiable variant: the word hash is the
     first 15 hex chars of md5 (computable identically in DuckDB), 60 bits.
@@ -666,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "minhash_near_dups": _q_minhash_near_dups,
         "dedup_clusters": _q_dedup_clusters,
+        "canonical_corpus": _q_canonical_corpus,
         "simhash": _q_simhash,
         "cosine_pairs_exact": _q_cosine_pairs_exact,
         "cosine_pairs_lsh": _q_cosine_pairs_lsh,
@@ -1020,6 +1037,46 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT e.a, w.lab FROM edges e JOIN walk w ON e.b = w.id)
             SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id""",
+        "canonical_corpus": """
+            WITH RECURSIVE corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 2000000 AS doc_id, 'zz yy ' || text AS text
+              FROM documents WHERE doc_id % 7 = 0),
+            survivors AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM corpus) WHERE rn = 1),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, length(string_split(trim(text), ' ')) - 1),
+                       i -> string_split(trim(text), ' ')[i] || ' ' ||
+                            string_split(trim(text), ' ')[i+1] || ' ' ||
+                            string_split(trim(text), ' ')[i+2])) AS t
+              FROM survivors),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(length(list_intersect(a.t, b.t)) AS DOUBLE)
+                    / length(list_distinct(list_concat(a.t, b.t))) >= 0.5),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            walk(id, lab) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.a, w.lab FROM edges e JOIN walk w ON e.b = w.id),
+            comp AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id),
+            losers AS (SELECT id FROM comp WHERE id != cluster_id)
+            SELECT s.doc_id FROM survivors s
+            WHERE s.doc_id NOT IN (SELECT id FROM losers)
+            ORDER BY s.doc_id""",
         "cosine_pairs_lsh": """
             WITH all_e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["exact_duplicates", "shingle_sets", "minhash_signatures",
            "lsh_candidate_pairs", "verified_near_duplicates", "simhash64",
-           "duplicate_clusters",
+           "duplicate_clusters", "canonicalize",
            "md5_word_hash", "near_duplicate_pairs"]
 
 _MERSENNE_P = (1 << 31) - 1
@@ -158,6 +158,35 @@ def near_duplicate_pairs(docs: DataFrame, id_col: str = "doc_id",
     candidates = lsh_candidate_pairs(signed.select("id", "sig"), bands,
                                      max_bucket_size)
     return verified_near_duplicates(shingled, candidates, threshold)
+
+
+def canonicalize(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", *, n: int = 3,
+                 num_hashes: int = 128, bands: int = 32,
+                 threshold: float = 0.5,
+                 max_bucket_size: int = 1000) -> DataFrame:
+    """The dedup endgame: one canonical document per duplicate group.
+
+    1. exact dedup — keep the min-id row per byte-identical text
+       (row_number over the content hash, one shuffle);
+    2. near-dup pairs over the survivors (MinHash-LSH + exact verify);
+    3. connected components over the pairs; drop every member that is not
+       its cluster's minimum id (anti-join — losers only, never the full
+       corpus, cross the exchange).
+
+    Returns the surviving rows of ``docs`` (same schema).
+    """
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(id_col)
+    survivors = (docs.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1).drop("_rn"))
+    pairs = near_duplicate_pairs(survivors, id_col, text_col, n=n,
+                                 num_hashes=num_hashes, bands=bands,
+                                 threshold=threshold,
+                                 max_bucket_size=max_bucket_size)
+    clusters = duplicate_clusters(pairs.select("id_a", "id_b"))
+    losers = (clusters.filter(F.col("id") != F.col("cluster_id"))
+              .select(F.col("id").alias(id_col)))
+    return survivors.join(losers, id_col, "left_anti")
 
 
 def md5_word_hash(w):

@@ -653,3 +653,22 @@ def test_corrupt_media_degrades_not_crashes(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     assert len(image_features(media).collect()) == 1
     assert len(audio_features(media).collect()) == 1
+
+
+def test_canonicalize(spark):
+    from fortissimo_spark.dedup import canonicalize
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text") \
+        .filter(F.col("doc_id") < 50)
+    exact = docs.filter(F.col("doc_id") % 5 == 0) \
+        .select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    near = docs.filter(F.col("doc_id") % 5 == 0) \
+        .select((F.col("doc_id") + 2000).alias("doc_id"),
+                F.concat(F.lit("zz yy "), F.col("text")).alias("text"))
+    kept = canonicalize(docs.union(exact).union(near), threshold=0.5)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # every planted copy must lose to its original (the min id)
+    assert not any(i >= 1000 for i in ids)
+    # every original either survives or lost to a SMALLER original
+    originals = {r.doc_id for r in docs.collect()}
+    assert ids <= originals
+    assert min(originals) in ids
