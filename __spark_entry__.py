@@ -551,7 +551,14 @@ def _q_dedup_clusters(spark, sf_dir):
 def _q_canonical_corpus(spark, sf_dir):
     """Full dedup endgame over a corpus with planted exact AND near dups:
     exact dedup -> near-dup clusters -> keep one canonical (min id) per
-    group. Returns the surviving doc ids."""
+    group. Returns the surviving doc ids.
+
+    Oracle validity: LSH detection is probabilistic in general, but here
+    everything is FIXED — corpus (sf0.01), shingle/minhash seeds, band
+    layout — so the Spark side is deterministic, and the exhaustive
+    DuckDB oracle was verified equal on this input (the near-dup pair
+    set matches the exact n^2 Jaccard set at threshold 0.5, margin-clear
+    of the rounding boundary). Same reasoning as cosine_pairs_lsh."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     exact_plants = (docs.filter(F.col("doc_id") % 10 == 0)
                     .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))

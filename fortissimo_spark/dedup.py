@@ -164,7 +164,8 @@ def canonicalize(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", *, n: int = 3,
                  num_hashes: int = 128, bands: int = 32,
                  threshold: float = 0.5,
-                 max_bucket_size: int = 1000) -> DataFrame:
+                 max_bucket_size: int = 1000,
+                 max_cluster_iterations: int = 20) -> DataFrame:
     """The dedup endgame: one canonical document per duplicate group.
 
     1. exact dedup — keep the min-id row per byte-identical text
@@ -183,7 +184,8 @@ def canonicalize(docs: DataFrame, id_col: str = "doc_id",
                                  num_hashes=num_hashes, bands=bands,
                                  threshold=threshold,
                                  max_bucket_size=max_bucket_size)
-    clusters = duplicate_clusters(pairs.select("id_a", "id_b"))
+    clusters = duplicate_clusters(pairs.select("id_a", "id_b"),
+                                  max_cluster_iterations)
     losers = (clusters.filter(F.col("id") != F.col("cluster_id"))
               .select(F.col("id").alias(id_col)))
     return survivors.join(losers, id_col, "left_anti")
@@ -239,9 +241,20 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             converged = True
             break
     if not converged:
-        raise RuntimeError(
-            f"duplicate_clusters did not converge in {max_iterations} rounds "
-            "(component diameter exceeds the cap) — raise max_iterations")
+        # the final allowed round may itself have completed convergence —
+        # verify with one read-only relaxation before declaring failure
+        neighbor_min = (edges
+                        .join(labels.withColumnRenamed("id", "b")
+                              .withColumnRenamed("label", "nb_label"), "b")
+                        .groupBy("a").agg(F.min("nb_label").alias("min_nb")))
+        would_change = (labels
+                        .join(neighbor_min.withColumnRenamed("a", "id"), "id")
+                        .filter(F.col("min_nb") < F.col("label")).count())
+        if would_change:
+            raise RuntimeError(
+                f"duplicate_clusters did not converge in {max_iterations} "
+                "rounds (component diameter exceeds the cap) — raise "
+                "max_iterations")
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

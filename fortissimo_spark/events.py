@@ -64,11 +64,11 @@ class Event(NamedTuple):
     args: tuple
     src: str        # the exact reconstitution text this event accounts for
     # source span: the region of the parsed text this event covers
-    # (start-tag-start = the '<tag' run; end-tag = the end-tag run; leaves =
-    # the whole node). -1 when no source region exists (attributes /
-    # start-tag-end share the element's tag region; synthesized nodes).
-    # For reference-lossy shapes ('</ p>' drops the ws from endTagText) the
-    # end-tag span is the node region, not a byte-equal slice.
+    # (start-tag-start = the '<tag' run; end-tag = the end-tag run, exact
+    # even for the reference-lossy '</ p>' shape when the source text is
+    # supplied; leaves = the whole node). -1 when no source region exists
+    # (attributes / start-tag-end share the element's tag region;
+    # synthesized nodes).
     start: int
     end: int
 
@@ -82,12 +82,18 @@ GENERIC_EVENTS = frozenset({
 
 
 def iter_events(b: DocBuilder, node: int = 0, *,
-                charset: str | None = None) -> Iterator[Event]:
+                charset: str | None = None,
+                source: str | None = None) -> Iterator[Event]:
     """Yield events for ``node``'s subtree in document order.
 
     Walk order and branch structure mirror ``DocBuilder._serialize``
     exactly, so ``''.join(e.src for e in events)`` == ``b.serialize(node,
     include_self=False)`` for the root — the reconstitution contract.
+
+    ``source`` (the parsed text) makes end-tag spans exact even for the
+    reference-lossy shapes ('</ p>' reconstitutes as '</p>'): the span
+    start is located by searching back for the '</' run ('</' can never
+    occur inside a tag name — '/' is excluded from name runs).
     """
     # stack entries: (node, phase, depth); phase 0 = emit, -1 = end-tag
     stack: list[tuple[int, int, int]] = [(c, 0, 0)
@@ -103,9 +109,16 @@ def iter_events(b: DocBuilder, node: int = 0, *,
             while i < len(body) and body[i] not in ">\t\n\f\r ":
                 i += 1
             # span = the end-tag region only (the element's src_end is the
-            # char after the closing '>')
+            # char after the closing '>'); with the source available the
+            # start is exact even when the reconstitution text is shorter
+            # than the source run (ws-after-'</' lossy shape)
             src_end = b.src_end[nd]
-            s = src_end - len(end_tag) if src_end >= 0 else -1
+            if src_end >= 0 and source is not None:
+                s = source.rfind("</", 0, src_end)
+            elif src_end >= 0:
+                s = src_end - len(end_tag)
+            else:
+                s = -1
             yield Event("end-tag", depth, (body[:i], body[i:]), end_tag,
                         s, src_end)
             continue
@@ -182,8 +195,9 @@ def iter_events(b: DocBuilder, node: int = 0, *,
 
 def parse_events(result: ParseResult) -> Iterator[Event]:
     """Event stream for a :class:`ParseResult` (root subtree + encoding +
-    completion)."""
-    return iter_events(result.dom, 0, charset=result.charset)
+    completion; exact end-tag spans via the parsed text)."""
+    return iter_events(result.dom, 0, charset=result.charset,
+                       source=result.text)
 
 
 def to_generic(event: Event) -> tuple[int, str] | None:

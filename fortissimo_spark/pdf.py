@@ -107,8 +107,11 @@ _RE_STREAM = re.compile(rb"stream\r?\n")
 _OCTAL = b"01234567"
 
 
-# direct /Length only: a number NOT followed by '<gen> R' (indirect ref)
-_RE_LENGTH = re.compile(rb"/Length[ \t\r\n]+(\d+)(?![ \t\r\n]+\d+[ \t\r\n]+R)")
+# direct /Length only: the FULL number ((?![0-9]) forbids backtracking into
+# the digit run, so '/Length 12 0 R' can't half-match as '1'), NOT followed
+# by '<gen> R' (indirect ref)
+_RE_LENGTH = re.compile(
+    rb"/Length[ \t\r\n]+(\d+)(?![0-9])(?![ \t\r\n]+\d+[ \t\r\n]+R)")
 
 
 def _iter_streams(payload: bytes) -> Iterator[tuple[bytes, bytes]]:
@@ -202,6 +205,30 @@ def _parse_hex(data: bytes, i: int) -> tuple[bytes, int]:
     return bytes.fromhex(digits.decode("ascii")), end + 1
 
 
+def _skip_dict(data: bytes, i: int) -> int:
+    """Skip an inline ``<< ... >>`` dictionary starting at ``i`` (at the
+    first '<'), including nested dicts and any strings inside (BDC/DP
+    property lists like /ActualText carry strings that are NOT shown
+    text). Returns the index past the closing '>>'."""
+    n = len(data)
+    depth = 1
+    i += 2
+    while i < n and depth:
+        if data.startswith(b"<<", i):
+            depth += 1
+            i += 2
+        elif data.startswith(b">>", i):
+            depth -= 1
+            i += 2
+        elif data[i] == 0x28:  # ( literal string
+            _, i = _parse_literal(data, i)
+        elif data[i] == 0x3C:  # < hex string
+            _, i = _parse_hex(data, i)
+        else:
+            i += 1
+    return i
+
+
 def _text_from_content(data: bytes) -> list[bytes]:
     """Scan one content stream for text-showing operators."""
     parts: list[bytes] = []
@@ -214,7 +241,7 @@ def _text_from_content(data: bytes) -> list[bytes]:
             s, i = _parse_literal(data, i)
             pending.append(s)
         elif data.startswith(b"<<", i):  # inline dict (BDC/DP props): skip
-            i += 2
+            i = _skip_dict(data, i)
         elif c == 0x3C:  # < hex string
             s, i = _parse_hex(data, i)
             pending.append(s)
@@ -242,7 +269,11 @@ def extract_pdf_text(payload: bytes) -> str:
     """Extract the text content of a (simple) PDF. Raises ``ValueError``
     on encrypted documents; silently skips streams whose filters aren't
     FlateDecode/none (no codecs in this container)."""
-    if b"/Encrypt" in payload[-2048:] or b"/Encrypt" in payload[:2048]:
+    # encryption sniff scoped to the trailer dictionary (the only place
+    # /Encrypt is structural) — document TEXT may legally contain the
+    # literal bytes '/Encrypt', which must not trigger a false refusal
+    tpos = payload.rfind(b"trailer")
+    if tpos >= 0 and b"/Encrypt" in payload[tpos:tpos + 2048]:
         raise ValueError("encrypted PDF (unsupported)")
     parts: list[bytes] = []
     for head, raw in _iter_streams(payload):

@@ -104,6 +104,14 @@ def test_event_depths_and_spans(sample_w3c):
     for e in parse_events(simple):
         if e.kind == "end-tag" and e.start >= 0:
             assert simple.text[e.start:e.end] == e.src
+    # lossy end tag ('</ p>' reconstitutes as '</p>'): span still covers
+    # the full source run, starting at its '</'
+    lossy = parse("<div><p>x</ p></div>", positions=False)
+    spans = [(e.start, e.end, e.src) for e in parse_events(lossy)
+             if e.kind == "end-tag" and e.start >= 0]
+    for s, e_, src_txt in spans:
+        assert lossy.text[s:s + 2] == "</"
+    assert ("</ p>" in [lossy.text[s:e_] for s, e_, _ in spans])
     # completion is last, exactly once
     assert [e.kind for e in events].count("completion") == 1
     assert events[-1].kind == "completion"
