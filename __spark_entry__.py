@@ -30,7 +30,8 @@ from fortissimo_spark.similarity import (  # noqa: E402
     cosine_near_pairs, ivf_centroids, ivf_topk,
 )
 from fortissimo_spark.textstats import (  # noqa: E402
-    tf_idf_top_terms, with_langid, with_quality_features, with_token_counts,
+    decontaminate, gopher_quality_filter, tf_idf_top_terms, with_langid,
+    with_quality_features, with_token_counts,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -645,6 +646,27 @@ def _q_quality_features(spark, sf_dir):
                       "q_mean_word_len", "q_stopword_ratio")
 
 
+def _q_gopher_filter(spark, sf_dir):
+    """Gopher-family quality gate with inspectable per-rule booleans."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = gopher_quality_filter(docs)
+    return out.select("doc_id", "rule_word_count", "rule_word_len",
+                      "rule_alpha", "rule_stopwords", "keep")
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 50th document donates its first
+    8 words as a benchmark gram; flag all documents containing any gram
+    (substring containment, broadcast gram set)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = (docs.filter(F.col("doc_id") % 50 == 0)
+             .select(F.col("doc_id").alias("bench_id"),
+                     F.concat_ws(" ", F.slice(
+                         F.split(F.trim("text"), r"\s+"), 1, 8)).alias("gram")))
+    hits = decontaminate(docs, bench)
+    return hits.orderBy("doc_id", "bench_id")
+
+
 def _q_langid_profile(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return with_langid(docs).select("doc_id", "langid_guess", "langid_score")
@@ -697,6 +719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": _q_quality_features,
         "tfidf_top_terms": _q_tfidf,
         "langid_profile": _q_langid_profile,
+        "gopher_filter": _q_gopher_filter,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -1161,6 +1185,42 @@ def oracle_sql() -> dict[str, str]:
                          + length(string_split(p, ' is ')) - 1 AS DOUBLE) / nwg, 6)
                 AS q_stopword_ratio
             FROM base""",
+        "gopher_filter": """
+            WITH base AS (
+              SELECT doc_id, text AS t,
+                     greatest(length(text), 1) AS n,
+                     CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS nw,
+                     greatest(length(regexp_split_to_array(trim(text), '\\s+')), 1) AS nwg,
+                     ' ' || regexp_replace(text, '\\s+', '  ', 'g') || ' ' AS p
+              FROM documents),
+            feats AS (
+              SELECT doc_id,
+                nw,
+                round(CAST(n - nwg + 1 AS DOUBLE) / nwg, 6) AS mwl,
+                round(CAST(length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / n, 6) AS alpha,
+                round(round(CAST(length(string_split(p, ' the ')) - 1
+                     + length(string_split(p, ' and ')) - 1
+                     + length(string_split(p, ' of ')) - 1
+                     + length(string_split(p, ' to ')) - 1
+                     + length(string_split(p, ' a ')) - 1
+                     + length(string_split(p, ' is ')) - 1 AS DOUBLE) / nwg, 6) * nwg, 0) AS stop_hits
+              FROM base)
+            SELECT doc_id,
+                   nw >= 20 AND nw <= 100000 AS rule_word_count,
+                   mwl >= 2.0 AND mwl <= 12.0 AS rule_word_len,
+                   alpha >= 0.5 AS rule_alpha,
+                   stop_hits >= 1 AS rule_stopwords,
+                   (nw >= 20 AND nw <= 100000) AND (mwl >= 2.0 AND mwl <= 12.0)
+                     AND alpha >= 0.5 AND stop_hits >= 1 AS keep
+            FROM feats""",
+        "decontaminate": """
+            WITH bench AS (
+              SELECT doc_id AS bench_id,
+                     array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:8], ' ') AS gram
+              FROM documents WHERE doc_id % 50 = 0)
+            SELECT d.doc_id, b.bench_id, b.gram
+            FROM documents d JOIN bench b ON contains(d.text, b.gram)
+            ORDER BY d.doc_id, b.bench_id""",
         "langid_profile": """
             WITH m AS (
               -- mirror textstats._occurrences: whitespace runs -> two spaces

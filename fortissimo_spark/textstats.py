@@ -10,7 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["with_token_counts", "with_quality_features", "with_langid",
-           "with_fingerprints", "tf_idf_top_terms", "LANG_MARKERS"]
+           "with_fingerprints", "tf_idf_top_terms", "gopher_quality_filter",
+           "decontaminate", "LANG_MARKERS"]
 
 # tiny marker-word profiles (public-knowledge function words)
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -85,6 +86,54 @@ def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (df
             .withColumn("langid_guess", best["lang"])
             .withColumn("langid_score", best["score"]))
+
+
+def gopher_quality_filter(docs: DataFrame, text_col: str = "text", *,
+                          min_words: int = 20, max_words: int = 100000,
+                          min_mean_word_len: float = 2.0,
+                          max_mean_word_len: float = 12.0,
+                          min_alpha_ratio: float = 0.5,
+                          min_stopword_hits: int = 1) -> DataFrame:
+    """Gopher-family document quality gate (public heuristics: word-count
+    bounds, mean word length band, alphabetic ratio, stopword presence).
+
+    Adds per-rule booleans and a combined ``keep`` column — rules stay
+    inspectable so a pipeline can log WHY documents were dropped (no
+    silent filtering at 100 TB). All JVM-side expressions.
+    """
+    out = with_quality_features(docs, text_col)
+    r_words = (F.col("q_n_words") >= min_words) & (F.col("q_n_words") <= max_words)
+    r_wordlen = ((F.col("q_mean_word_len") >= min_mean_word_len)
+                 & (F.col("q_mean_word_len") <= max_mean_word_len))
+    r_alpha = F.col("q_alpha_ratio") >= min_alpha_ratio
+    stop_hits = F.round(F.col("q_stopword_ratio")
+                        * F.greatest(F.col("q_n_words"), F.lit(1)), 0)
+    r_stop = stop_hits >= min_stopword_hits
+    return (out
+            .withColumn("rule_word_count", r_words)
+            .withColumn("rule_word_len", r_wordlen)
+            .withColumn("rule_alpha", r_alpha)
+            .withColumn("rule_stopwords", r_stop)
+            .withColumn("keep", r_words & r_wordlen & r_alpha & r_stop))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_id_col: str = "bench_id",
+                  gram_col: str = "gram") -> DataFrame:
+    """Benchmark decontamination: flag documents containing any benchmark
+    n-gram (substring containment — the standard eval-leakage check).
+
+    The benchmark gram set is small by construction (eval suites), so the
+    containment join broadcasts it: each doc row is checked against the
+    grams with no shuffle of the corpus. Returns
+    (doc_id, bench_id, gram) match rows.
+    """
+    b = F.broadcast(benchmark.select(F.col(bench_id_col).alias("bench_id"),
+                                     F.col(gram_col).alias("gram")))
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    return (d.join(b, F.expr("contains(_t, gram)"))
+            .select("doc_id", "bench_id", "gram"))
 
 
 def tf_idf_top_terms(docs: DataFrame, top_n: int = 5, id_col: str = "doc_id",
