@@ -157,7 +157,10 @@ def test_xml_mode_never_throws(doc):
 @given(soup)
 def test_event_stream_reconstitutes(doc):
     """SAX events must rebuild ANY tag soup byte-identically (same
-    reconstitution contract the reference spec pins on fixtures)."""
+    reconstitution contract the reference spec pins on fixtures, and the
+    same reference-lossy end-tag exclusions as the to_string round-trip
+    properties — serialize() is equally lossy there)."""
+    assume(not _LOSSY_END_TAG.search(doc))
     from fortissimo_spark.events import parse_events, reconstitute
     r = parse(doc, eol=False)
     assert reconstitute(parse_events(r)) == doc
@@ -166,6 +169,7 @@ def test_event_stream_reconstitutes(doc):
 @settings(max_examples=150, deadline=None)
 @given(soup)
 def test_event_generic_fold_reconstitutes(doc):
+    assume(not _LOSSY_END_TAG.search(doc))
     from fortissimo_spark.events import parse_events, to_generic
     r = parse(doc, eol=False)
     rebuilt = "".join(g[1] for g in map(to_generic, parse_events(r)) if g)
