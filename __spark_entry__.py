@@ -646,6 +646,28 @@ def _q_quality_features(spark, sf_dir):
                       "q_mean_word_len", "q_stopword_ratio")
 
 
+def _q_url_normalize(spark, sf_dir):
+    """URL canonicalization (urls.normalize_url): case/port/fragment/
+    tracking-param variants collapse to one dedup key. The query builds
+    three deterministic decorated-url shapes per document and normalizes
+    them; the oracle constructs the expected canonical strings
+    independently from the same rule."""
+    from fortissimo_spark.urls import normalize_url
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    raw = (F.when(F.col("doc_id") % 3 == 0,
+                  F.concat(F.lit("https://News.Example.ORG:8080/a/"), d,
+                           F.lit("?gclid=abc123")))
+           .when(F.col("doc_id") % 3 == 1,
+                 F.concat(F.lit("HTTP://Blog.Example.NET:80/p/"), d,
+                          F.lit("?x=1&utm_medium=em&y=2&fbclid")))
+           .otherwise(
+                 F.concat(F.lit("https://shop.example.io/i/"), d,
+                          F.lit("?utm_source=f#top"))))
+    return docs.select("doc_id", raw.alias("raw_url"),
+                       normalize_url(raw).alias("canonical_url"))
+
+
 def _q_gopher_filter(spark, sf_dir):
     """Gopher-family quality gate with inspectable per-rule booleans."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -719,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": _q_quality_features,
         "tfidf_top_terms": _q_tfidf,
         "langid_profile": _q_langid_profile,
+        "url_normalize": _q_url_normalize,
         "gopher_filter": _q_gopher_filter,
         "decontaminate": _q_decontaminate,
     }
@@ -1185,6 +1208,19 @@ def oracle_sql() -> dict[str, str]:
                          + length(string_split(p, ' is ')) - 1 AS DOUBLE) / nwg, 6)
                 AS q_stopword_ratio
             FROM base""",
+        "url_normalize": """
+            SELECT doc_id,
+                   CASE
+                     WHEN doc_id % 3 = 0 THEN 'https://News.Example.ORG:8080/a/' || doc_id || '?gclid=abc123'
+                     WHEN doc_id % 3 = 1 THEN 'HTTP://Blog.Example.NET:80/p/' || doc_id || '?x=1&utm_medium=em&y=2&fbclid'
+                     ELSE 'https://shop.example.io/i/' || doc_id || '?utm_source=f#top'
+                   END AS raw_url,
+                   CASE
+                     WHEN doc_id % 3 = 0 THEN 'https://news.example.org:8080/a/' || doc_id
+                     WHEN doc_id % 3 = 1 THEN 'http://blog.example.net/p/' || doc_id || '?x=1&y=2'
+                     ELSE 'https://shop.example.io/i/' || doc_id
+                   END AS canonical_url
+            FROM documents""",
         "gopher_filter": """
             WITH base AS (
               SELECT doc_id, text AS t,

@@ -672,3 +672,20 @@ def test_canonicalize(spark):
     originals = {r.doc_id for r in docs.collect()}
     assert ids <= originals
     assert min(originals) in ids
+
+
+def test_normalize_url(spark):
+    from fortissimo_spark.urls import normalize_url
+    cases = [
+        ("HTTPS://Example.COM:443/Path?utm_source=x&a=1#frag",
+         "https://example.com/Path?a=1"),
+        ("http://Example.com:80/", "http://example.com/"),
+        ("http://example.com:8080/x?fbclid=1&b=2&utm_campaign=z",
+         "http://example.com:8080/x?b=2"),
+        ("https://h.example/x?utm_only=1", "https://h.example/x"),
+        ("https://h.example/x", "https://h.example/x"),
+        ("https://h.example/x?fbclid", "https://h.example/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r.c for r in df.select(normalize_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
