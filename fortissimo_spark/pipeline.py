@@ -34,8 +34,9 @@ from .io_tables import with_layout_columns
 from .kernel import make_extract_kernel
 from .schema import EXTRACT_SCHEMA
 
-__all__ = ["dedup_latest_crawl", "salted_repartition", "run_extraction",
-           "extract_df", "ExtractionJob"]
+__all__ = ["dedup_latest_crawl", "dedup_latest_crawl_canonical",
+           "salted_repartition", "run_extraction", "extract_df",
+           "ExtractionJob"]
 
 DEFAULT_SALT_FACTOR = 8
 
@@ -65,6 +66,22 @@ def dedup_latest_crawl(pages: DataFrame, strategy: str = "window") -> DataFrame:
     w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc(), F.col("html").isNull())
     return (pages.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def dedup_latest_crawl_canonical(pages: DataFrame) -> DataFrame:
+    """Latest crawl wins per CANONICAL url: tracking-parameter / case /
+    default-port / fragment variants of the same page (urls.normalize_url)
+    collapse into one dedup key, so per-url dedup means per-PAGE dedup.
+    Same single-scan window plan as the default strategy — the key is just
+    an expression, computed map-side before the exchange; the original
+    ``url`` column is preserved on the winner row."""
+    from .urls import normalize_url
+
+    keyed = pages.withColumn("_curl", normalize_url(F.col("url")))
+    w = Window.partitionBy("_curl").orderBy(
+        F.col("warc_ts").desc(), F.col("html").isNull(), F.col("url"))
+    return (keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn", "_curl"))
 
 
 def salted_repartition(pages: DataFrame, num_partitions: int,

@@ -689,3 +689,25 @@ def test_normalize_url(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     got = [r.c for r in df.select(normalize_url("url").alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_dedup_canonical_collapses_url_variants(spark):
+    import datetime as dt
+    from fortissimo_spark.pipeline import dedup_latest_crawl_canonical
+    from fortissimo_spark.schema import PAGES_SCHEMA
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # three decorated variants of ONE page; latest must win
+        ("https://h.example.com/a?utm_source=x", t0, bytearray(b"<p>v1</p>"), None, "en"),
+        ("HTTPS://H.Example.COM:443/a", t0 + dt.timedelta(hours=1),
+         bytearray(b"<p>v2</p>"), None, "en"),
+        ("https://h.example.com/a#frag", t0 + dt.timedelta(hours=2),
+         bytearray(b"<p>v3</p>"), None, "en"),
+        # a genuinely different page survives independently
+        ("https://h.example.com/b", t0, bytearray(b"<p>b</p>"), None, "en"),
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    out = dedup_latest_crawl_canonical(pages).collect()
+    assert len(out) == 2
+    winner = [r for r in out if "/a" in r.url][0]
+    assert bytes(winner.html) == b"<p>v3</p>"  # the latest variant
