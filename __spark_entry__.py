@@ -1234,12 +1234,12 @@ def oracle_sql() -> dict[str, str]:
                 nw,
                 round(CAST(n - nwg + 1 AS DOUBLE) / nwg, 6) AS mwl,
                 round(CAST(length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / n, 6) AS alpha,
-                round(round(CAST(length(string_split(p, ' the ')) - 1
+                length(string_split(p, ' the ')) - 1
                      + length(string_split(p, ' and ')) - 1
                      + length(string_split(p, ' of ')) - 1
                      + length(string_split(p, ' to ')) - 1
                      + length(string_split(p, ' a ')) - 1
-                     + length(string_split(p, ' is ')) - 1 AS DOUBLE) / nwg, 6) * nwg, 0) AS stop_hits
+                     + length(string_split(p, ' is ')) - 1 AS stop_hits
               FROM base)
             SELECT doc_id,
                    nw >= 20 AND nw <= 100000 AS rule_word_count,

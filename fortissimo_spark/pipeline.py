@@ -63,25 +63,31 @@ def dedup_latest_crawl(pages: DataFrame, strategy: str = "window") -> DataFrame:
         return pages.join(F.broadcast(winners), ["url", "warc_ts"], "left_semi")
     if strategy != "window":
         raise ValueError(f"unknown dedup strategy: {strategy!r}")
-    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc(), F.col("html").isNull())
-    return (pages.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn"))
+    return _window_dedup(pages, F.col("url"))
+
+
+def _window_dedup(pages: DataFrame, key) -> DataFrame:
+    """Shared window-dedup body: latest crawl wins per ``key`` expression
+    (one map-side key computation, one hash(key) exchange, one scan)."""
+    keyed = pages.withColumn("_dk", key)
+    w = Window.partitionBy("_dk").orderBy(
+        F.col("warc_ts").desc(), F.col("html").isNull(), F.col("url"))
+    return (keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn", "_dk"))
 
 
 def dedup_latest_crawl_canonical(pages: DataFrame) -> DataFrame:
     """Latest crawl wins per CANONICAL url: tracking-parameter / case /
     default-port / fragment variants of the same page (urls.normalize_url)
     collapse into one dedup key, so per-url dedup means per-PAGE dedup.
-    Same single-scan window plan as the default strategy — the key is just
-    an expression, computed map-side before the exchange; the original
-    ``url`` column is preserved on the winner row."""
+    Same single-scan window plan as the default strategy; the original
+    ``url`` column is preserved on the winner row. Urls the parser cannot
+    canonicalize (normalize_url yields NULL) fall back to their RAW url as
+    the key — malformed urls must never collapse into one NULL group."""
     from .urls import normalize_url
 
-    keyed = pages.withColumn("_curl", normalize_url(F.col("url")))
-    w = Window.partitionBy("_curl").orderBy(
-        F.col("warc_ts").desc(), F.col("html").isNull(), F.col("url"))
-    return (keyed.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn", "_curl"))
+    key = F.coalesce(normalize_url(F.col("url")), F.col("url"))
+    return _window_dedup(pages, key)
 
 
 def salted_repartition(pages: DataFrame, num_partitions: int,

@@ -106,8 +106,12 @@ def gopher_quality_filter(docs: DataFrame, text_col: str = "text", *,
     r_wordlen = ((F.col("q_mean_word_len") >= min_mean_word_len)
                  & (F.col("q_mean_word_len") <= max_mean_word_len))
     r_alpha = F.col("q_alpha_ratio") >= min_alpha_ratio
-    stop_hits = F.round(F.col("q_stopword_ratio")
-                        * F.greatest(F.col("q_n_words"), F.lit(1)), 0)
+    # exact hit count (re-deriving it from the 6dp-rounded ratio goes wrong
+    # past ~1M words); same expression with_quality_features sums
+    stop_hits = None
+    for w_ in LANG_MARKERS["en"]:
+        occ = _occurrences(F.col(text_col), w_)
+        stop_hits = occ if stop_hits is None else stop_hits + occ
     r_stop = stop_hits >= min_stopword_hits
     return (out
             .withColumn("rule_word_count", r_words)
@@ -126,11 +130,15 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
 
     The benchmark gram set is small by construction (eval suites), so the
     containment join broadcasts it: each doc row is checked against the
-    grams with no shuffle of the corpus. Returns
+    grams with no shuffle of the corpus. Empty grams are dropped —
+    contains(text, '') is true for EVERY document, so one blank benchmark
+    row would flag the whole corpus and blow up the join output. Returns
     (doc_id, bench_id, gram) match rows.
     """
-    b = F.broadcast(benchmark.select(F.col(bench_id_col).alias("bench_id"),
-                                     F.col(gram_col).alias("gram")))
+    b = F.broadcast(benchmark
+                    .select(F.col(bench_id_col).alias("bench_id"),
+                            F.col(gram_col).alias("gram"))
+                    .filter(F.length("gram") > 0))
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
     return (d.join(b, F.expr("contains(_t, gram)"))
             .select("doc_id", "bench_id", "gram"))

@@ -685,6 +685,10 @@ def test_normalize_url(spark):
         ("https://h.example/x?utm_only=1", "https://h.example/x"),
         ("https://h.example/x", "https://h.example/x"),
         ("https://h.example/x?fbclid", "https://h.example/x"),
+        # case-insensitive tracking params; empty path -> '/'
+        ("https://h.example/x?UTM_Source=x&Fbclid=1&ok=2", "https://h.example/x?ok=2"),
+        ("https://Example.COM", "https://example.com/"),
+        ("http://example.com?a=1", "http://example.com/?a=1"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     got = [r.c for r in df.select(normalize_url("url").alias("c")).collect()]
@@ -711,3 +715,22 @@ def test_dedup_canonical_collapses_url_variants(spark):
     assert len(out) == 2
     winner = [r for r in out if "/a" in r.url][0]
     assert bytes(winner.html) == b"<p>v3</p>"  # the latest variant
+
+    # malformed urls (normalize_url -> NULL) must NOT collapse together:
+    # each keeps its raw url as the dedup key
+    bad = [("not a url |one", t0, bytearray(b"<p>1</p>"), None, "en"),
+           ("also not{a}url", t0, bytearray(b"<p>2</p>"), None, "en")]
+    out2 = dedup_latest_crawl_canonical(
+        spark.createDataFrame(bad, PAGES_SCHEMA)).collect()
+    assert len(out2) == 2
+
+
+def test_decontaminate_empty_gram_guard(spark):
+    from fortissimo_spark.textstats import decontaminate
+    docs = spark.createDataFrame([(1, "alpha beta"), (2, "gamma")],
+                                 ["doc_id", "text"])
+    bench = spark.createDataFrame([(10, ""), (11, "beta")],
+                                  ["bench_id", "gram"])
+    hits = decontaminate(docs, bench).collect()
+    # the empty gram must NOT flag everything; only the real match remains
+    assert [(r.doc_id, r.bench_id) for r in hits] == [(1, 11)]
