@@ -45,11 +45,23 @@ def main():
     sections.append(("extraction (dedup=window default + kernel + agg)", p, [
         ("single source execution (one pages kernel)",
          p.count("_pages_kernel") == 1),
-        ("exactly one url exchange (the window's)",
-         p.count("hashpartitioning(url") == 1),
+        ("exactly one dedup-key exchange (the window's)",
+         p.count("hashpartitioning(_dk") == 1),
         ("no full-universe BroadcastExchange", "BroadcastExchange" not in p),
         ("window top-1 pushed down (WindowGroupLimit)", "WindowGroupLimit" in p),
         ("kernel runs via ArrowEvalPython/MapInPandas", "MapInPandas" in p or "ArrowEval" in p),
+    ]))
+
+    # 1b. canonical-url dedup: same single-scan/single-exchange shape (the
+    #     canonical key is a map-side expression, not an extra stage)
+    from fortissimo_spark.pipeline import dedup_latest_crawl_canonical
+    ext_c = extract_df(dedup_latest_crawl_canonical(pages), "density") \
+        .agg(F.count("*"))
+    p = plan_of(ext_c)
+    sections.append(("extraction (canonical-url dedup)", p, [
+        ("single source execution", p.count("_pages_kernel") == 1),
+        ("single dedup-key exchange", p.count("hashpartitioning(_dk") == 1),
+        ("no BroadcastExchange", "BroadcastExchange" not in p),
     ]))
 
     # 2. q1: filter pushdown + partial aggregation
