@@ -29,6 +29,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="ignore committed lineage and reprocess everything")
     p.add_argument("--no-dedup", action="store_true",
                    help="skip the per-url latest-crawl dedup")
+    p.add_argument("--canonical-urls", action="store_true",
+                   help="dedup on canonical urls (tracking params/case/port "
+                        "variants collapse; urls.normalize_url)")
     p.add_argument("--salt-factor", type=int, default=8)
     p.add_argument("--master", default=None,
                    help="override master (omit under spark-submit)")
@@ -54,8 +57,10 @@ def main(argv=None) -> int:
 
     from .pipeline import ExtractionJob
 
+    dedup = False if args.no_dedup else ("canonical" if args.canonical_urls
+                                         else True)
     job = ExtractionJob(spark, args.output, strip=args.strip,
-                        salt_factor=args.salt_factor, dedup=not args.no_dedup)
+                        salt_factor=args.salt_factor, dedup=dedup)
     pages = spark.read.parquet(args.input)
     stats = job.run(pages, resume=not args.no_resume)
     print(json.dumps(stats, default=str))

@@ -113,7 +113,11 @@ class ExtractionJob:
 
     def __init__(self, spark: SparkSession, output_path: str, *,
                  strip: str = "density", salt_factor: int = DEFAULT_SALT_FACTOR,
-                 dedup: bool = True, engine_version: str = "0.1.0"):
+                 dedup: bool | str = True, engine_version: str = "0.1.0"):
+        """``dedup``: True = latest crawl per raw url (default); "canonical"
+        = latest crawl per canonical url (urls.normalize_url key, raw-url
+        fallback for unparseable urls); False = no dedup (salted
+        repartition only)."""
         self.spark = spark
         self.output_path = output_path
         self.strip = strip
@@ -155,7 +159,9 @@ class ExtractionJob:
         # salted_repartition is for the no-dedup path, where input arrives
         # clustered by (crawl_date, host_bucket) and hot hosts would
         # otherwise pin single tasks.
-        if self.dedup:
+        if self.dedup == "canonical":
+            pages = dedup_latest_crawl_canonical(pages)
+        elif self.dedup:
             pages = dedup_latest_crawl(pages)
         else:
             parallelism = spark.sparkContext.defaultParallelism
