@@ -30,8 +30,8 @@ from fortissimo_spark.similarity import (  # noqa: E402
     cosine_near_pairs, ivf_centroids, ivf_topk,
 )
 from fortissimo_spark.textstats import (  # noqa: E402
-    decontaminate, gopher_quality_filter, tf_idf_top_terms, with_langid,
-    with_quality_features, with_token_counts,
+    collapse_repeated_tokens, decontaminate, gopher_quality_filter,
+    tf_idf_top_terms, with_langid, with_quality_features, with_token_counts,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -646,6 +646,14 @@ def _q_quality_features(spark, sf_dir):
                       "q_mean_word_len", "q_stopword_ratio")
 
 
+def _q_collapse_repeats(spark, sf_dir):
+    """Intra-document repetition cleanup: collapse consecutive duplicate
+    tokens (C4/Gopher-family rule), JVM-side indexed array filter."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (collapse_repeated_tokens(docs)
+            .select("doc_id", "text_clean", "n_tokens_removed"))
+
+
 def _q_url_normalize(spark, sf_dir):
     """URL canonicalization (urls.normalize_url): case/port/fragment/
     tracking-param variants collapse to one dedup key. The query builds
@@ -742,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf,
         "langid_profile": _q_langid_profile,
         "url_normalize": _q_url_normalize,
+        "collapse_repeats": _q_collapse_repeats,
         "gopher_filter": _q_gopher_filter,
         "decontaminate": _q_decontaminate,
     }
@@ -1208,6 +1217,19 @@ def oracle_sql() -> dict[str, str]:
                          + length(string_split(p, ' is ')) - 1 AS DOUBLE) / nwg, 6)
                 AS q_stopword_ratio
             FROM base""",
+        "collapse_repeats": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents)
+            SELECT doc_id,
+                   array_to_string(
+                     list_filter(ws, (x, i) -> i = 1 OR x != ws[i - 1]),
+                     ' ') AS text_clean,
+                   CAST(length(ws) - length(
+                     list_filter(ws, (x, i) -> i = 1 OR x != ws[i - 1]))
+                     AS INT) AS n_tokens_removed
+            FROM w""",
         "url_normalize": """
             SELECT doc_id,
                    CASE

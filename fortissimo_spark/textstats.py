@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["with_token_counts", "with_quality_features", "with_langid",
            "with_fingerprints", "tf_idf_top_terms", "gopher_quality_filter",
-           "decontaminate", "LANG_MARKERS"]
+           "decontaminate", "collapse_repeated_tokens", "LANG_MARKERS"]
 
 # tiny marker-word profiles (public-knowledge function words)
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -86,6 +86,20 @@ def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (df
             .withColumn("langid_guess", best["lang"])
             .withColumn("langid_score", best["score"]))
+
+
+def collapse_repeated_tokens(docs: DataFrame, text_col: str = "text",
+                             out_col: str = "text_clean") -> DataFrame:
+    """Collapse runs of consecutively repeated tokens ("batch batch batch"
+    -> "batch") — the C4/Gopher-family intra-document repetition cleanup,
+    entirely JVM-side (indexed array filter; no UDF). Adds ``out_col`` and
+    ``n_tokens_removed``."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    kept = F.filter(words, lambda w, i: (i == 0)
+                    | (w != F.element_at(words, i)))  # element_at is 1-based
+    return (docs
+            .withColumn(out_col, F.array_join(kept, " "))
+            .withColumn("n_tokens_removed", F.size(words) - F.size(kept)))
 
 
 def gopher_quality_filter(docs: DataFrame, text_col: str = "text", *,
