@@ -677,11 +677,34 @@ def _q_url_normalize(spark, sf_dir):
 
 
 def _q_gopher_filter(spark, sf_dir):
-    """Gopher-family quality gate with inspectable per-rule booleans."""
+    """Gopher-family quality gate, FULL public rule battery, with
+    inspectable per-rule fractions + booleans. Adversarial fixtures are
+    planted (repeated-line wall, repeated paragraph, bullet wall, ellipsis
+    wall, symbol spam, repeated 2-gram) so each repetition/format rule is
+    exercised in the oracle comparison, not just on clean prose."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    out = gopher_quality_filter(docs)
-    return out.select("doc_id", "rule_word_count", "rule_word_len",
-                      "rule_alpha", "rule_stopwords", "keep")
+    fixtures = spark.createDataFrame([
+        (9000001, "dup line\n" * 10 + "unique tail"),
+        (9000002, "para one text here\n\n" * 5 + "tail para"),
+        (9000003, "\n".join(f"• item {i}" for i in range(10))),
+        (9000004, "this goes on...\nand it keeps going on...\nmore still..."),
+        (9000005, "price # tag # deal # now # buy # it # cheap # sale"),
+        (9000006, "buy now buy now buy now buy now click here"),
+    ], "doc_id long, text string")
+    out = gopher_quality_filter(docs.union(fixtures))
+    return out.select(
+        "doc_id",
+        "gq_dup_line_frac", "gq_dup_para_frac",
+        "gq_dup_line_char_frac", "gq_dup_para_char_frac",
+        "gq_top2gram_char_frac", "gq_top3gram_char_frac",
+        "gq_top4gram_char_frac",
+        "gq_symbol_word_ratio", "gq_bullet_line_frac",
+        "gq_ellipsis_line_frac",
+        "rule_word_count", "rule_word_len", "rule_alpha", "rule_stopwords",
+        "rule_dup_lines", "rule_dup_paras", "rule_dup_line_chars",
+        "rule_dup_para_chars", "rule_top2gram", "rule_top3gram",
+        "rule_top4gram", "rule_symbols", "rule_bullets", "rule_ellipsis",
+        "keep")
 
 
 def _q_decontaminate(spark, sf_dir):
@@ -783,6 +806,110 @@ def _ivf_oracle_sql() -> str:
             FROM cells c, q
             WHERE c.vec_id != 0 AND c.cell IN (SELECT cid FROM probes)
             ORDER BY cos_sim DESC, c.vec_id LIMIT 10""".format(vals=vals)
+
+def _gopher_oracle_sql() -> str:
+    """DuckDB mirror of the FULL Gopher battery, fixtures included — every
+    fraction and rule boolean is recomputed from scratch (lists + lambdas),
+    rounded to 6dp exactly like the Spark side before thresholding."""
+    return """
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            (9000001, repeat('dup line' || chr(10), 10) || 'unique tail'),
+            (9000002, repeat('para one text here' || chr(10) || chr(10), 5) || 'tail para'),
+            (9000003, array_to_string(list_transform(range(0, 10), i -> '• item ' || i), chr(10))),
+            (9000004, 'this goes on...' || chr(10) || 'and it keeps going on...' || chr(10) || 'more still...'),
+            (9000005, 'price # tag # deal # now # buy # it # cheap # sale'),
+            (9000006, 'buy now buy now buy now buy now click here')
+          ) AS f(doc_id, text)),
+        base AS (
+          SELECT doc_id, text AS t,
+            greatest(length(text), 1) AS n,
+            regexp_split_to_array(trim(text), '\\s+') AS w,
+            list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                        s -> length(s) > 0) AS lines,
+            list_filter(list_transform(string_split(text, chr(10) || chr(10)), s -> trim(s)),
+                        s -> length(s) > 0) AS paras,
+            ' ' || regexp_replace(text, '\\s+', '  ', 'g') || ' ' AS p
+          FROM corpus),
+        base2 AS (
+          SELECT *,
+            list_transform(range(1, greatest(length(w), 1)), i -> w[i] || ' ' || w[i+1]) AS g2,
+            list_transform(range(1, greatest(length(w) - 1, 1)), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3,
+            list_transform(range(1, greatest(length(w) - 2, 1)), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS g4
+          FROM base),
+        feats AS (
+          SELECT doc_id,
+            length(w) AS nw,
+            round(CAST(n - greatest(length(w), 1) + 1 AS DOUBLE) / greatest(length(w), 1), 6) AS mwl,
+            round(CAST(length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / n, 6) AS alpha,
+            length(string_split(p, ' the ')) - 1 + length(string_split(p, ' and ')) - 1
+              + length(string_split(p, ' of ')) - 1 + length(string_split(p, ' to ')) - 1
+              + length(string_split(p, ' a ')) - 1 + length(string_split(p, ' is ')) - 1 AS stop_hits,
+            round(CAST(length(lines) - length(list_distinct(lines)) AS DOUBLE)
+                  / greatest(length(lines), 1), 6) AS dup_line_frac,
+            round(CAST(length(paras) - length(list_distinct(paras)) AS DOUBLE)
+                  / greatest(length(paras), 1), 6) AS dup_para_frac,
+            round(CAST(coalesce(list_sum(list_transform(lines, s -> length(s))), 0)
+                     - coalesce(list_sum(list_transform(list_distinct(lines), s -> length(s))), 0) AS DOUBLE)
+                  / greatest(coalesce(list_sum(list_transform(lines, s -> length(s))), 0), 1), 6) AS dup_line_char_frac,
+            round(CAST(coalesce(list_sum(list_transform(paras, s -> length(s))), 0)
+                     - coalesce(list_sum(list_transform(list_distinct(paras), s -> length(s))), 0) AS DOUBLE)
+                  / greatest(coalesce(list_sum(list_transform(paras, s -> length(s))), 0), 1), 6) AS dup_para_char_frac,
+            round(CAST(coalesce(list_max(list_transform(
+                    list_filter(list_distinct(g2), g -> length(list_filter(g2, x -> x = g)) >= 2),
+                    g -> length(list_filter(g2, x -> x = g)) * length(g))), 0) AS DOUBLE) / n, 6) AS top2,
+            round(CAST(coalesce(list_max(list_transform(
+                    list_filter(list_distinct(g3), g -> length(list_filter(g3, x -> x = g)) >= 2),
+                    g -> length(list_filter(g3, x -> x = g)) * length(g))), 0) AS DOUBLE) / n, 6) AS top3,
+            round(CAST(coalesce(list_max(list_transform(
+                    list_filter(list_distinct(g4), g -> length(list_filter(g4, x -> x = g)) >= 2),
+                    g -> length(list_filter(g4, x -> x = g)) * length(g))), 0) AS DOUBLE) / n, 6) AS top4,
+            round(CAST((length(t) - length(replace(t, '#', '')))
+                     + (length(t) - length(replace(t, '...', ''))) // 3 AS DOUBLE)
+                  / greatest(length(w), 1), 6) AS symbol_ratio,
+            round(CAST(length(list_filter(lines,
+                    s -> substr(s, 1, 1) = '•' OR substr(s, 1, 1) = '-' OR substr(s, 1, 1) = '*')) AS DOUBLE)
+                  / greatest(length(lines), 1), 6) AS bullet_frac,
+            round(CAST(length(list_filter(lines,
+                    s -> ends_with(s, '...') OR ends_with(s, '…'))) AS DOUBLE)
+                  / greatest(length(lines), 1), 6) AS ellipsis_frac
+          FROM base2)
+        SELECT doc_id,
+          dup_line_frac AS gq_dup_line_frac,
+          dup_para_frac AS gq_dup_para_frac,
+          dup_line_char_frac AS gq_dup_line_char_frac,
+          dup_para_char_frac AS gq_dup_para_char_frac,
+          top2 AS gq_top2gram_char_frac,
+          top3 AS gq_top3gram_char_frac,
+          top4 AS gq_top4gram_char_frac,
+          symbol_ratio AS gq_symbol_word_ratio,
+          bullet_frac AS gq_bullet_line_frac,
+          ellipsis_frac AS gq_ellipsis_line_frac,
+          (nw >= 20 AND nw <= 100000) AS rule_word_count,
+          (mwl >= 2.0 AND mwl <= 12.0) AS rule_word_len,
+          alpha >= 0.5 AS rule_alpha,
+          stop_hits >= 1 AS rule_stopwords,
+          dup_line_frac <= 0.30 AS rule_dup_lines,
+          dup_para_frac <= 0.30 AS rule_dup_paras,
+          dup_line_char_frac <= 0.20 AS rule_dup_line_chars,
+          dup_para_char_frac <= 0.20 AS rule_dup_para_chars,
+          top2 <= 0.20 AS rule_top2gram,
+          top3 <= 0.18 AS rule_top3gram,
+          top4 <= 0.16 AS rule_top4gram,
+          symbol_ratio <= 0.10 AS rule_symbols,
+          bullet_frac <= 0.90 AS rule_bullets,
+          ellipsis_frac <= 0.30 AS rule_ellipsis,
+          ((nw >= 20 AND nw <= 100000) AND (mwl >= 2.0 AND mwl <= 12.0)
+            AND alpha >= 0.5 AND stop_hits >= 1
+            AND dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+            AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+            AND top2 <= 0.20 AND top3 <= 0.18 AND top4 <= 0.16
+            AND symbol_ratio <= 0.10 AND bullet_frac <= 0.90
+            AND ellipsis_frac <= 0.30) AS keep
+        FROM feats"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1243,34 +1370,7 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'https://shop.example.io/i/' || doc_id
                    END AS canonical_url
             FROM documents""",
-        "gopher_filter": """
-            WITH base AS (
-              SELECT doc_id, text AS t,
-                     greatest(length(text), 1) AS n,
-                     CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS nw,
-                     greatest(length(regexp_split_to_array(trim(text), '\\s+')), 1) AS nwg,
-                     ' ' || regexp_replace(text, '\\s+', '  ', 'g') || ' ' AS p
-              FROM documents),
-            feats AS (
-              SELECT doc_id,
-                nw,
-                round(CAST(n - nwg + 1 AS DOUBLE) / nwg, 6) AS mwl,
-                round(CAST(length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / n, 6) AS alpha,
-                length(string_split(p, ' the ')) - 1
-                     + length(string_split(p, ' and ')) - 1
-                     + length(string_split(p, ' of ')) - 1
-                     + length(string_split(p, ' to ')) - 1
-                     + length(string_split(p, ' a ')) - 1
-                     + length(string_split(p, ' is ')) - 1 AS stop_hits
-              FROM base)
-            SELECT doc_id,
-                   nw >= 20 AND nw <= 100000 AS rule_word_count,
-                   mwl >= 2.0 AND mwl <= 12.0 AS rule_word_len,
-                   alpha >= 0.5 AS rule_alpha,
-                   stop_hits >= 1 AS rule_stopwords,
-                   (nw >= 20 AND nw <= 100000) AND (mwl >= 2.0 AND mwl <= 12.0)
-                     AND alpha >= 0.5 AND stop_hits >= 1 AS keep
-            FROM feats""",
+        "gopher_filter": _gopher_oracle_sql(),
         "decontaminate": """
             WITH bench AS (
               SELECT doc_id AS bench_id,

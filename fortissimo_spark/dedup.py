@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["exact_duplicates", "shingle_sets", "minhash_signatures",
-           "lsh_candidate_pairs", "verified_near_duplicates", "simhash64",
+           "lsh_candidate_pairs", "lsh_bucket_stats",
+           "verified_near_duplicates", "simhash64",
            "duplicate_clusters", "canonicalize",
            "md5_word_hash", "near_duplicate_pairs"]
 
@@ -90,13 +91,48 @@ def shingle_sets(docs: DataFrame, id_col: str = "doc_id",
 def minhash_signatures(shingled: DataFrame, num_hashes: int = 128,
                        seed: int = 42) -> DataFrame:
     """(id, shingles, sig[num_hashes]) — min over shingles of each
-    permutation hash of xxhash64(shingle)."""
+    permutation hash of xxhash64(shingle).
+
+    Single traversal of the shingle-hash array: one ``F.aggregate``
+    carries a ``num_hashes``-length running-min array, updated per shingle
+    by zipping literal a/b coefficient arrays (permutation values for this
+    hash) against the accumulator with ``least``. The previous shape
+    materialized ``num_hashes`` intermediate permuted copies of the whole
+    array per row and leaned on Catalyst subexpression elimination to
+    avoid re-hashing the shingles 128× — same fix pattern as
+    :func:`simhash64`'s single-pass counters. Values are bit-identical to
+    the per-coefficient ``array_min`` formulation (same coefficients, same
+    modular math, same min)."""
+    coeffs = _coeffs(num_hashes, seed)
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
     hashes = F.transform("shingles", lambda s: F.abs(F.xxhash64(s)) % _MERSENNE_P)
-    sig_cols = []
-    for a, b in _coeffs(num_hashes, seed):
-        perm = F.transform(hashes, lambda h: (h * a + b) % _MERSENNE_P)  # noqa: B023
-        sig_cols.append(F.array_min(perm))
-    return shingled.withColumn("sig", F.array(*sig_cols))
+    # init = p: every permuted value is in [0, p-1], so one shingle is
+    # enough to pull each slot below the sentinel (shingle_sets never
+    # emits an empty array)
+    sig = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(_MERSENNE_P).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            F.zip_with(a_arr, b_arr, lambda a, b: (h * a + b) % _MERSENNE_P),
+            acc, lambda perm, cur: F.least(perm, cur)))
+    return shingled.withColumn("sig", sig)
+
+
+def _banded(signed: DataFrame, bands: int) -> DataFrame:
+    """(id, band, band_hash) — one row per (doc, band), hashing each
+    signature slice. Shared by candidate generation and bucket stats."""
+    sig_size_expr = F.size("sig")
+    # rows per band r = len(sig)/bands, computed with fixed bands
+    return (signed
+            .select("id", F.posexplode(F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.concat_ws(
+                    ",", F.transform(
+                        F.slice("sig", b * (sig_size_expr / bands).cast("int") + 1,
+                                (sig_size_expr / bands).cast("int")),
+                        lambda v: v.cast("string"))))))
+                .alias("band", "band_hash")))
 
 
 def lsh_candidate_pairs(signed: DataFrame, bands: int = 32,
@@ -107,20 +143,16 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = 32,
     Degenerate-bucket guard: a bucket is capped at ``max_bucket_size``
     members (first K by id, deterministic), so one hot bucket — e.g. a
     constant boilerplate column — contributes at most K(K-1)/2 pairs instead
-    of going quadratic in the corpus. Pairs beyond the cap within a bucket
-    are exact duplicates of each other's neighborhoods and are the domain of
-    ``exact_duplicates``, not near-dup search. 0 disables the cap."""
-    sig_size_expr = F.size("sig")
-    # rows per band r = len(sig)/bands, computed with fixed bands
-    buckets = (signed
-               .select("id", F.posexplode(F.transform(
-                   F.sequence(F.lit(0), F.lit(bands - 1)),
-                   lambda b: F.xxhash64(F.concat_ws(
-                       ",", F.transform(
-                           F.slice("sig", b * (sig_size_expr / bands).cast("int") + 1,
-                                   (sig_size_expr / bands).cast("int")),
-                           lambda v: v.cast("string"))))))
-                   .alias("band", "band_hash")))
+    of going quadratic in the corpus. **This is a recall trade-off**: a
+    shared (band, band_hash) bucket only means one matching signature slice,
+    so members dropped past the cap can miss a true near-dup in every band
+    and survive canonicalization. Use :func:`lsh_bucket_stats` with the same
+    arguments to see exactly which buckets were truncated (no silent caps);
+    raise the cap — or 0 to disable — when over-capacity buckets carry real
+    near-dup structure rather than boilerplate. Exact-duplicate rows should
+    be removed by :func:`exact_duplicates` upstream so they don't consume
+    bucket capacity."""
+    buckets = _banded(signed, bands)
     if max_bucket_size:
         w = Window.partitionBy("band", "band_hash").orderBy("id")
         buckets = (buckets.withColumn("_rn", F.row_number().over(w))
@@ -132,6 +164,23 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = 32,
                     & (F.col("x.id") < F.col("y.id"))))
     return (joined.select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
             .distinct())
+
+
+def lsh_bucket_stats(signed: DataFrame, bands: int = 32,
+                     max_bucket_size: int = 1000) -> DataFrame:
+    """Observability for the bucket cap: (band, band_hash, n_members,
+    n_dropped) for every bucket LARGER than ``max_bucket_size`` — the
+    buckets whose members past the cap were silently excluded from
+    candidate generation. Empty result = the cap did not bite and
+    candidate recall is whatever the band layout gives. Run this alongside
+    :func:`lsh_candidate_pairs` (same ``signed``/``bands``/cap) and log the
+    counts; at 100 TB a hot bucket here usually means boilerplate that
+    exact-dedup should have removed upstream."""
+    return (_banded(signed, bands)
+            .groupBy("band", "band_hash")
+            .agg(F.count("*").alias("n_members"))
+            .filter(F.col("n_members") > max_bucket_size)
+            .withColumn("n_dropped", F.col("n_members") - max_bucket_size))
 
 
 def verified_near_duplicates(shingled: DataFrame, candidates: DataFrame,
@@ -150,14 +199,37 @@ def near_duplicate_pairs(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", *, n: int = 3,
                          num_hashes: int = 128, bands: int = 32,
                          threshold: float = 0.5,
-                         max_bucket_size: int = 1000) -> DataFrame:
+                         max_bucket_size: int = 1000,
+                         verify_docs: DataFrame | None = None) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: shingle → sign → band →
-    bucket-join → exact-verify."""
+    bucket-join → exact-verify.
+
+    Verify-side pruning: the candidate pair set is materialized once
+    (``localCheckpoint`` — it is small by construction, LSH buckets are
+    capped), then each exact-verify side scans only the rows whose ids
+    appear in some candidate pair, via a broadcast semi-join applied
+    BEFORE shingling. Without this the corpus would be scanned and
+    re-shingled three times (once to sign, once per verify side); with it
+    the full corpus is shingled exactly once and the verify recompute
+    touches only the (typically tiny) candidate set.
+
+    ``verify_docs``: frame to read verify-side text from; defaults to
+    ``docs``. :func:`canonicalize` passes the raw pre-exact-dedup corpus
+    here so the verify scans skip its row_number window — sound whenever
+    ids are unique, because candidate ids are a subset of ``docs`` ids.
+    """
     shingled = shingle_sets(docs, id_col, text_col, n)
     signed = minhash_signatures(shingled, num_hashes)
     candidates = lsh_candidate_pairs(signed.select("id", "sig"), bands,
                                      max_bucket_size)
-    return verified_near_duplicates(shingled, candidates, threshold)
+    candidates = candidates.localCheckpoint(eager=True)
+    cand_ids = (candidates.select(F.col("id_a").alias(id_col))
+                .union(candidates.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    src = docs if verify_docs is None else verify_docs
+    pruned = src.join(F.broadcast(cand_ids), id_col, "left_semi")
+    return verified_near_duplicates(shingle_sets(pruned, id_col, text_col, n),
+                                    candidates, threshold)
 
 
 def canonicalize(docs: DataFrame, id_col: str = "doc_id",
@@ -175,7 +247,12 @@ def canonicalize(docs: DataFrame, id_col: str = "doc_id",
        its cluster's minimum id (anti-join — losers only, never the full
        corpus, cross the exchange).
 
-    Returns the surviving rows of ``docs`` (same schema).
+    Returns the surviving rows of ``docs`` (same schema). Requires unique
+    ids in ``docs`` (standard for a corpus key): the exact-verify sides
+    read the RAW corpus pruned to candidate ids (``verify_docs=docs``), so
+    the exact-dedup window runs on the sign path and the final anti-join
+    only — never on the verify scans. Candidate ids always name exact-dedup
+    survivors, so with unique ids the pruned raw scan yields the same rows.
     """
     w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(id_col)
     survivors = (docs.withColumn("_rn", F.row_number().over(w))
@@ -183,7 +260,8 @@ def canonicalize(docs: DataFrame, id_col: str = "doc_id",
     pairs = near_duplicate_pairs(survivors, id_col, text_col, n=n,
                                  num_hashes=num_hashes, bands=bands,
                                  threshold=threshold,
-                                 max_bucket_size=max_bucket_size)
+                                 max_bucket_size=max_bucket_size,
+                                 verify_docs=docs)
     clusters = duplicate_clusters(pairs.select("id_a", "id_b"),
                                   max_cluster_iterations)
     losers = (clusters.filter(F.col("id") != F.col("cluster_id"))
@@ -206,8 +284,12 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     DataFrame joins (alternating large-star/small-star-style relaxation):
     every node adopts the smallest label among itself and its neighbors;
     rounds needed = component diameter, which is tiny for the clique/star
-    shapes near-dup graphs take. Each round is one shuffle on ``id``; the loop stops early when a
-    round changes nothing (count of changed labels — cheap, aggregated).
+    shapes near-dup graphs take. Each round is ONE Spark action: the
+    changed-label flag is computed inside the relaxation select, the round's
+    frame is (lazily) localCheckpoint-ed, and the convergence count is the
+    action that materializes it — later rounds reuse the checkpointed
+    blocks, so nothing is computed twice (r2 ran a second join+count action
+    per round that re-derived the change set from scratch).
 
     Scale note: label propagation keeps only (id, label) state — never an
     adjacency list per node — and the pair input is already bounded by the
@@ -227,16 +309,18 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                         .join(labels.withColumnRenamed("id", "b")
                               .withColumnRenamed("label", "nb_label"), "b")
                         .groupBy("a").agg(F.min("nb_label").alias("min_nb")))
+        relaxed = F.coalesce(F.col("min_nb"), F.col("label"))
         updated = (labels
                    .join(neighbor_min.withColumnRenamed("a", "id"), "id", "left")
-                   .select("id", F.least(
-                       F.col("label"),
-                       F.coalesce(F.col("min_nb"), F.col("label"))).alias("label")))
-        updated = updated.localCheckpoint(eager=True)  # cut the lineage per round
-        changed = (labels.withColumnRenamed("label", "old")
-                   .join(updated, "id")
-                   .filter(F.col("old") != F.col("label")).count())
-        labels = updated
+                   .select("id",
+                           F.least(F.col("label"), relaxed).alias("label"),
+                           (relaxed < F.col("label")).alias("_chg")))
+        # lazy checkpoint: the count below is the single action that both
+        # materializes this round's labels (lineage cut) and decides
+        # convergence; the next round's join reads the checkpointed blocks
+        updated = updated.localCheckpoint(eager=False)
+        changed = updated.filter(F.col("_chg")).count()
+        labels = updated.drop("_chg")
         if changed == 0:
             converged = True
             break

@@ -114,7 +114,15 @@ def iter_events(b: DocBuilder, node: int = 0, *,
             # than the source run (ws-after-'</' lossy shape)
             src_end = b.src_end[nd]
             if src_end >= 0 and source is not None:
-                s = source.rfind("</", 0, src_end)
+                # exact run first: when the stored end-tag text matches the
+                # source bytes, the span is src_end - len (a malformed
+                # trailing may itself contain '</', which would mislead the
+                # rfind — e.g. '<p>x</p </q>' stores '</p </q>'); rfind is
+                # only the fallback for the lossy '</ p>' shapes where the
+                # stored text is SHORTER than the source run
+                s = src_end - len(end_tag)
+                if not (s >= 0 and source[s:src_end] == end_tag):
+                    s = source.rfind("</", 0, src_end)
             elif src_end >= 0:
                 s = src_end - len(end_tag)
             else:

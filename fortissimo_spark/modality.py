@@ -2,19 +2,21 @@
 
 The Spark-side contract — schemas, Arrow batch shapes, ``mapInPandas``
 signatures, partitioning — is real and tested, and so is the decode step
-for the formats decodable without external codecs: BMP (uncompressed
-24/32-bit) and PPM (P6/P3) images produce real dimensions and a
-pixel-derived 4x4 grayscale feature grid; WAV PCM audio produces real
-sample rate / channels / duration and a 16-window RMS loudness profile.
-Formats needing a codec not present in this container (JPEG/PNG/mp3/
-video) raise ``NotImplementedError`` unless ``deterministic_fake=True``,
-which substitutes a seeded content-derived stand-in so downstream
-plumbing stays exercisable end-to-end.
+for the formats decodable without external codecs: PNG (stdlib zlib +
+filter reconstruction, 8-bit gray/gray+alpha/RGB/RGBA, non-interlaced),
+BMP (uncompressed 24/32-bit) and PPM (P6/P3) images produce real
+dimensions and a pixel-derived 4x4 grayscale feature grid; WAV PCM audio
+produces real sample rate / channels / duration and a 16-window RMS
+loudness profile. Formats needing a codec not present in this container
+(JPEG/mp3/video) raise ``NotImplementedError`` unless
+``deterministic_fake=True``, which substitutes a seeded content-derived
+stand-in so downstream plumbing stays exercisable end-to-end.
 """
 
 from __future__ import annotations
 
 import hashlib
+import zlib
 from typing import Iterable, Iterator
 
 import pandas as pd
@@ -25,7 +27,7 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["MEDIA_SCHEMA", "IMAGE_FEATURES_SCHEMA", "AUDIO_FEATURES_SCHEMA",
-           "decode_image", "decode_bmp", "decode_ppm", "decode_wav",
+           "decode_image", "decode_bmp", "decode_ppm", "decode_png", "decode_wav",
            "decode_audio", "make_image_feature_kernel",
            "make_audio_feature_kernel", "image_features", "audio_features",
            "sample_frames"]

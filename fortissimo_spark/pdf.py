@@ -229,8 +229,27 @@ def _skip_dict(data: bytes, i: int) -> int:
     return i
 
 
+# PDF whitespace + delimiter bytes: an operator token must be bounded by
+# these (or start/end of stream) — without the boundary check, a resource
+# name like /Tj0 or /TD1 would spuriously match the text-show operators
+_PDF_DELIMS = b"\x00\t\n\f\r ()<>[]{}/%"
+
+
+def _is_op(data: bytes, i: int, tok: bytes) -> bool:
+    """True when ``tok`` at ``i`` is a whole operator token (delimiter or
+    boundary on both sides)."""
+    if not data.startswith(tok, i):
+        return False
+    j = i + len(tok)
+    return ((i == 0 or data[i - 1] in _PDF_DELIMS)
+            and (j >= len(data) or data[j] in _PDF_DELIMS))
+
+
 def _text_from_content(data: bytes) -> list[bytes]:
-    """Scan one content stream for text-showing operators."""
+    """Scan one content stream for text-showing operators (tokenized:
+    names are consumed whole and operator matches require token
+    boundaries, so identifiers containing operator bytes can't flush or
+    inject text)."""
     parts: list[bytes] = []
     pending: list[bytes] = []  # strings awaiting their operator
     i = 0
@@ -247,15 +266,19 @@ def _text_from_content(data: bytes) -> list[bytes]:
             pending.append(s)
         elif c == 0x5B:  # [ TJ array: strings inside collect as one run
             i += 1
-        elif data.startswith(b"Tj", i) or data.startswith(b"TJ", i) \
-                or data.startswith(b"'", i) or data.startswith(b'"', i):
-            if data.startswith(b"'", i) or data.startswith(b'"', i):
+        elif c == 0x2F:  # / name token: consume whole (e.g. /Tj0, /TD1)
+            i += 1
+            while i < n and data[i] not in _PDF_DELIMS:
+                i += 1
+        elif _is_op(data, i, b"Tj") or _is_op(data, i, b"TJ") \
+                or _is_op(data, i, b"'") or _is_op(data, i, b'"'):
+            if data[i] in b"'\"":
                 parts.append(b"\n")
             parts.extend(pending)
             pending.clear()
             i += 2 if data[i] in b"T" else 1
-        elif data.startswith(b"T*", i) or data.startswith(b"TD", i) \
-                or data.startswith(b"Td", i):
+        elif _is_op(data, i, b"T*") or _is_op(data, i, b"TD") \
+                or _is_op(data, i, b"Td"):
             # line advance: only meaningful once text exists
             if parts:
                 parts.append(b"\n")
@@ -271,10 +294,23 @@ def extract_pdf_text(payload: bytes) -> str:
     FlateDecode/none (no codecs in this container)."""
     # encryption sniff scoped to the trailer dictionary (the only place
     # /Encrypt is structural) — document TEXT may legally contain the
-    # literal bytes '/Encrypt', which must not trigger a false refusal
+    # literal bytes '/Encrypt', which must not trigger a false refusal.
+    # PDF 1.5+ cross-reference-stream files have NO 'trailer' keyword (the
+    # trailer dict lives in the xref stream object), so in that case follow
+    # startxref to the object and sniff its dictionary head instead.
     tpos = payload.rfind(b"trailer")
-    if tpos >= 0 and b"/Encrypt" in payload[tpos:tpos + 2048]:
-        raise ValueError("encrypted PDF (unsupported)")
+    if tpos >= 0:
+        if b"/Encrypt" in payload[tpos:tpos + 2048]:
+            raise ValueError("encrypted PDF (unsupported)")
+    else:
+        sx = payload.rfind(b"startxref")
+        if sx >= 0:
+            m = re.search(rb"\d+", payload[sx + 9:sx + 40])
+            if m and int(m.group()) < len(payload):
+                window = payload[int(m.group()):int(m.group()) + 2048]
+                send = window.find(b"stream")
+                if b"/Encrypt" in (window[:send] if send >= 0 else window):
+                    raise ValueError("encrypted PDF (unsupported)")
     parts: list[bytes] = []
     for head, raw in _iter_streams(payload):
         if b"/FlateDecode" in head:

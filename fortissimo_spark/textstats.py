@@ -1,8 +1,8 @@
 """Text-analysis operators for training-data pipelines.
 
 All JVM-side DataFrame expressions (whole-stage codegen; no Python UDFs):
-language-ID by marker-word profiles, quality scoring, token counting, and
-rolling-hash document fingerprints.
+language-ID by marker-word profiles, quality scoring, token counting,
+Gopher-family repetition/format rules, and rolling-hash fingerprints.
 """
 
 from __future__ import annotations
@@ -21,17 +21,46 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "fr": ("le", "la", "les", "des", "est", "une"),
 }
 
+# the padded whitespace-normalized text every marker count splits against;
+# materialized ONCE per operator (see _with_ws_norm) instead of one
+# regexp_replace per marker word
+_NORM_COL = "_ws_norm"
 
-def _occurrences(col, word: str):
-    """Count of whitespace-delimited occurrences of ``word`` (JVM-side).
 
-    Every whitespace run is first normalized to TWO spaces so (a) adjacent
+def _with_ws_norm(df: DataFrame, text_col: str) -> DataFrame:
+    """Add the padded two-space-normalized text column used by
+    :func:`_occurrences_in_norm`.
+
+    Every whitespace run is normalized to TWO spaces so (a) adjacent
     occurrences ("the the") don't share a delimiter — each gets its own
     surrounding spaces — and (b) newline/tab-delimited occurrences count.
     RE2-safe (no lookarounds), so the DuckDB oracle can mirror it exactly.
+
+    Computed once per operator and referenced by every marker-word count:
+    the normalized column is used many times, which stops Catalyst's
+    CollapseProject from inlining (duplicating) the non-cheap
+    regexp_replace — one regexp_replace per query by construction, not by
+    optimizer courtesy. Callers drop the column before returning.
     """
-    padded = F.concat(F.lit(" "), F.regexp_replace(col, r"\s+", "  "), F.lit(" "))
-    return F.size(F.split(padded, f" {word} ", -1)) - 1
+    padded = F.concat(F.lit(" "),
+                      F.regexp_replace(F.col(text_col), r"\s+", "  "),
+                      F.lit(" "))
+    return df.withColumn(_NORM_COL, padded)
+
+
+def _occurrences_in_norm(word: str):
+    """Count of whitespace-delimited occurrences of ``word`` against the
+    pre-normalized ``_ws_norm`` column (JVM-side split, no regex)."""
+    return F.size(F.split(F.col(_NORM_COL), f" {word} ", -1)) - 1
+
+
+def _stop_hits_expr():
+    """Sum of English marker-word occurrences over ``_ws_norm``."""
+    total = None
+    for w in LANG_MARKERS["en"]:
+        occ = _occurrences_in_norm(w)
+        total = occ if total is None else total + occ
+    return total
 
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -53,11 +82,7 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
     punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", ""))
     upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
-    stop_hits = None
-    for w in LANG_MARKERS["en"]:
-        occ = _occurrences(t, w)
-        stop_hits = occ if stop_hits is None else stop_hits + occ
-    return (df
+    return (_with_ws_norm(df, text_col)
             .withColumn("q_len", F.length(t))
             .withColumn("q_n_words", F.size(words))
             .withColumn("q_alpha_ratio", F.round(alpha / n, 6))
@@ -65,27 +90,30 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("q_punct_ratio", F.round(punct / n, 6))
             .withColumn("q_upper_ratio", F.round(upper / n, 6))
             .withColumn("q_mean_word_len", F.round((n - n_words + 1) / n_words, 6))
-            .withColumn("q_stopword_ratio", F.round(stop_hits / n_words, 6)))
+            .withColumn("q_stopword_ratio",
+                        F.round(_stop_hits_expr() / n_words, 6))
+            .drop(_NORM_COL))
 
 
 def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Best marker-profile language + its score (deterministic tie-break by
-    language code)."""
-    t = F.col(text_col)
+    language code). One whitespace normalization feeds all 24 marker
+    counts."""
     scored = []
     for lang, markers in sorted(LANG_MARKERS.items()):
         score = None
         for w in markers:
-            occ = _occurrences(t, w)
+            occ = _occurrences_in_norm(w)
             score = occ if score is None else score + occ
         scored.append(F.struct(score.alias("score"),
                                F.lit(lang).alias("lang")))
     # max over structs: highest score wins; ties resolve to the
     # lexicographically LAST language code (deterministic)
     best = F.greatest(*scored) if len(scored) > 1 else scored[0]
-    return (df
+    return (_with_ws_norm(df, text_col)
             .withColumn("langid_guess", best["lang"])
-            .withColumn("langid_score", best["score"]))
+            .withColumn("langid_score", best["score"])
+            .drop(_NORM_COL))
 
 
 def collapse_repeated_tokens(docs: DataFrame, text_col: str = "text",
@@ -102,37 +130,171 @@ def collapse_repeated_tokens(docs: DataFrame, text_col: str = "text",
             .withColumn("n_tokens_removed", F.size(words) - F.size(kept)))
 
 
+def _clean_lines(t, sep: str):
+    """Trimmed non-empty segments after splitting on ``sep`` (regex)."""
+    return F.filter(F.transform(F.split(t, sep, -1), lambda s: F.trim(s)),
+                    lambda s: F.length(s) > 0)
+
+
+def _sum_len(arr):
+    return F.aggregate(arr, F.lit(0).cast("long"),
+                       lambda acc, s: acc + F.length(s))
+
+
+def _top_gram_char_frac(words, n: int, total_chars):
+    """Max over REPEATED word n-grams of count(gram) * char_len(gram), as a
+    fraction of ``total_chars`` — the Gopher "fraction of characters
+    contained in the most frequent n-gram" statistic. Grams occurring once
+    don't count (a lone n-gram is a large fraction of any short clean doc;
+    the public reimplementations gate on count >= 2 for the same reason),
+    so a document with no repeated n-gram scores 0.
+
+    Deterministic without tie-breaks (max of products) and shuffle-free:
+    sort the gram array, then one aggregate pass tracks the current run and
+    the best count*len product — O(W log W) per row, all JVM-side."""
+    k = F.size(words) - (n - 1)
+    grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(0), k - 1),
+                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
+    run_len = lambda acc, g: F.when(  # noqa: E731
+        g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+    best = F.aggregate(
+        F.array_sort(grams),
+        F.struct(F.lit("").alias("prev"),
+                 F.lit(0).cast("long").alias("run"),
+                 F.lit(0).cast("long").alias("best")),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            run_len(acc, g).alias("run"),
+            # only runs of length >= 2 (g == prev) can take the max
+            F.greatest(acc["best"],
+                       F.when(g == acc["prev"],
+                              run_len(acc, g) * F.length(g))
+                       .otherwise(F.lit(0).cast("long"))).alias("best")),
+        lambda acc: acc["best"])
+    return F.round(best / F.greatest(total_chars, F.lit(1)), 6)
+
+
 def gopher_quality_filter(docs: DataFrame, text_col: str = "text", *,
                           min_words: int = 20, max_words: int = 100000,
                           min_mean_word_len: float = 2.0,
                           max_mean_word_len: float = 12.0,
                           min_alpha_ratio: float = 0.5,
-                          min_stopword_hits: int = 1) -> DataFrame:
-    """Gopher-family document quality gate (public heuristics: word-count
-    bounds, mean word length band, alphabetic ratio, stopword presence).
+                          min_stopword_hits: int = 1,
+                          max_dup_line_frac: float = 0.30,
+                          max_dup_para_frac: float = 0.30,
+                          max_dup_line_char_frac: float = 0.20,
+                          max_dup_para_char_frac: float = 0.20,
+                          max_top2gram_char_frac: float = 0.20,
+                          max_top3gram_char_frac: float = 0.18,
+                          max_top4gram_char_frac: float = 0.16,
+                          max_symbol_word_ratio: float = 0.10,
+                          max_bullet_line_frac: float = 0.90,
+                          max_ellipsis_line_frac: float = 0.30) -> DataFrame:
+    """Gopher-family document quality gate — the full public rule battery.
 
-    Adds per-rule booleans and a combined ``keep`` column — rules stay
-    inspectable so a pipeline can log WHY documents were dropped (no
-    silent filtering at 100 TB). All JVM-side expressions.
+    Core rules (word-count bounds, mean word length band, alphabetic ratio,
+    stopword presence) plus the repetition/format rules that catch SEO spam
+    and boilerplate the length gates miss:
+
+    * duplicate-line / duplicate-paragraph fraction — share of segments
+      (trimmed, non-empty; paragraphs split on blank lines) that repeat an
+      earlier identical segment;
+    * duplicate-line / duplicate-paragraph CHARACTER fraction — characters
+      in repeat occurrences over characters in all segments
+      (``sum - sum(distinct)`` over segment lengths);
+    * top 2/3/4-gram character fraction — max over word n-grams of
+      ``count * char_len`` over total text length;
+    * symbol-to-word ratio — '#' and '...' occurrences per word;
+    * bullet-line / ellipsis-line fraction — lines starting with a bullet
+      (•, -, *) / ending with '...' or '…'.
+
+    Adds per-rule fraction columns and booleans plus a combined ``keep`` —
+    rules stay inspectable so a pipeline can log WHY documents were dropped
+    (no silent filtering at 100 TB). All JVM-side, shuffle-free (array
+    sort + aggregate per row; no explode, no groupBy). Rule booleans
+    compare the 6dp-ROUNDED fractions so the DuckDB oracle can mirror every
+    threshold decision exactly.
     """
-    out = with_quality_features(docs, text_col)
-    r_words = (F.col("q_n_words") >= min_words) & (F.col("q_n_words") <= max_words)
-    r_wordlen = ((F.col("q_mean_word_len") >= min_mean_word_len)
-                 & (F.col("q_mean_word_len") <= max_mean_word_len))
-    r_alpha = F.col("q_alpha_ratio") >= min_alpha_ratio
-    # exact hit count (re-deriving it from the 6dp-rounded ratio goes wrong
-    # past ~1M words); same expression with_quality_features sums
-    stop_hits = None
-    for w_ in LANG_MARKERS["en"]:
-        occ = _occurrences(F.col(text_col), w_)
-        stop_hits = occ if stop_hits is None else stop_hits + occ
-    r_stop = stop_hits >= min_stopword_hits
-    return (out
-            .withColumn("rule_word_count", r_words)
-            .withColumn("rule_word_len", r_wordlen)
-            .withColumn("rule_alpha", r_alpha)
-            .withColumn("rule_stopwords", r_stop)
-            .withColumn("keep", r_words & r_wordlen & r_alpha & r_stop))
+    t = F.col(text_col)
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.greatest(F.size(words), F.lit(1))
+
+    lines = _clean_lines(t, r"\n")
+    paras = _clean_lines(t, r"\n\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+
+    def dup_frac(arr):
+        return F.round((F.size(arr) - F.size(F.array_distinct(arr)))
+                       / F.greatest(F.size(arr), F.lit(1)), 6)
+
+    def dup_char_frac(arr):
+        total = _sum_len(arr)
+        return F.round((total - _sum_len(F.array_distinct(arr)))
+                       / F.greatest(total, F.lit(1)), 6)
+
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = ((F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+                  / 3).cast("long")
+    bullet_lines = F.size(F.filter(
+        lines, lambda s: F.substring(s, 1, 1).isin("•", "-", "*")))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda s: F.endswith(s, F.lit("...")) | F.endswith(s, F.lit("…"))))
+
+    out = (_with_ws_norm(docs, text_col)
+           .withColumn("gq_dup_line_frac", dup_frac(lines))
+           .withColumn("gq_dup_para_frac", dup_frac(paras))
+           .withColumn("gq_dup_line_char_frac", dup_char_frac(lines))
+           .withColumn("gq_dup_para_char_frac", dup_char_frac(paras))
+           .withColumn("gq_top2gram_char_frac",
+                       _top_gram_char_frac(words, 2, n_chars))
+           .withColumn("gq_top3gram_char_frac",
+                       _top_gram_char_frac(words, 3, n_chars))
+           .withColumn("gq_top4gram_char_frac",
+                       _top_gram_char_frac(words, 4, n_chars))
+           .withColumn("gq_symbol_word_ratio",
+                       F.round((n_hash + n_ellipsis) / n_words, 6))
+           .withColumn("gq_bullet_line_frac",
+                       F.round(bullet_lines / n_lines, 6))
+           .withColumn("gq_ellipsis_line_frac",
+                       F.round(ellipsis_lines / n_lines, 6))
+           .withColumn("_n_words", F.size(words))
+           .withColumn("_mean_word_len",
+                       F.round((n_chars - n_words + 1) / n_words, 6))
+           .withColumn("_alpha_ratio",
+                       F.round(F.length(F.regexp_replace(t, r"[^a-zA-Z]", ""))
+                               / n_chars, 6))
+           .withColumn("_stop_hits", _stop_hits_expr()))
+
+    rules = {
+        "rule_word_count": (F.col("_n_words") >= min_words)
+                           & (F.col("_n_words") <= max_words),
+        "rule_word_len": (F.col("_mean_word_len") >= min_mean_word_len)
+                         & (F.col("_mean_word_len") <= max_mean_word_len),
+        "rule_alpha": F.col("_alpha_ratio") >= min_alpha_ratio,
+        "rule_stopwords": F.col("_stop_hits") >= min_stopword_hits,
+        "rule_dup_lines": F.col("gq_dup_line_frac") <= max_dup_line_frac,
+        "rule_dup_paras": F.col("gq_dup_para_frac") <= max_dup_para_frac,
+        "rule_dup_line_chars":
+            F.col("gq_dup_line_char_frac") <= max_dup_line_char_frac,
+        "rule_dup_para_chars":
+            F.col("gq_dup_para_char_frac") <= max_dup_para_char_frac,
+        "rule_top2gram": F.col("gq_top2gram_char_frac") <= max_top2gram_char_frac,
+        "rule_top3gram": F.col("gq_top3gram_char_frac") <= max_top3gram_char_frac,
+        "rule_top4gram": F.col("gq_top4gram_char_frac") <= max_top4gram_char_frac,
+        "rule_symbols": F.col("gq_symbol_word_ratio") <= max_symbol_word_ratio,
+        "rule_bullets": F.col("gq_bullet_line_frac") <= max_bullet_line_frac,
+        "rule_ellipsis":
+            F.col("gq_ellipsis_line_frac") <= max_ellipsis_line_frac,
+    }
+    keep = None
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return (out.withColumn("keep", keep)
+            .drop(_NORM_COL, "_n_words", "_mean_word_len", "_alpha_ratio",
+                  "_stop_hits"))
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame,

@@ -145,3 +145,17 @@ def test_events_on_fuzz_and_samples():
             continue
         result = parse(content, eol=False)
         assert reconstitute(parse_events(result)) == content
+
+
+def test_end_tag_span_with_embedded_close_in_trailing():
+    """A malformed end-tag whose swallowed trailing itself contains '</'
+    ('<p>x</p </q>' stores src '</p </q>'): the span must start at the
+    REAL '</' (offset 4), not the later one rfind would pick."""
+    content = "<p>x</p </q>"
+    events = list(parse_events(parse(content)))
+    ends = [e for e in events if e.kind == "end-tag"]
+    assert len(ends) == 1
+    e = ends[0]
+    assert (e.start, e.end) == (4, 12)
+    assert content[e.start:e.end] == e.src == "</p </q>"
+    assert reconstitute(events) == content

@@ -103,3 +103,30 @@ def test_roundtrip_fuzz(text, compress):
     """Arbitrary unicode text survives build->extract byte-identically
     (2000-example deep run performed offline; 200 here keeps CI fast)."""
     assert extract_pdf_text(build_pdf(text, compress=compress)) == text
+
+
+def test_operator_token_boundaries():
+    # a resource name like /TD1 or /Tj0 must not act as an operator: the
+    # old byte-pair matcher would inject a newline (TD) or flush (Tj) here
+    content = b"BT (x) Tj /TD1 12 Tf (y) Tj ET"
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(content)).encode()
+           + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF\n")
+    assert extract_pdf_text(pdf) == "xy"
+    # a real Td between the shows still advances the line
+    content2 = b"BT (x) Tj 0 -14 Td (y) Tj ET"
+    pdf2 = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(content2)).encode()
+            + b" >>\nstream\n" + content2 + b"\nendstream\nendobj\n%%EOF\n")
+    assert extract_pdf_text(pdf2) == "x\ny"
+
+
+def test_encrypted_xref_stream_pdf_refused():
+    # PDF 1.5+ cross-reference-stream file: no 'trailer' keyword anywhere;
+    # the trailer dict (with /Encrypt) lives in the startxref-addressed
+    # xref stream object — must still raise, not return garbage
+    body = b"%PDF-1.5\n"
+    off = len(body)
+    body += (b"1 0 obj\n<< /Type /XRef /Encrypt 2 0 R /W [1 1 1] >>\n"
+             b"stream\n\x00\x00\x00\nendstream\nendobj\n")
+    body += b"startxref\n" + str(off).encode() + b"\n%%EOF\n"
+    with pytest.raises(ValueError):
+        extract_pdf_text(body)

@@ -734,3 +734,81 @@ def test_decontaminate_empty_gram_guard(spark):
     hits = decontaminate(docs, bench).collect()
     # the empty gram must NOT flag everything; only the real match remains
     assert [(r.doc_id, r.bench_id) for r in hits] == [(1, 11)]
+
+
+def test_gopher_full_battery_fixtures(spark):
+    """Each repetition/format rule flips on exactly the adversarial fixture
+    built to trip it, and clean prose passes the whole battery."""
+    from fortissimo_spark.textstats import gopher_quality_filter
+    clean = ("the quick brown fox jumps over a lazy dog and then it runs far "
+             "away to find some of those better meals that everyone is hoping "
+             "will appear near this quiet village before evening falls tonight")
+    rows = [
+        (1, clean),
+        (2, "dup line\n" * 10 + "unique tail"),                      # dup lines
+        (3, "para one text here\n\n" * 5 + "tail para"),             # dup paras
+        (4, "\n".join(f"• item {i}" for i in range(10))),            # bullets
+        (5, "this goes on...\nand it keeps on...\nmore still..."),   # ellipsis
+        (6, "price # tag # deal # now # buy # it # cheap # sale"),   # symbols
+        (7, "buy now buy now buy now buy now click here"),           # 2-gram
+    ]
+    out = {r["doc_id"]: r.asDict() for r in
+           gopher_quality_filter(
+               spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert out[1]["keep"] is True  # clean prose passes everything
+    assert out[2]["rule_dup_lines"] is False
+    assert out[2]["rule_dup_line_chars"] is False
+    assert out[3]["rule_dup_paras"] is False
+    assert out[3]["rule_dup_para_chars"] is False
+    assert out[4]["rule_bullets"] is False and out[4]["rule_dup_lines"] is True
+    assert out[5]["rule_ellipsis"] is False
+    assert out[6]["rule_symbols"] is False
+    assert out[7]["rule_top2gram"] is False
+    # every tripped fixture is dropped
+    for i in range(2, 8):
+        assert out[i]["keep"] is False
+
+
+def test_duplicate_clusters_one_action_per_round(spark):
+    """Each label-propagation round runs ONE Spark action (the convergence
+    count materializes the lazily-localCheckpointed round); r2 ran a second
+    join+count per round. Asserted via a job-group job count with AQE off
+    (AQE splits a query into a variable number of jobs)."""
+    from fortissimo_spark.dedup import duplicate_clusters
+    sc = spark.sparkContext
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"])
+        sc.setJobGroup("cc-rounds", "duplicate_clusters job count")
+        got = {r.id: r.cluster_id
+               for r in duplicate_clusters(pairs).collect()}
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("cc-rounds"))
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # chain 1-2-3-4 needs 3 changing rounds + 1 convergence round, plus the
+    # final collect: 5 actions. The r2 two-action shape needed >= 9.
+    assert n_jobs <= 6, f"expected <=6 jobs (one per round + collect), got {n_jobs}"
+
+
+def test_near_dup_verify_sides_are_candidate_pruned(spark):
+    """The exact-verify sides of near_duplicate_pairs scan the corpus
+    LeftSemi-pruned to candidate ids, and the candidate set itself is a
+    reused materialization (checkpointed RDD scan), not a third recompute
+    of the shingle pipeline."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text") \
+        .filter(F.col("doc_id") < 60)
+    pert = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.lit("zz yy "), F.col("text")).alias("text"))
+    pairs = near_duplicate_pairs(docs.union(pert), threshold=0.5)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan, "verify sides must be semi-join pruned"
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan, \
+        "candidates must come from the materialized checkpoint"
+    # signature computation (128-coefficient minhash aggregate) must NOT
+    # appear in the verify plan at all — it ran once, at checkpoint time
+    assert "aggregate(" not in plan.lower() or plan.count("zip_with") <= 4
