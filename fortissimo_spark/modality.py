@@ -135,17 +135,110 @@ def decode_ppm(payload: bytes):
     return width, height, _gray_grid(width, height, gray_at)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes):
+    """Pure-Python PNG decode → (width, height, 4x4 grayscale grid).
+
+    Dependency-free (stdlib zlib), same honest pattern as pdf.py's
+    FlateDecode: chunk walk, IDAT inflate, full filter reconstruction
+    (types 0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth per the PNG spec),
+    for 8-bit non-interlaced grayscale (0), RGB (2), gray+alpha (4) and
+    RGBA (6). Palette, 16-bit, and Adam7 interlacing raise ``ValueError``
+    (decode_image degrades per its contract). The unfilter loop is
+    per-byte Python — fine for thumbnail-scale crawl images inside an
+    Arrow-batched kernel; a numpy path would only help filters 0/2 (Sub/
+    Average/Paeth carry a sequential dependency along the scanline)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat: list[bytes] = []
+    i = 8
+    while i + 8 <= len(payload):
+        length = int.from_bytes(payload[i:i + 4], "big")
+        ctype = payload[i + 4:i + 8]
+        data = payload[i + 8:i + 8 + length]
+        if ctype == b"IHDR":
+            if length < 13:
+                raise ValueError("truncated IHDR")
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, _comp, _filt, interlace = data[8:13]
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # length + type + data + crc32
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if not width or not height or width <= 0 or height <= 0:
+        raise ValueError("bad PNG dimensions")
+    if channels is None or bit_depth != 8 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (bit_depth={bit_depth}, color_type={color_type}, "
+            f"interlace={interlace}) — 8-bit non-interlaced only")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    recon = bytearray(height * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos:pos + stride])
+        pos += stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(channels, stride):
+                row[x] = (row[x] + row[x - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = row[x - channels] if x >= channels else 0
+                row[x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        recon[y * stride:(y + 1) * stride] = row
+        prev = row
+
+    def gray_at(x: int, y: int) -> int:
+        p = y * stride + x * channels
+        if channels >= 3:
+            return (recon[p] * 299 + recon[p + 1] * 587 + recon[p + 2] * 114) // 1000
+        return recon[p]  # gray / gray+alpha: first channel IS the luma
+
+    return width, height, _gray_grid(width, height, gray_at)
+
+
 def decode_image(payload: bytes, *, deterministic_fake: bool = False):
     """Decode encoded image bytes to (width, height, 16-byte pixel summary).
 
-    REAL pure-Python decoders cover BMP (uncompressed 24/32-bit) and PPM
-    (P6/P3) — no imaging library needed. Other formats (JPEG/PNG/...) need
-    a codec not present in this container: they raise ``NotImplementedError``
-    unless ``deterministic_fake=True``, which substitutes a seeded,
+    REAL pure-Python decoders cover PNG (8-bit gray/gray+alpha/RGB/RGBA,
+    non-interlaced), BMP (uncompressed 24/32-bit) and PPM (P6/P3) — no
+    imaging library needed. Other formats (JPEG/WebP/...) need a codec not
+    present in this container: they raise ``NotImplementedError`` unless
+    ``deterministic_fake=True``, which substitutes a seeded,
     content-derived stand-in so the distributed plumbing stays testable.
     """
     raw = payload or b""
     try:
+        if raw[:8] == _PNG_SIG:
+            return decode_png(raw)
         if raw[:2] == b"BM":
             return decode_bmp(raw)
         if raw[:2] in (b"P6", b"P3"):
@@ -157,8 +250,8 @@ def decode_image(payload: bytes, *, deterministic_fake: bool = False):
         unrecognized = False
     if unrecognized and not deterministic_fake:
         raise NotImplementedError(
-            "only BMP/PPM have in-container decoders; other formats need an "
-            "imaging library — pass deterministic_fake=True for the "
+            "only PNG/BMP/PPM have in-container decoders; other formats need "
+            "an imaging library — pass deterministic_fake=True for the "
             "content-derived stand-in")
     # stand-in: unrecognized format, or corrupt payload with fake enabled —
     # a kernel row must never kill the Spark task
