@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["cosine_topk", "hyperplane_signature", "cosine_near_pairs",
-           "normalize_col", "ivf_centroids", "ivf_assign", "ivf_topk"]
+           "normalize_col", "ivf_centroids", "ivf_assign", "ivf_topk",
+           "write_ivf_partitioned", "ivf_topk_partitioned"]
 
 
 def _planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
@@ -151,6 +152,53 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10, *,
             .filter(F.array_contains("probe_cells", F.col("cell"))))
     sim = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
     return (cand.select("vec_id", F.round(sim, 4).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(k))
+
+
+def write_ivf_partitioned(embeddings: DataFrame, path: str, *,
+                          n_centroids: int = 8, dim: int = 64, seed: int = 7,
+                          id_col: str = "vec_id",
+                          emb_col: str = "embedding") -> list[list[float]]:
+    """Write the IVF-assigned corpus PARTITIONED BY cell — the production
+    layout where the probe filter becomes a partition-pruning predicate
+    (the scan reads n_probe of n_centroids directories, not the corpus).
+    Assignment is the same one-pass ``greatest()`` as :func:`ivf_assign`;
+    the write shuffles once on ``cell`` (uniform by construction for
+    LCG centroids; a k-means fit should repartition by cell + salt any
+    mega-cell). Returns the centroids used."""
+    cents = ivf_centroids(dim, n_centroids, seed)
+    assigned = ivf_assign(embeddings, cents, id_col, emb_col)
+    (assigned.select("vec_id", "v", "cell")
+     .repartition("cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    return cents
+
+
+def ivf_topk_partitioned(spark, path: str, query_vec: list[float],
+                         k: int = 10, *, n_centroids: int = 8,
+                         n_probe: int = 2, dim: int = 64, seed: int = 7,
+                         exclude_vec_id: int | None = None) -> DataFrame:
+    """IVF top-k over the cell-partitioned table written by
+    :func:`write_ivf_partitioned`.
+
+    Probe cells are chosen DRIVER-side from the query vector (n_centroids
+    dot products — trivially cheap, and the production shape: the query
+    arrives at the driver anyway), so ``cell IN (...)`` is a literal
+    predicate the scan can partition-prune: ``.explain`` shows
+    PartitionFilters on ``cell`` and a pruned partition count. Identical
+    tie-break (highest dot, then smallest centroid id) and float order as
+    :func:`ivf_topk`, so results match the in-plan variant exactly."""
+    cents = ivf_centroids(dim, n_centroids, seed)
+    dots = sorted(((sum(a * b for a, b in zip(query_vec, c)), -i)
+                   for i, c in enumerate(cents)), reverse=True)
+    probes = [-neg for _, neg in dots[:n_probe]]
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = _dot(F.col("v"), qv) / (_norm(F.col("v")) * _norm(qv))
+    tbl = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    if exclude_vec_id is not None:
+        tbl = tbl.filter(F.col("vec_id") != exclude_vec_id)
+    return (tbl.select("vec_id", F.round(sim, 4).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), "vec_id")
             .limit(k))
 

@@ -906,3 +906,75 @@ def test_png_real_decode(spark):
     assert (feats.out_width, feats.out_height) == (8, 4)
     assert feats.feature[0] == pytest.approx(-1.0)
     assert feats.feature[2] == pytest.approx(127 / 128)
+
+
+def test_production_fallback_partition_transform_parity(spark, pages,
+                                                        tmp_path_factory):
+    """Contract for the Iceberg swap (write_pages_production fallback): the
+    parquet layout's partition VALUES must equal the declared transform
+    semantics — crawl_date == days(warc_ts) (UTC calendar date, the
+    ``days`` transform), host_bucket == pmod(xxhash64(host), 16)
+    recomputed by the pure-Python XXH64 ground truth — and every row's
+    file must live under its matching partition directory (the per-
+    partition resume unit). Cross-checked row-for-row in DuckDB."""
+    from urllib.parse import urlparse
+
+    from fortissimo_spark.io_tables import N_HOST_BUCKETS, write_pages_production
+
+    out = str(tmp_path_factory.mktemp("transform_parity") / "pages")
+    engine = write_pages_production(pages.limit(60), spark, out)
+    assert engine == "parquet"
+    back = spark.read.parquet(out).withColumn("_file", F.input_file_name())
+    rows = back.select("url", "warc_ts", "host", "crawl_date", "host_bucket",
+                       "_file").collect()
+    assert len(rows) == 60
+    for r in rows:
+        host = urlparse(r.url).hostname
+        assert r.host == host
+        h = _xxh64(host.encode("utf-8"))
+        signed = h - (1 << 64) if h >= (1 << 63) else h
+        assert r.host_bucket == signed % N_HOST_BUCKETS  # pmod semantics
+        assert r.crawl_date == r.warc_ts.date()          # days(warc_ts), UTC
+        # physical path == partition values (the resume/commit unit)
+        assert f"crawl_date={r.crawl_date}/host_bucket={r.host_bucket}" in r._file
+
+    # independent engine: DuckDB re-derives the date transform from the
+    # stored timestamps and must agree with every hive partition value
+    import duckdb
+    n_bad = duckdb.sql(
+        f"""SELECT count(*) FROM read_parquet('{out}/*/*/*.parquet',
+              hive_partitioning=1)
+            WHERE CAST(crawl_date AS DATE) != CAST(warc_ts AS DATE)"""
+    ).fetchone()[0]
+    assert n_bad == 0
+
+
+@pytest.mark.skipif(os.environ.get("FULL_CORPUS") != "1",
+                    reason="slow opt-in breadth run: FULL_CORPUS=1 to enable")
+def test_roundtrip_full_benchmark_corpus():
+    """Breadth parity over the FULL bench-scale corpus (sf0.1 documents ->
+    ~110k synthesized pages incl. second crawls): every page must
+    round-trip byte-identically through parse -> serialize. Opt-in
+    (FULL_CORPUS=1); its pass count is recorded in BASELINE.md."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.exists(sf_dir):
+        pytest.skip("sf0.1 testdata missing")
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[32]")
+             .appName("fortissimo-full-roundtrip")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    try:
+        # amplify=20 matches the bench corpus: ~110k distinct pages
+        pages_full = build_pages(spark, sf_dir, amplify=20)
+        out = extract_df(pages_full, "none", verify_roundtrip=True)
+        agg = out.agg(F.count("*").alias("n"),
+                      F.sum(F.when(F.col("roundtrip_ok"), 0).otherwise(1))
+                      .alias("bad")).collect()[0]
+        assert agg.bad == 0, f"{agg.bad} of {agg.n} pages failed roundtrip"
+        assert agg.n >= 100_000
+        print(f"roundtrip_ok on ALL {agg.n} corpus pages")
+    finally:
+        spark.stop()
