@@ -2,15 +2,16 @@
 
 The Spark-side contract — schemas, Arrow batch shapes, ``mapInPandas``
 signatures, partitioning — is real and tested, and so is the decode step
-for the formats decodable without external codecs: PNG (stdlib zlib +
-filter reconstruction, 8-bit gray/gray+alpha/RGB/RGBA, non-interlaced),
-BMP (uncompressed 24/32-bit) and PPM (P6/P3) images produce real
-dimensions and a pixel-derived 4x4 grayscale feature grid; WAV PCM audio
-produces real sample rate / channels / duration and a 16-window RMS
-loudness profile. Formats needing a codec not present in this container
-(JPEG/mp3/video) raise ``NotImplementedError`` unless
-``deterministic_fake=True``, which substitutes a seeded content-derived
-stand-in so downstream plumbing stays exercisable end-to-end.
+for the formats decodable without external codecs: baseline JPEG (full
+huffman + IDCT pipeline, jpeg.py), PNG (stdlib zlib + filter
+reconstruction, 8-bit gray/gray+alpha/RGB/RGBA, non-interlaced), BMP
+(uncompressed 24/32-bit) and PPM (P6/P3) images produce real dimensions
+and a pixel-derived 4x4 grayscale feature grid; WAV PCM audio produces
+real sample rate / channels / duration and a 16-window RMS loudness
+profile. Remaining codec gaps (progressive JPEG, WebP, mp3, video) raise
+``NotImplementedError``/``ValueError`` unless ``deterministic_fake=True``,
+which substitutes a seeded content-derived stand-in so downstream
+plumbing stays exercisable end-to-end.
 """
 
 from __future__ import annotations
@@ -228,17 +229,23 @@ def decode_png(payload: bytes):
 def decode_image(payload: bytes, *, deterministic_fake: bool = False):
     """Decode encoded image bytes to (width, height, 16-byte pixel summary).
 
-    REAL pure-Python decoders cover PNG (8-bit gray/gray+alpha/RGB/RGBA,
+    REAL pure-Python decoders cover baseline JPEG (jpeg.py: huffman +
+    IDCT, subsampling, restarts), PNG (8-bit gray/gray+alpha/RGB/RGBA,
     non-interlaced), BMP (uncompressed 24/32-bit) and PPM (P6/P3) — no
-    imaging library needed. Other formats (JPEG/WebP/...) need a codec not
-    present in this container: they raise ``NotImplementedError`` unless
-    ``deterministic_fake=True``, which substitutes a seeded,
-    content-derived stand-in so the distributed plumbing stays testable.
+    imaging library needed. Remaining formats (progressive JPEG, WebP,
+    ...) raise unless ``deterministic_fake=True``, which substitutes a
+    seeded, content-derived stand-in so the distributed plumbing stays
+    testable.
     """
     raw = payload or b""
     try:
         if raw[:8] == _PNG_SIG:
             return decode_png(raw)
+        if raw[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg_luma
+            w, h, plane = decode_jpeg_luma(raw)
+            # JPEG's Y channel IS the BT.601 luma the other decoders derive
+            return w, h, _gray_grid(w, h, lambda x, y: int(plane[y, x]))
         if raw[:2] == b"BM":
             return decode_bmp(raw)
         if raw[:2] in (b"P6", b"P3"):
@@ -250,9 +257,9 @@ def decode_image(payload: bytes, *, deterministic_fake: bool = False):
         unrecognized = False
     if unrecognized and not deterministic_fake:
         raise NotImplementedError(
-            "only PNG/BMP/PPM have in-container decoders; other formats need "
-            "an imaging library — pass deterministic_fake=True for the "
-            "content-derived stand-in")
+            "only baseline-JPEG/PNG/BMP/PPM have in-container decoders; "
+            "other formats need an imaging library — pass "
+            "deterministic_fake=True for the content-derived stand-in")
     # stand-in: unrecognized format, or corrupt payload with fake enabled —
     # a kernel row must never kill the Spark task
     digest = hashlib.sha256(raw).digest()
