@@ -24,6 +24,9 @@ from fortissimo_spark.dedup import (  # noqa: E402
     canonicalize, duplicate_clusters, md5_word_hash, near_duplicate_pairs,
     simhash64,
 )
+from fortissimo_spark.corpus import (  # noqa: E402
+    chunk_documents, deterministic_sample, pack_shards,
+)
 from fortissimo_spark.io_tables import build_pages, load_table  # noqa: E402
 from fortissimo_spark.pipeline import dedup_latest_crawl, extract_df  # noqa: E402
 from fortissimo_spark.similarity import (  # noqa: E402
@@ -776,6 +779,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_repeats": _q_collapse_repeats,
         "gopher_filter": _q_gopher_filter,
         "decontaminate": _q_decontaminate,
+        "chunk_documents": _q_chunk_documents,
+        "deterministic_sample": _q_deterministic_sample,
+        "pack_shards": _q_pack_shards,
     }
 
 
@@ -806,6 +812,29 @@ def _ivf_oracle_sql() -> str:
             FROM cells c, q
             WHERE c.vec_id != 0 AND c.cell IN (SELECT cid FROM probes)
             ORDER BY cos_sim DESC, c.vec_id LIMIT 10""".format(vals=vals)
+
+def _q_chunk_documents(spark, sf_dir):
+    """Context-window chunking: 50-token chunks with 10-token overlap,
+    map-side only (no shuffle); last chunk short, short docs = 1 chunk."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=50, overlap=10)
+
+
+def _q_deterministic_sample(spark, sf_dir):
+    """Content-stable 10% sample (md5-keyed): identical keep set across
+    partitioning/retries/engines — rand()-based sampling is neither
+    resumable nor oracle-able."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return deterministic_sample(docs, 0.1).select("doc_id")
+
+
+def _q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing via the two-phase distributed prefix sum
+    (range partitions -> partial sums -> broadcast offsets); the oracle is
+    the equivalent naive global cumulative sum."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_shards(docs, shard_tokens=10_000, num_partitions=8)
+
 
 def _gopher_oracle_sql() -> str:
     """DuckDB mirror of the FULL Gopher battery, fixtures included — every
@@ -1410,6 +1439,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang AS langid_guess, CAST(score AS INT) AS langid_score
             FROM r WHERE rn = 1""",
         "ann_ivf_topk": _ivf_oracle_sql(),
+        "chunk_documents": """
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents),
+            c AS (
+              SELECT doc_id, ws,
+                     greatest(CAST(ceil((length(ws) - 10) / 40.0) AS INT), 1) AS nc
+              FROM w)
+            SELECT doc_id, i AS chunk_id,
+                   array_to_string(ws[i*40+1:i*40+50], ' ') AS chunk_text,
+                   CAST(least(length(ws) - i*40, 50) AS INT) AS n_chunk_tokens
+            FROM c, (SELECT unnest(range(0, 10000)) AS i) t
+            WHERE i < nc""",
+        "deterministic_sample": """
+            SELECT doc_id FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 10000 < 1000""",
+        "pack_shards": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+                       AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(floor(cb / 10000.0) AS INT) AS shard_id
+            FROM c""",
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             base AS (

@@ -1,0 +1,127 @@
+"""Corpus-preparation operators for training-data pipelines.
+
+All JVM-side DataFrame work (no Python UDFs):
+
+* :func:`chunk_documents`     — fixed-token-window chunking with overlap
+  (the context-window prep step), map-side only: array slice + posexplode,
+  no shuffle.
+* :func:`deterministic_sample`— content-stable hash sampling: the same row
+  keeps/drops regardless of partitioning, executor count, or retry —
+  re-runs and resumes see the same corpus (rand() would not survive a
+  retry, let alone a resume). md5-based so DuckDB can mirror it exactly.
+* :func:`pack_shards`         — assign docs to fixed-token-budget training
+  shards by cumulative token count in stable doc order. Two-phase prefix
+  sum: per-partition partials -> tiny driver-side scan -> broadcast
+  offsets -> per-partition window. A naive ``Window.orderBy(id)`` with no
+  partition key collapses the whole corpus into ONE task; this shape keeps
+  every phase parallel and moves only #partitions numbers to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["chunk_documents", "deterministic_sample", "pack_shards"]
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 256,
+                    overlap: int = 32, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, chunk_id, chunk_text, n_chunk_tokens) — whitespace-token
+    windows of ``chunk_tokens`` with ``overlap`` tokens carried between
+    consecutive chunks (stride = chunk_tokens - overlap; last chunk may be
+    short, and a doc shorter than one chunk yields exactly one chunk).
+
+    Map-side only: the chunk list is built per row with sequence/slice and
+    posexploded — no shuffle, so chunking composes with any upstream
+    partitioning (and at 100 TB the output inherits the input's layout).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice(words, i * stride + 1, chunk_tokens))
+            .alias("chunk_text"),
+            F.least(n - i * stride, F.lit(chunk_tokens)).alias("n_chunk_tokens")))
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.posexplode(chunks).alias("chunk_id", "c"))
+            .select("doc_id", "chunk_id", F.col("c.chunk_text").alias("chunk_text"),
+                    F.col("c.n_chunk_tokens").alias("n_chunk_tokens")))
+
+
+def deterministic_sample(docs: DataFrame, rate: float,
+                         id_col: str = "doc_id",
+                         salt: str = "") -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows keyed on the id.
+
+    hash = first 15 hex chars of md5(salt || id) as an integer; keep when
+    ``hash % 10000 < rate * 10000``. Stable across partitioning, executor
+    count, task retries, and resumes — and across engines (DuckDB:
+    ``CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)``), unlike
+    ``df.sample``/``rand()`` whose output depends on the split layout.
+    Change ``salt`` to draw an independent sample at the same rate.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+        16, 10).cast("long")
+    return docs.filter(h % 10000 < int(rate * 10000))
+
+
+def pack_shards(docs: DataFrame, shard_tokens: int = 100_000,
+                id_col: str = "doc_id", text_col: str = "text",
+                num_partitions: int | None = None) -> DataFrame:
+    """(doc_id, n_tokens, shard_id) — pack docs into fixed-token-budget
+    training shards in stable ``id_col`` order: a doc goes to shard
+    ``floor(cum_tokens_before_it / shard_tokens)``.
+
+    Scale shape (the reason this isn't one ``Window.orderBy``): a global
+    ordered window has no partition key, so Spark plans a SINGLE task over
+    the whole corpus. Instead:
+
+    1. ``repartitionByRange(id)`` — ordered ranges, all partitions parallel;
+    2. per-partition token totals (one tiny agg: #partitions rows);
+    3. driver-side exclusive prefix scan over those totals (a few thousand
+       numbers at any real corpus size), broadcast back as a literal map;
+    4. per-partition cumulative sum window + the broadcast offset.
+
+    Deterministic given the id order; the result equals the naive global
+    cumsum (the oracle computes exactly that in DuckDB).
+    """
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       n_tok.alias("n_tokens"))
+    if num_partitions:
+        base = base.repartitionByRange(num_partitions, "doc_id")
+    else:
+        base = base.repartitionByRange("doc_id")
+    base = base.withColumn("_pid", F.spark_partition_id())
+    # localCheckpoint pins the range assignment: the partials below and the
+    # final pass must see the SAME _pid per row (two separate computations
+    # of a nondeterministic-ish layout could disagree after a retry)
+    base = base.localCheckpoint(eager=True)
+
+    partials = (base.groupBy("_pid").agg(F.sum("n_tokens").alias("t"))
+                .orderBy("_pid").collect())
+    offsets = {}
+    run = 0
+    for r in partials:
+        offsets[r["_pid"]] = run
+        run += r["t"]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_pid")) if offsets else F.lit(0)
+
+    w = (Window.partitionBy("_pid").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + off_expr
+    return (base.select("doc_id", "n_tokens",
+                        F.floor(cum_before / shard_tokens)
+                        .cast("int").alias("shard_id")))

@@ -978,3 +978,77 @@ def test_roundtrip_full_benchmark_corpus():
         print(f"roundtrip_ok on ALL {agg.n} corpus pages")
     finally:
         spark.stop()
+
+
+def test_chunk_documents_exact(spark):
+    from fortissimo_spark.corpus import chunk_documents
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"), (2, "a b")],
+        ["doc_id", "text"])
+    got = sorted((r.doc_id, r.chunk_id, r.chunk_text, r.n_chunk_tokens)
+                 for r in chunk_documents(docs, 5, 2).collect())
+    assert got == [
+        (1, 0, "w1 w2 w3 w4 w5", 5),
+        (1, 1, "w4 w5 w6 w7 w8", 5),
+        (1, 2, "w7 w8 w9 w10 w11", 5),
+        (1, 3, "w10 w11 w12", 3),
+        (2, 0, "a b", 2),  # short doc -> exactly one (short) chunk
+    ]
+    # reconstruction property: stitching chunks with the overlap removed
+    # yields the original token stream
+    stitched = got[0][2].split() + [t for _, _, c, _ in got[1:4]
+                                    for t in c.split()[2:]]
+    assert stitched == [f"w{i}" for i in range(1, 13)]
+
+
+def test_deterministic_sample_stable(spark):
+    from fortissimo_spark.corpus import deterministic_sample
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    a = {r.doc_id for r in deterministic_sample(docs, 0.1).collect()}
+    # identical keep set under a different physical layout
+    b = {r.doc_id for r in
+         deterministic_sample(docs.repartition(7), 0.1).collect()}
+    assert a == b and 0 < len(a) < docs.count()
+    # independent draw under a different salt
+    c = {r.doc_id for r in deterministic_sample(docs, 0.1, salt="s2").collect()}
+    assert c != a
+    assert deterministic_sample(docs, 0.0).count() == 0
+    assert deterministic_sample(docs, 1.0).count() == docs.count()
+
+
+def test_pack_shards_matches_naive_cumsum(spark):
+    from fortissimo_spark.corpus import pack_shards
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    got = {r.doc_id: (r.n_tokens, r.shard_id)
+           for r in pack_shards(docs, 5000, num_partitions=6).collect()}
+    # naive python reference: global cumsum in doc_id order
+    toks = {r.doc_id: len(r.text.split())
+            for r in docs.select("doc_id", "text").collect()}
+    cum = 0
+    for did in sorted(toks):
+        assert got[did] == (toks[did], cum // 5000), did
+        cum += toks[did]
+    # partition-count invariance (two-phase == any layout)
+    got1 = {r.doc_id: r.shard_id
+            for r in pack_shards(docs, 5000, num_partitions=1).collect()}
+    assert got1 == {k: v[1] for k, v in got.items()}
+
+
+def test_lsh_bucket_stats_reports_truncation(spark):
+    """No silent caps: the stats companion must surface exactly the buckets
+    whose members were dropped by the candidate-generation cap."""
+    from fortissimo_spark.dedup import (
+        lsh_bucket_stats, minhash_signatures, shingle_sets,
+    )
+    rows = [(i, "identical text all the way down " * 3) for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    signed = minhash_signatures(shingle_sets(docs), num_hashes=16) \
+        .select("id", "sig")
+    hot = lsh_bucket_stats(signed, bands=4, max_bucket_size=10).collect()
+    assert len(hot) == 4  # one hot bucket per band (all signatures equal)
+    assert all(r.n_members == 60 and r.n_dropped == 50 for r in hot)
+    # under-cap corpus: empty stats == cap did not bite
+    ok = spark.createDataFrame(rows[:5], ["doc_id", "text"])
+    signed_ok = minhash_signatures(shingle_sets(ok), num_hashes=16) \
+        .select("id", "sig")
+    assert lsh_bucket_stats(signed_ok, bands=4, max_bucket_size=10).count() == 0
