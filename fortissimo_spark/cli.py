@@ -23,6 +23,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fortissimo-spark",
                                 description="Main-content extraction over Common-Crawl-style pages")
     p.add_argument("--input", required=True, help="pages parquet path/glob")
+    p.add_argument("--input-format", default="parquet",
+                   choices=["parquet", "warc"],
+                   help="'warc' ingests .warc/.warc.gz crawl archives "
+                        "(one task per file) instead of a pages table")
     p.add_argument("--output", required=True, help="output root (extracted/ + lineage/)")
     p.add_argument("--strip", default="density", choices=["density", "basic", "none"])
     p.add_argument("--no-resume", action="store_true",
@@ -61,7 +65,11 @@ def main(argv=None) -> int:
                                          else True)
     job = ExtractionJob(spark, args.output, strip=args.strip,
                         salt_factor=args.salt_factor, dedup=dedup)
-    pages = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from .warc import read_warcs
+        pages = read_warcs(spark, args.input)
+    else:
+        pages = spark.read.parquet(args.input)
     stats = job.run(pages, resume=not args.no_resume)
     print(json.dumps(stats, default=str))
     spark.stop()

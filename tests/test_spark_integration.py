@@ -1052,3 +1052,62 @@ def test_lsh_bucket_stats_reports_truncation(spark):
     signed_ok = minhash_signatures(shingle_sets(ok), num_hashes=16) \
         .select("id", "sig")
     assert lsh_bucket_stats(signed_ok, bands=4, max_bucket_size=10).count() == 0
+
+
+def test_warc_source_end_to_end(spark, tmp_path_factory):
+    """WARC ingest leg: fixture .warc + .warc.gz (per-record gzip members)
+    through read_warcs -> dedup -> extract, byte-identical text; request/
+    metadata/non-html/404 records skipped; charset handled by the kernel."""
+    from fortissimo_spark.pages import page_for_doc
+    from fortissimo_spark.warc import build_warc, parse_warc_pages, read_warcs
+
+    docs = load_table(spark, SF_DIR, "documents") \
+        .select("doc_id", "text", "lang").filter(F.col("doc_id") < 30).collect()
+    records, expected = [], {}
+    for r in docs:
+        pg = page_for_doc(int(r.doc_id), r.text, r.lang, 0)
+        records.append({"url": pg["url"],
+                        "date": pg["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+                        "body": bytes(pg["html"])})
+        expected[pg["url"]] = r.text
+        # noise records that MUST be skipped
+        records.append({"url": pg["url"], "date": "2024-01-01T00:00:00Z",
+                        "kind": "request"})
+    records.append({"url": "http://x.example/404", "body": b"<p>gone</p>",
+                    "date": "2024-01-01T00:00:00Z", "status": 404})
+    records.append({"url": "http://x.example/img", "body": b"\xff\xd8jpeg",
+                    "date": "2024-01-01T00:00:00Z",
+                    "content_type": "image/jpeg"})
+
+    base = tmp_path_factory.mktemp("warc")
+    half = len(records) // 2
+    (base / "a.warc").write_bytes(build_warc(records[:half]))
+    (base / "b.warc.gz").write_bytes(build_warc(records[half:], compress=True))
+
+    # pure-python parse: every gzip member boundary + skip rule exercised
+    plain = parse_warc_pages((base / "a.warc").read_bytes())
+    gz = parse_warc_pages((base / "b.warc.gz").read_bytes())
+    assert len(plain) + len(gz) == len(expected)
+
+    pages_df = read_warcs(spark, str(base))
+    out = extract_df(dedup_latest_crawl(pages_df), "density") \
+        .select("url", "text").collect()
+    assert len(out) == len(expected)
+    for r in out:
+        assert r.text == expected[r.url], r.url
+
+
+def test_warc_charset_flows_to_kernel(spark, tmp_path_factory):
+    """A latin-1 WARC payload with a meta-charset declaration decodes
+    through the kernel's re-decode retry, not in the WARC layer."""
+    from fortissimo_spark.warc import build_warc, read_warcs
+    html = ('<html><head><meta charset="iso-8859-1"></head>'
+            '<body><p>caf\xe9 touch\xe9</p></body></html>').encode("latin-1")
+    base = tmp_path_factory.mktemp("warc_cs")
+    (base / "c.warc").write_bytes(build_warc(
+        [{"url": "http://cs.example/a", "date": "2024-03-04T05:06:07Z",
+          "body": html,
+          "content_type": "text/html; charset=iso-8859-1"}]))
+    out = extract_df(read_warcs(spark, str(base)), "density").collect()
+    assert len(out) == 1
+    assert "café touché" in out[0].text
