@@ -1,21 +1,28 @@
-"""Pure-Python baseline JPEG decode (public spec: ITU-T T.81 / ISO 10918-1).
+"""Pure-Python JPEG decode (public spec: ITU-T T.81 / ISO 10918-1).
 
 Dependency-free except numpy (IDCT in matrix form) — the same honest
 pattern as pdf.py's FlateDecode and modality.py's PNG filter
-reconstruction. Coverage is the baseline sequential DCT process:
+reconstruction. Coverage:
 
-* SOF0/SOF1 frames, 8-bit precision, 1-3 components;
-* huffman entropy coding with arbitrary (canonical) DHT tables,
-  multi-table, byte stuffing, DRI restart intervals;
-* chroma subsampling up to 2x2 (4:4:4, 4:2:2, 4:2:0, 4:4:0).
+* BASELINE sequential DCT: SOF0/SOF1 frames, 8-bit precision, 1-3
+  components, huffman entropy coding with arbitrary (canonical) DHT
+  tables, multi-table, byte stuffing, DRI restart intervals, chroma
+  subsampling up to 2x2 (4:4:4, 4:2:2, 4:2:0, 4:4:0);
+* PROGRESSIVE DCT (SOF2): spectral selection + successive approximation
+  per T.81 Annex G — interleaved/non-interleaved DC first+refine scans,
+  per-component AC first scans with EOB runs, AC refinement scans with
+  correction bits; coefficients accumulate across scans and IDCT runs
+  once at the end. Non-luma AC scans are skipped WHOLESALE (each
+  progressive scan is its own entropy segment, so the decoder jumps to
+  the next marker) — a real win for the luma-only feature path.
 
 Out of scope, refused with ``ValueError`` (decode_image degrades per its
-contract): progressive (SOF2), arithmetic coding (SOF9+), hierarchical,
-12-bit precision, >4 components. The decoder returns the LUMA plane —
-JPEG's Y channel IS the BT.601 luma the other image decoders compute as
+contract): arithmetic coding (SOF9+), hierarchical, lossless, 12-bit
+precision, >4 components. The decoder returns the LUMA plane — JPEG's Y
+channel IS the BT.601 luma the other image decoders compute as
 (299r+587g+114b)/1000 — so the 4x4 grid feature needs no chroma
-upsampling; chroma blocks are still entropy-decoded (the bitstream is
-sequential) but skip dequant/IDCT.
+upsampling; in baseline scans chroma blocks are still entropy-decoded
+(the bitstream is sequential) but skip dequant/IDCT.
 """
 
 from __future__ import annotations
@@ -153,14 +160,33 @@ def _decode_block(br, dc_tbl, ac_tbl, pred, qt, want_pixels: bool):
     return pred, np.clip(np.rint(block + 128), 0, 255).astype(np.uint8)
 
 
+def _next_marker_pos(payload: bytes, pos: int) -> int:
+    """First position at/after ``pos`` of a REAL marker (0xFF followed by
+    neither 0x00 stuffing nor an RST code) — the end of a scan's entropy
+    segment."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                return pos
+            pos += 2
+        else:
+            pos += 1
+    return n
+
+
 def decode_jpeg_luma(payload: bytes):
-    """Decode baseline JPEG → (width, height, luma_plane[np.uint8 h×w])."""
+    """Decode a baseline or progressive JPEG →
+    (width, height, luma_plane[np.uint8 h×w])."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     quant: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}   # (class, id) -> code table
     restart_interval = 0
     frame = None
+    progressive = False
+    scans = []  # progressive: (scan_comps, ss, se, ah, al, data_pos, dri)
     i = 2
     n = len(payload)
     scan = None
@@ -169,7 +195,9 @@ def decode_jpeg_luma(payload: bytes):
             raise ValueError("marker expected")
         marker = payload[i + 1]
         i += 2
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             continue
         length = int.from_bytes(payload[i:i + 2], "big")
         seg = payload[i + 2:i + length]
@@ -185,7 +213,8 @@ def decode_jpeg_luma(payload: bytes):
                     quant[tq] = [int.from_bytes(seg[p + 2 * j:p + 2 * j + 2],
                                                 "big") for j in range(64)]
                     p += 128
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             precision = seg[0]
             if precision != 8:
                 raise ValueError(f"unsupported precision {precision}")
@@ -200,11 +229,11 @@ def decode_jpeg_luma(payload: bytes):
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
             frame = (width, height, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG process (SOF marker 0x{marker:02X}) — "
-                "baseline sequential only")
+                "baseline sequential + progressive only")
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -222,11 +251,23 @@ def decode_jpeg_luma(payload: bytes):
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c:3 + 2 * c]
                 scan.append({"id": cid, "dc": tt >> 4, "ac": tt & 0x0F})
-            i += length
-            break
+            if not progressive:
+                i += length
+                break
+            ss, se, a = seg[1 + 2 * ns:4 + 2 * ns]
+            data_pos = i + length
+            # tables are mutable between scans: bind copies now
+            bound = [{**s, "dc_t": huff.get((0, s["dc"])),
+                      "ac_t": huff.get((1, s["ac"]))} for s in scan]
+            scans.append((bound, ss, se, a >> 4, a & 0x0F, data_pos,
+                          restart_interval))
+            i = _next_marker_pos(payload, data_pos)
+            continue
         i += length
-    if frame is None or scan is None:
+    if frame is None or (scan is None and not scans):
         raise ValueError("missing SOF/SOS")
+    if progressive:
+        return _decode_progressive(payload, frame, quant, scans)
 
     width, height, comps = frame
     by_id = {c["id"]: c for c in comps}
@@ -294,3 +335,189 @@ def decode_jpeg_luma(payload: bytes):
     else:
         plane = yplane[:height, :width]
     return width, height, plane
+
+
+def _comp_geometry(frame):
+    width, height, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        cw = (width * c["h"] + hmax - 1) // hmax    # sampled pixel dims
+        ch = (height * c["v"] + vmax - 1) // vmax
+        c["bw"] = (cw + 7) // 8                     # real block dims
+        c["bh"] = (ch + 7) // 8
+        c["bw_full"] = mcux * c["h"]                # MCU-padded block dims
+        c["bh_full"] = mcuy * c["v"]
+    return hmax, vmax, mcux, mcuy
+
+
+def _restart(br, payload):
+    """Byte-align at an RSTn marker and step past it."""
+    br.acc = 0
+    br.n = 0
+    while br.i < len(payload) and payload[br.i] != 0xFF:
+        br.i += 1
+    if br.i + 1 >= len(payload) or not (0xD0 <= payload[br.i + 1] <= 0xD7):
+        raise ValueError("expected restart marker")
+    br.i += 2
+
+
+def _decode_progressive(payload, frame, quant, scans):
+    """T.81 Annex G progressive decode: accumulate luma coefficients over
+    the scan sequence, IDCT once at the end. Scans that touch only chroma
+    are skipped wholesale (their entropy segments were never entered)."""
+    width, height, comps = frame
+    _, _, mcux, mcuy = _comp_geometry(frame)
+    by_id = {c["id"]: c for c in comps}
+    luma = comps[0]
+    # natural-order coefficient store, MCU-padded so interleaved DC scans
+    # can write the dummy edge blocks
+    coefs = np.zeros((luma["bh_full"], luma["bw_full"], 64), dtype=np.int64)
+
+    for scan_comps, ss, se, ah, al, pos, dri in scans:
+        ids = [s["id"] for s in scan_comps]
+        if luma["id"] not in ids:
+            continue  # luma-only path: chroma scan segment never decoded
+        for s in scan_comps:
+            s.update(by_id[s["id"]])
+        br = _BitReader(payload, pos)
+        if len(scan_comps) > 1 or ss == 0:
+            _scan_dc(br, payload, scan_comps, ah, al, coefs, luma,
+                     mcux, mcuy, dri, interleaved=len(scan_comps) > 1)
+        else:
+            _scan_ac(br, payload, scan_comps[0], ss, se, ah, al, coefs,
+                     dri)
+
+    qt = quant.get(luma["tq"])
+    if qt is None:
+        raise ValueError("missing quant table")
+    qt_nat = np.zeros(64)
+    for k in range(64):
+        qt_nat[ZIGZAG[k]] = qt[k]
+
+    yw, yh = luma["bw_full"] * 8, luma["bh_full"] * 8
+    plane = np.zeros((yh, yw), dtype=np.uint8)
+    for by in range(luma["bh_full"]):
+        for bx in range(luma["bw_full"]):
+            block = _M.T @ (coefs[by, bx] * qt_nat).reshape(8, 8) @ _M
+            plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                np.clip(np.rint(block + 128), 0, 255).astype(np.uint8)
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if luma["h"] != hmax or luma["v"] != vmax:
+        ys = np.arange(height) * luma["v"] // vmax
+        xs = np.arange(width) * luma["h"] // hmax
+        return width, height, plane[np.ix_(ys, xs)]
+    return width, height, plane[:height, :width]
+
+
+def _scan_dc(br, payload, scan_comps, ah, al, coefs, luma, mcux, mcuy,
+             dri, interleaved):
+    """DC scan (first or refinement), interleaved or single-component.
+    Chroma blocks are entropy-decoded to advance the stream; only luma
+    coefficients are stored."""
+    preds = {s["id"]: 0 for s in scan_comps}
+    unit = 0
+    if interleaved:
+        mcus = [(mx, my) for my in range(mcuy) for mx in range(mcux)]
+    else:
+        c = scan_comps[0]
+        mcus = [(bx, by) for by in range(c["bh"]) for bx in range(c["bw"])]
+    for ux, uy in mcus:
+        if dri and unit and unit % dri == 0:
+            _restart(br, payload)
+            preds = {s["id"]: 0 for s in scan_comps}
+        for s in scan_comps:
+            blocks = ([(0, 0)] if not interleaved else
+                      [(bx, by) for by in range(s["v"])
+                       for bx in range(s["h"])])
+            for bx, by in blocks:
+                if interleaved:
+                    gx, gy = ux * s["h"] + bx, uy * s["v"] + by
+                else:
+                    gx, gy = ux, uy
+                if ah == 0:
+                    t = _huff_decode(br, s["dc_t"])
+                    preds[s["id"]] += _receive_extend(br, t)
+                    if s["id"] == luma["id"]:
+                        coefs[gy, gx, 0] = preds[s["id"]] << al
+                else:
+                    bit = br.bit()
+                    if bit and s["id"] == luma["id"]:
+                        coefs[gy, gx, 0] |= 1 << al
+        unit += 1
+
+
+def _scan_ac(br, payload, comp, ss, se, ah, al, coefs, dri):
+    """AC scan over one component's real blocks, row-major. ``ah == 0``:
+    first scan for this band (EOB runs, values at scale 2^al). ``ah > 0``:
+    refinement — one correction bit per already-nonzero coefficient, new
+    coefficients appear as ±2^al."""
+    eobrun = 0
+    unit = 0
+    for by in range(comp["bh"]):
+        for bx in range(comp["bw"]):
+            if dri and unit and unit % dri == 0:
+                _restart(br, payload)
+                eobrun = 0
+            unit += 1
+            coef = coefs[by, bx]
+            if ah == 0:
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(br, comp["ac_t"])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1 + (br.bits(r) if r else 0)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC index out of band")
+                    coef[ZIGZAG[k]] = _receive_extend(br, s) << al
+                    k += 1
+            else:
+                p1, m1 = 1 << al, -1 << al
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff_decode(br, comp["ac_t"])
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r) + (br.bits(r) if r else 0)
+                                break
+                            val = 0  # ZRL: pass 16 zero-history coefs
+                        elif s == 1:
+                            val = p1 if br.bit() else m1
+                        else:
+                            raise ValueError("refinement size must be 1")
+                        while k <= se:
+                            z = ZIGZAG[k]
+                            if coef[z] != 0:
+                                if br.bit() and (coef[z] & p1) == 0:
+                                    coef[z] += p1 if coef[z] > 0 else m1
+                            else:
+                                if r == 0:
+                                    if val:
+                                        coef[z] = val
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        z = ZIGZAG[k]
+                        if coef[z] != 0:
+                            if br.bit() and (coef[z] & p1) == 0:
+                                coef[z] += p1 if coef[z] > 0 else m1
+                        k += 1
+                    eobrun -= 1

@@ -8,7 +8,7 @@ reconstruction, 8-bit gray/gray+alpha/RGB/RGBA, non-interlaced), BMP
 (uncompressed 24/32-bit) and PPM (P6/P3) images produce real dimensions
 and a pixel-derived 4x4 grayscale feature grid; WAV PCM audio produces
 real sample rate / channels / duration and a 16-window RMS loudness
-profile. Remaining codec gaps (progressive JPEG, WebP, mp3, video) raise
+profile. Remaining codec gaps (WebP, mp3, video) raise
 ``NotImplementedError``/``ValueError`` unless ``deterministic_fake=True``,
 which substitutes a seeded content-derived stand-in so downstream
 plumbing stays exercisable end-to-end.
@@ -229,13 +229,13 @@ def decode_png(payload: bytes):
 def decode_image(payload: bytes, *, deterministic_fake: bool = False):
     """Decode encoded image bytes to (width, height, 16-byte pixel summary).
 
-    REAL pure-Python decoders cover baseline JPEG (jpeg.py: huffman +
-    IDCT, subsampling, restarts), PNG (8-bit gray/gray+alpha/RGB/RGBA,
+    REAL pure-Python decoders cover JPEG — baseline AND progressive
+    (jpeg.py: huffman + IDCT, subsampling, restarts, spectral selection +
+    successive approximation) — PNG (8-bit gray/gray+alpha/RGB/RGBA,
     non-interlaced), BMP (uncompressed 24/32-bit) and PPM (P6/P3) — no
-    imaging library needed. Remaining formats (progressive JPEG, WebP,
-    ...) raise unless ``deterministic_fake=True``, which substitutes a
-    seeded, content-derived stand-in so the distributed plumbing stays
-    testable.
+    imaging library needed. Remaining formats (WebP, ...) raise unless
+    ``deterministic_fake=True``, which substitutes a seeded,
+    content-derived stand-in so the distributed plumbing stays testable.
     """
     raw = payload or b""
     try:
