@@ -41,10 +41,18 @@ def read_pages_stream(spark: SparkSession, input_path: str,
 
 def streaming_extract(pages_stream: DataFrame, *, strip: str = "density",
                       watermark: str = "1 hour") -> DataFrame:
-    """Watermarked, url-deduped streaming extraction."""
+    """Watermarked, url-deduped streaming extraction.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``): with
+    the plain operator, a watermark only evicts dedup state when the
+    event-time column is PART of the key subset — keyed on ``url`` alone
+    the state would hold every url ever seen, which at 10^12 documents is
+    an unbounded-state OOM. The WithinWatermark variant evicts each url's
+    entry once the watermark passes its event time, so state is bounded by
+    the crawl rate × watermark horizon regardless of corpus size."""
     deduped = (pages_stream
                .withWatermark("warc_ts", watermark)
-               .dropDuplicates(["url"]))
+               .dropDuplicatesWithinWatermark(["url"]))
     return extract_df(deduped, strip)
 
 
