@@ -1111,3 +1111,50 @@ def test_warc_charset_flows_to_kernel(spark, tmp_path_factory):
     out = extract_df(read_warcs(spark, str(base)), "density").collect()
     assert len(out) == 1
     assert "café touché" in out[0].text
+
+
+def test_dedup_job_stages_and_resume(spark, tmp_path_factory):
+    """Five-stage resumable dedup: results match the one-shot operators;
+    a resume after losing the last three stages skips the (expensive)
+    signature/candidate stages and converges to identical output."""
+    import shutil as _sh
+
+    from fortissimo_spark.dedup import near_duplicate_pairs
+    from fortissimo_spark.dedup_job import DedupJob
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text") \
+        .filter(F.col("doc_id") < 80)
+    pert = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.lit("zz yy "), F.col("text")).alias("text"))
+    corpus = docs.union(pert)
+
+    out = str(tmp_path_factory.mktemp("dedup_job"))
+    job = DedupJob(spark, out, threshold=0.5)
+    stats = job.run(corpus)
+    assert [s["stage"] for s in stats["stages"]] == \
+        ["signatures", "candidates", "pairs", "clusters", "losers"]
+    assert not any(s["skipped"] for s in stats["stages"])
+    assert stats["capped_buckets"] == 0
+
+    # pairs stage == the one-shot operator
+    got_pairs = {(r.id_a, r.id_b) for r in
+                 spark.read.parquet(job.pairs_path).collect()}
+    want_pairs = {(r.id_a, r.id_b) for r in
+                  near_duplicate_pairs(corpus, threshold=0.5).collect()}
+    assert got_pairs == want_pairs
+
+    kept1 = sorted(r.doc_id for r in job.canonical(corpus).collect())
+    # every planted copy lost to its original
+    assert all(i < 1000 for i in kept1)
+
+    # kill the tail stages; resume must skip the head stages and converge
+    for p in (job.pairs_path, job.clusters_path, job.losers_path):
+        _sh.rmtree(p)
+    stats2 = job.run(corpus)
+    by_name = {s["stage"]: s for s in stats2["stages"]}
+    assert by_name["signatures"]["skipped"] and by_name["candidates"]["skipped"]
+    assert not by_name["pairs"]["skipped"]
+    kept2 = sorted(r.doc_id for r in job.canonical(corpus).collect())
+    assert kept1 == kept2
+    assert os.path.exists(os.path.join(job.metrics_path, "metrics.json"))
