@@ -284,25 +284,86 @@ AUDIO_FEATURES_SCHEMA = StructType([
 ])
 
 
+def _g711_ulaw(idx):
+    """µ-law byte -> linear (±32124 scale), G.711 (public spec)."""
+    u = ~idx & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    x = (((mant << 3) + 0x84) << exp) - 0x84
+    return -x if sign else x
+
+
+def _g711_alaw(idx):
+    """A-law byte -> linear (±32256 scale), G.711 (public spec)."""
+    a = idx ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    x = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+    return -x if sign else x
+
+
+def _parse_riff_g711(payload: bytes):
+    """Manual RIFF walk for the G.711 formats stdlib ``wave`` refuses:
+    fmt tags 6 (A-law) / 7 (µ-law), 8-bit samples. Returns
+    (rate, nch, nframes, float64 samples in [-1, 1]) or None."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        ln = int.from_bytes(payload[i + 4:i + 8], "little")
+        body = payload[i + 8:i + 8 + ln]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    tag = int.from_bytes(fmt[0:2], "little")
+    if tag not in (6, 7):
+        return None
+    nch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    table = np.array([(_g711_alaw if tag == 6 else _g711_ulaw)(b)
+                      for b in range(256)], dtype=np.float64) / 32768.0
+    samples = table[np.frombuffer(data, dtype=np.uint8)]
+    return rate, nch, len(samples) // max(nch, 1), samples
+
+
 def decode_wav(payload: bytes):
-    """Pure-stdlib decode of RIFF/WAVE PCM →
+    """Pure-stdlib decode of RIFF/WAVE — PCM (8/16-bit) plus G.711
+    A-law/µ-law (table decode; stdlib ``wave`` refuses those) →
     (sample_rate, n_channels, duration_ms, 16-window RMS profile in [0,1])."""
     import io
     import wave
 
     import numpy as np
 
-    with wave.open(io.BytesIO(payload)) as w:
-        nch = w.getnchannels()
-        width = w.getsampwidth()
-        rate = w.getframerate()
-        nframes = w.getnframes()
-        frames = w.readframes(nframes)
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            rate = w.getframerate()
+            nframes = w.getnframes()
+            frames = w.readframes(nframes)
+    except wave.Error:
+        g711 = _parse_riff_g711(payload)
+        if g711 is None:
+            raise ValueError("unsupported WAV encoding") from None
+        rate, nch, nframes, samples = g711
+        width = None
     if width == 2:
         samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
     elif width == 1:
         samples = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128) / 128.0
-    else:
+    elif width is not None:
         raise ValueError(f"unsupported WAV sample width {width}")
     if nch > 1:
         samples = samples[::nch]  # first channel

@@ -1158,3 +1158,49 @@ def test_dedup_job_stages_and_resume(spark, tmp_path_factory):
     kept2 = sorted(r.doc_id for r in job.canonical(corpus).collect())
     assert kept1 == kept2
     assert os.path.exists(os.path.join(job.metrics_path, "metrics.json"))
+
+
+def test_wav_g711_decode(spark):
+    """G.711 µ-law/A-law WAVs decode for real: an INDEPENDENT test-side
+    segment-search encoder compresses a sine, the decoder's RMS must match
+    the analytic amp/sqrt(2) within companding quantization error."""
+    import math
+    import struct
+
+    from fortissimo_spark.modality import _g711_alaw, _g711_ulaw, decode_wav
+
+    def enc_ulaw(x):  # linear (±32124) -> closest µ-law byte
+        return min(range(256), key=lambda b: abs(_g711_ulaw(b) - x))
+
+    def enc_alaw(x):
+        return min(range(256), key=lambda b: abs(_g711_alaw(b) - x))
+
+    rate, n = 8000, 800
+    amp = 0.5
+    for tag, enc in ((7, enc_ulaw), (6, enc_alaw)):
+        # closest-codeword search is slow: quantize the sine to 64 distinct
+        # linear values first so the encode table is small
+        lut = {}
+        body = bytearray()
+        for i in range(n):
+            x = int(amp * 32124 * math.sin(2 * math.pi * 440 * i / rate))
+            q = x - x % 64
+            if q not in lut:
+                lut[q] = enc(q)
+            body.append(lut[q])
+        fmt = struct.pack("<HHIIHH", tag, 1, rate, rate, 1, 8)
+        wav = (b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(body))
+               + b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(body)) + bytes(body))
+        got_rate, nch, dur, rms = decode_wav(wav)
+        assert (got_rate, nch) == (rate, 1)
+        assert dur == int(n * 1000 / rate)
+        expect = amp / math.sqrt(2)
+        for w_ in rms:
+            assert abs(w_ - expect) / expect < 0.05, (tag, w_, expect)
+    # non-G.711 compressed tag still refuses honestly
+    fmt = struct.pack("<HHIIHH", 85, 1, rate, rate, 1, 0)  # mp3-in-wav
+    bad = (b"RIFF" + struct.pack("<I", 20 + len(fmt)) + b"WAVEfmt "
+           + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError):
+        decode_wav(bad)
