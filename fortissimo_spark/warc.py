@@ -173,10 +173,17 @@ def _warc_kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             continue
         rows: dict[str, list] = {k: [] for k in cols}
         for content in pdf["content"].tolist():
-            for page in parse_warc_pages(bytes(content)):
+            # one corrupt archive (truncated gzip member, mangled headers)
+            # must not kill the task — skip the file, keep the fleet moving
+            try:
+                pages = parse_warc_pages(bytes(content))
+            except Exception:  # noqa: BLE001 - malformed crawl shard
+                continue
+            for page in pages:
                 for k in cols:
                     rows[k].append(page[k])
-        yield pd.DataFrame(rows, columns=cols)
+        if rows["url"]:  # an all-empty frame defaults to uncastable dtypes
+            yield pd.DataFrame(rows, columns=cols)
 
 
 def read_warcs(spark: SparkSession, path_glob: str) -> DataFrame:

@@ -1204,3 +1204,14 @@ def test_wav_g711_decode(spark):
            + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 0))
     with pytest.raises(ValueError):
         decode_wav(bad)
+
+
+def test_warc_corrupt_file_skipped(spark, tmp_path_factory):
+    from fortissimo_spark.warc import build_warc, read_warcs
+    base = tmp_path_factory.mktemp("warc_bad")
+    (base / "good.warc").write_bytes(build_warc(
+        [{"url": "http://ok.example/a", "date": "2024-01-02T03:04:05Z",
+          "body": b"<p>fine</p>"}]))
+    (base / "bad.warc.gz").write_bytes(b"\x1f\x8btruncated-garbage")
+    rows = read_warcs(spark, str(base)).collect()
+    assert [r.url for r in rows] == ["http://ok.example/a"]
