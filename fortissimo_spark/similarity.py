@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["cosine_topk", "hyperplane_signature", "cosine_near_pairs",
-           "normalize_col", "ivf_centroids", "ivf_assign", "ivf_topk",
+           "normalize_col", "ivf_centroids", "ivf_fit_centroids",
+           "ivf_assign", "ivf_topk",
            "write_ivf_partitioned", "ivf_topk_partitioned"]
 
 
@@ -96,6 +97,33 @@ def ivf_centroids(dim: int, n_centroids: int, seed: int = 7) -> list[list[float]
     for c in raw:
         norm = sum(x * x for x in c) ** 0.5 or 1.0
         out.append([x / norm for x in c])
+    return out
+
+
+def ivf_fit_centroids(embeddings: DataFrame, n_centroids: int = 8, *,
+                      seed: int = 7, sample_fraction: float = 1.0,
+                      emb_col: str = "embedding") -> list[list[float]]:
+    """Production coarse quantizer: k-means over (a sample of) the corpus
+    (``pyspark.ml.clustering.KMeans``), L2-normalized so the one-pass
+    dot-product argmax in :func:`ivf_assign` stays valid. At 100 TB fit on
+    a small ``sample_fraction`` — k-means quality saturates long before the
+    full corpus — then assignment is the embarrassingly-parallel pass.
+    Drop-in wherever :func:`ivf_centroids` literals are accepted
+    (``ivf_assign`` / ``ivf_topk`` / :func:`write_ivf_partitioned`)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    src = embeddings
+    if sample_fraction < 1.0:
+        src = src.sample(fraction=sample_fraction, seed=seed)
+    feats = src.select(array_to_vector(
+        F.col(emb_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed).fit(feats)
+    out = []
+    for c in model.clusterCenters():
+        vec = [float(x) for x in c]
+        norm = sum(x * x for x in vec) ** 0.5 or 1.0
+        out.append([x / norm for x in vec])
     return out
 
 

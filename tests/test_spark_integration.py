@@ -1215,3 +1215,39 @@ def test_warc_corrupt_file_skipped(spark, tmp_path_factory):
     (base / "bad.warc.gz").write_bytes(b"\x1f\x8btruncated-garbage")
     rows = read_warcs(spark, str(base)).collect()
     assert [r.url for r in rows] == ["http://ok.example/a"]
+
+
+def test_ivf_fit_centroids_kmeans(spark):
+    """Fitted coarse quantizer: k-means centroids land on planted blobs,
+    stay unit-norm, and slot into the same assign/probe/search plan."""
+    import math
+    import random
+
+    from fortissimo_spark.similarity import (
+        cosine_topk, ivf_assign, ivf_fit_centroids, ivf_topk,
+    )
+    rng = random.Random(11)
+    dim, blobs = 16, 3
+    centers = []
+    for b in range(blobs):
+        c = [rng.uniform(-1, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in c))
+        centers.append([x / n for x in c])
+    rows = []
+    for i in range(240):
+        c = centers[i % blobs]
+        rows.append((i, [x + rng.uniform(-0.05, 0.05) for x in c]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    cents = ivf_fit_centroids(emb, blobs, seed=7)
+    assert all(abs(sum(x * x for x in c) - 1.0) < 1e-9 for c in cents)
+    # every fitted centroid is close to one planted blob center (cosine)
+    for c in cents:
+        best = max(sum(a * b for a, b in zip(c, pc)) for pc in centers)
+        assert best > 0.98
+    # assignment separates the blobs: each cell is pure
+    assigned = ivf_assign(emb, cents)
+    purity = (assigned.withColumn("blob", F.col("vec_id") % blobs)
+              .groupBy("cell").agg(F.countDistinct("blob").alias("nb"))
+              .agg(F.max("nb")).collect()[0][0])
+    assert purity == 1
