@@ -81,8 +81,8 @@ def main():
                         .alias("doc_id"), tagged.alias("text")))
     # materialize to parquet: verify-side rescans hit real IO like the
     # production table, not an in-memory cache
-    scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           ".dedup_bench_corpus")
+    scratch = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".bench_scratch", "dedup_bench_corpus")
     docs.repartition(int(CPUS)).write.mode("overwrite").parquet(scratch)
     docs = spark.read.parquet(scratch)
     n_docs = docs.count()

@@ -72,7 +72,9 @@ def deterministic_sample(docs: DataFrame, rate: float,
     h = F.conv(F.substring(
         F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
         16, 10).cast("long")
-    return docs.filter(h % 10000 < int(rate * 10000))
+    # round, not int(): int(0.57*10000) == 5699 — truncation would bias
+    # the realized rate low and disagree with any mirror computing exactly
+    return docs.filter(h % 10000 < round(rate * 10000))
 
 
 def pack_shards(docs: DataFrame, shard_tokens: int = 100_000,

@@ -24,8 +24,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["exact_duplicates", "shingle_sets", "minhash_signatures",
            "lsh_candidate_pairs", "lsh_bucket_stats",
-           "verified_near_duplicates", "simhash64",
-           "duplicate_clusters", "canonicalize",
+           "verified_near_duplicates", "verify_candidates_pruned",
+           "simhash64", "duplicate_clusters", "canonicalize",
            "md5_word_hash", "near_duplicate_pairs"]
 
 _MERSENNE_P = (1 << 31) - 1
@@ -195,6 +195,22 @@ def verified_near_duplicates(shingled: DataFrame, candidates: DataFrame,
             .filter(F.col("jaccard") >= threshold))
 
 
+def verify_candidates_pruned(docs: DataFrame, candidates: DataFrame, *,
+                             id_col: str = "doc_id", text_col: str = "text",
+                             n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact-verify ``candidates`` against ``docs`` PRUNED to candidate ids
+    (broadcast semi-join applied before shingling) — the single shared
+    implementation of the verify stage for :func:`near_duplicate_pairs`
+    and the resumable :class:`~fortissimo_spark.dedup_job.DedupJob`, so a
+    fix to the pruning logic cannot diverge between them."""
+    cand_ids = (candidates.select(F.col("id_a").alias(id_col))
+                .union(candidates.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    pruned = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+    return verified_near_duplicates(shingle_sets(pruned, id_col, text_col, n),
+                                    candidates, threshold)
+
+
 def near_duplicate_pairs(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", *, n: int = 3,
                          num_hashes: int = 128, bands: int = 32,
@@ -223,13 +239,10 @@ def near_duplicate_pairs(docs: DataFrame, id_col: str = "doc_id",
     candidates = lsh_candidate_pairs(signed.select("id", "sig"), bands,
                                      max_bucket_size)
     candidates = candidates.localCheckpoint(eager=True)
-    cand_ids = (candidates.select(F.col("id_a").alias(id_col))
-                .union(candidates.select(F.col("id_b").alias(id_col)))
-                .distinct())
     src = docs if verify_docs is None else verify_docs
-    pruned = src.join(F.broadcast(cand_ids), id_col, "left_semi")
-    return verified_near_duplicates(shingle_sets(pruned, id_col, text_col, n),
-                                    candidates, threshold)
+    return verify_candidates_pruned(src, candidates, id_col=id_col,
+                                    text_col=text_col, n=n,
+                                    threshold=threshold)
 
 
 def canonicalize(docs: DataFrame, id_col: str = "doc_id",

@@ -34,8 +34,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .dedup import (
-    lsh_bucket_stats, lsh_candidate_pairs, minhash_signatures, shingle_sets,
-    duplicate_clusters, verified_near_duplicates,
+    duplicate_clusters, lsh_bucket_stats, lsh_candidate_pairs,
+    minhash_signatures, shingle_sets, verify_candidates_pruned,
 )
 
 __all__ = ["DedupJob"]
@@ -92,21 +92,26 @@ class DedupJob:
             lambda: lsh_candidate_pairs(sigs, self.bands,
                                         self.max_bucket_size),
             resume, metrics)
-        capped = lsh_bucket_stats(sigs, self.bands, self.max_bucket_size) \
-            .count()
+        # capped-bucket observability is checkpointed WITH the candidates
+        # stage: recomputing it would re-shuffle the full signature table
+        # on every resume, including a no-op one
+        capped_file = os.path.join(self.metrics_path, "capped_buckets.json")
+        if resume and metrics[-1]["skipped"] and os.path.exists(capped_file):
+            with open(capped_file) as f:
+                capped = json.load(f)["capped_buckets"]
+        else:
+            capped = lsh_bucket_stats(sigs, self.bands,
+                                      self.max_bucket_size).count()
+            os.makedirs(self.metrics_path, exist_ok=True)
+            with open(capped_file, "w") as f:
+                json.dump({"capped_buckets": capped}, f)
 
-        def build_pairs():
-            cand_ids = (cands.select(F.col("id_a").alias(self.id_col))
-                        .union(cands.select(F.col("id_b").alias(self.id_col)))
-                        .distinct())
-            pruned = docs.join(F.broadcast(cand_ids), self.id_col,
-                               "left_semi")
-            return verified_near_duplicates(
-                shingle_sets(pruned, self.id_col, self.text_col, self.n),
-                cands, self.threshold)
-
-        pairs = self._stage("pairs", self.pairs_path, build_pairs,
-                            resume, metrics)
+        pairs = self._stage(
+            "pairs", self.pairs_path,
+            lambda: verify_candidates_pruned(
+                docs, cands, id_col=self.id_col, text_col=self.text_col,
+                n=self.n, threshold=self.threshold),
+            resume, metrics)
 
         clusters = self._stage(
             "clusters", self.clusters_path,

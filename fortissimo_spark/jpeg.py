@@ -102,13 +102,15 @@ class _BitReader:
         return v
 
     def align_after_marker(self):
-        """Consume the pending RST marker and restart bit-aligned."""
+        """Drop pending bits, require an RSTn marker at/after the cursor,
+        and step past it — the shared restart-boundary handler for the
+        baseline and progressive paths."""
         self.acc = 0
         self.n = 0
-        # self.i points at the 0xFF of the marker (set by _Marker.at
-        # semantics: the caller re-syncs i); skip FF + code
-        while self.d[self.i] != 0xFF:
+        while self.i < len(self.d) and self.d[self.i] != 0xFF:
             self.i += 1
+        if self.i + 1 >= len(self.d) or not (0xD0 <= self.d[self.i + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
         self.i += 2
 
 
@@ -354,14 +356,9 @@ def _comp_geometry(frame):
 
 
 def _restart(br, payload):
-    """Byte-align at an RSTn marker and step past it."""
-    br.acc = 0
-    br.n = 0
-    while br.i < len(payload) and payload[br.i] != 0xFF:
-        br.i += 1
-    if br.i + 1 >= len(payload) or not (0xD0 <= payload[br.i + 1] <= 0xD7):
-        raise ValueError("expected restart marker")
-    br.i += 2
+    """Byte-align at an RSTn marker and step past it (delegates to the
+    shared validated handler)."""
+    br.align_after_marker()
 
 
 def _decode_progressive(payload, frame, quant, scans):

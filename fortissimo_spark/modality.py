@@ -295,13 +295,16 @@ def _g711_ulaw(idx):
 
 
 def _g711_alaw(idx):
-    """A-law byte -> linear (±32256 scale), G.711 (public spec)."""
+    """A-law byte -> linear (±32256 scale), G.711 (public spec).
+
+    Sign convention per the reference alaw2linear: after the 0x55 XOR, a
+    SET 0x80 bit means POSITIVE (the opposite of µ-law)."""
     a = idx ^ 0x55
     sign = a & 0x80
     exp = (a >> 4) & 7
     mant = a & 0x0F
     x = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
-    return -x if sign else x
+    return x if sign else -x
 
 
 def _parse_riff_g711(payload: bytes):

@@ -155,7 +155,8 @@ def ivf_assign(embeddings: DataFrame, cents: list[list[float]],
 def ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10, *,
              n_centroids: int = 8, n_probe: int = 2, dim: int = 64,
              seed: int = 7, id_col: str = "vec_id",
-             emb_col: str = "embedding") -> DataFrame:
+             emb_col: str = "embedding",
+             cents: list[list[float]] | None = None) -> DataFrame:
     """IVF-style approximate top-k: assign corpus vectors to coarse cells
     (one JVM-side pass), probe the query's ``n_probe`` nearest cells, exact
     cosine only within the probed cells.
@@ -165,7 +166,8 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10, *,
     and the probed-cell filter is a partition-prunable predicate when the
     corpus is written partitioned by cell.
     """
-    cents = ivf_centroids(dim, n_centroids, seed)
+    if cents is None:
+        cents = ivf_centroids(dim, n_centroids, seed)
     assigned = ivf_assign(embeddings, cents, id_col, emb_col)
 
     q = assigned.filter(F.col("vec_id") == query_vec_id)
@@ -187,15 +189,20 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10, *,
 def write_ivf_partitioned(embeddings: DataFrame, path: str, *,
                           n_centroids: int = 8, dim: int = 64, seed: int = 7,
                           id_col: str = "vec_id",
-                          emb_col: str = "embedding") -> list[list[float]]:
+                          emb_col: str = "embedding",
+                          cents: list[list[float]] | None = None) -> list[list[float]]:
     """Write the IVF-assigned corpus PARTITIONED BY cell — the production
     layout where the probe filter becomes a partition-pruning predicate
     (the scan reads n_probe of n_centroids directories, not the corpus).
     Assignment is the same one-pass ``greatest()`` as :func:`ivf_assign`;
     the write shuffles once on ``cell`` (uniform by construction for
     LCG centroids; a k-means fit should repartition by cell + salt any
-    mega-cell). Returns the centroids used."""
-    cents = ivf_centroids(dim, n_centroids, seed)
+    mega-cell). Pass ``cents`` (e.g. from :func:`ivf_fit_centroids`) to
+    use a fitted quantizer; the SAME list must then go to
+    :func:`ivf_topk_partitioned` — returns the centroids used so callers
+    can thread them through."""
+    if cents is None:
+        cents = ivf_centroids(dim, n_centroids, seed)
     assigned = ivf_assign(embeddings, cents, id_col, emb_col)
     (assigned.select("vec_id", "v", "cell")
      .repartition("cell")
@@ -206,7 +213,8 @@ def write_ivf_partitioned(embeddings: DataFrame, path: str, *,
 def ivf_topk_partitioned(spark, path: str, query_vec: list[float],
                          k: int = 10, *, n_centroids: int = 8,
                          n_probe: int = 2, dim: int = 64, seed: int = 7,
-                         exclude_vec_id: int | None = None) -> DataFrame:
+                         exclude_vec_id: int | None = None,
+                         cents: list[list[float]] | None = None) -> DataFrame:
     """IVF top-k over the cell-partitioned table written by
     :func:`write_ivf_partitioned`.
 
@@ -216,8 +224,12 @@ def ivf_topk_partitioned(spark, path: str, query_vec: list[float],
     predicate the scan can partition-prune: ``.explain`` shows
     PartitionFilters on ``cell`` and a pruned partition count. Identical
     tie-break (highest dot, then smallest centroid id) and float order as
-    :func:`ivf_topk`, so results match the in-plan variant exactly."""
-    cents = ivf_centroids(dim, n_centroids, seed)
+    :func:`ivf_topk`, so results match the in-plan variant exactly.
+    ``cents`` must be the SAME list the table was written with (fitted or
+    LCG) — probing a fitted table with LCG cells returns wrong
+    neighbors."""
+    if cents is None:
+        cents = ivf_centroids(dim, n_centroids, seed)
     dots = sorted(((sum(a * b for a, b in zip(query_vec, c)), -i)
                    for i, c in enumerate(cents)), reverse=True)
     probes = [-neg for _, neg in dots[:n_probe]]

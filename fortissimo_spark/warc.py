@@ -84,16 +84,21 @@ def build_warc(records: list[dict], *, compress: bool = False,
 
 
 def _gunzip_members(payload: bytes) -> bytes:
-    """Concatenated-gzip-member decompression (one WARC record per member)."""
+    """Concatenated-gzip-member decompression (one WARC record per member).
+
+    The remaining tail is advanced through a ``memoryview`` — slicing the
+    raw bytes would COPY the remainder once per member, and a ~1 GB
+    Common-Crawl shard with ~100k record-members would do O(N·M) bytes of
+    memcpy (tens of TB) before any parsing happened."""
+    view = memoryview(payload)
     out = []
-    i = 0
-    while i < len(payload):
+    while len(view):
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(payload[i:]))
+        out.append(d.decompress(view))
         rest = d.unused_data
         if not rest:
             break
-        i = len(payload) - len(rest)
+        view = view[len(view) - len(rest):]
     return b"".join(out)
 
 
@@ -147,23 +152,39 @@ def parse_warc_pages(payload: bytes) -> list[dict]:
     extraction kernel's job, which re-sniffs BOM/meta and retries)."""
     pages = []
     for headers, block in iter_warc_records(payload):
-        if headers.get("warc-type") != "response":
+        # record-level tolerance: one malformed record (bad date, mangled
+        # HTTP head) must not discard the archive's other records
+        try:
+            if headers.get("warc-type") != "response":
+                continue
+            url = headers.get("warc-target-uri")
+            date = headers.get("warc-date")
+            if not url or not date:
+                continue
+            status, http_headers, body = _split_http_response(block)
+            if not (200 <= status < 300):
+                continue
+            ctype = http_headers.get("content-type", "")
+            if "html" not in ctype:
+                continue
+            ts = _parse_warc_date(date)
+        except Exception:  # noqa: BLE001 - skip the record, keep the file
             continue
-        url = headers.get("warc-target-uri")
-        date = headers.get("warc-date")
-        if not url or not date:
-            continue
-        status, http_headers, body = _split_http_response(block)
-        if not (200 <= status < 300):
-            continue
-        ctype = http_headers.get("content-type", "")
-        if "html" not in ctype:
-            continue
-        ts = datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ") \
-            .replace(tzinfo=timezone.utc).replace(tzinfo=None)
         pages.append({"url": url, "warc_ts": ts, "html": bytearray(body),
                       "text": None, "lang": None})
     return pages
+
+
+def _parse_warc_date(date: str) -> datetime:
+    """WARC-Date per WARC 1.0 (second precision) AND 1.1 (arbitrary
+    fractional seconds, as wget/warcio emit)."""
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            return (datetime.strptime(date, fmt)
+                    .replace(tzinfo=timezone.utc).replace(tzinfo=None))
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable WARC-Date: {date!r}")
 
 
 def _warc_kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1251,3 +1251,43 @@ def test_ivf_fit_centroids_kmeans(spark):
               .groupBy("cell").agg(F.countDistinct("blob").alias("nb"))
               .agg(F.max("nb")).collect()[0][0])
     assert purity == 1
+
+
+def test_warc_fractional_date_and_bad_record_tolerance(spark):
+    """WARC 1.1 fractional-second dates parse; one malformed record is
+    skipped without discarding the archive's other records."""
+    from fortissimo_spark.warc import build_warc, parse_warc_pages
+    good = build_warc([
+        {"url": "http://f.example/a", "date": "2024-05-06T07:08:09.123456Z",
+         "body": b"<p>frac</p>"},
+        {"url": "http://f.example/b", "date": "not-a-date",
+         "body": b"<p>bad</p>"},
+        {"url": "http://f.example/c", "date": "2024-05-06T07:08:10Z",
+         "body": b"<p>plain</p>"},
+    ])
+    pages = parse_warc_pages(good)
+    assert [p["url"] for p in pages] == ["http://f.example/a",
+                                         "http://f.example/c"]
+    assert pages[0]["warc_ts"].microsecond == 123456
+
+
+def test_ivf_fitted_centroids_partitioned_path(spark, tmp_path_factory):
+    """Fitted centroids thread through write_ivf_partitioned ->
+    ivf_topk_partitioned and agree with the in-plan ivf_topk given the
+    same quantizer (the drop-in contract)."""
+    from fortissimo_spark.similarity import (
+        ivf_fit_centroids, ivf_topk, ivf_topk_partitioned,
+        write_ivf_partitioned,
+    )
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = ivf_fit_centroids(emb, 4, seed=7)
+    out = str(tmp_path_factory.mktemp("ivf_fit") / "cells")
+    write_ivf_partitioned(emb, out, cents=cents)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = [(r.vec_id, r.cos_sim) for r in
+           ivf_topk_partitioned(spark, out, qvec, 10, n_probe=2,
+                                cents=cents, exclude_vec_id=0).collect()]
+    want = [(r.vec_id, r.cos_sim) for r in
+            ivf_topk(emb, 0, 10, n_probe=2, cents=cents).collect()]
+    assert got == want and len(got) == 10
