@@ -779,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_repeats": _q_collapse_repeats,
         "gopher_filter": _q_gopher_filter,
         "decontaminate": _q_decontaminate,
+        "warc_extract": _q_warc_extract,
         "chunk_documents": _q_chunk_documents,
         "deterministic_sample": _q_deterministic_sample,
         "pack_shards": _q_pack_shards,
@@ -812,6 +813,41 @@ def _ivf_oracle_sql() -> str:
             FROM cells c, q
             WHERE c.vec_id != 0 AND c.cell IN (SELECT cid FROM probes)
             ORDER BY cos_sim DESC, c.vec_id LIMIT 10""".format(vals=vals)
+
+def _q_warc_extract(spark, sf_dir):
+    """The crawl-ingest leg end-to-end: documents -> deterministic
+    .warc.gz fixture archives (per-record gzip members, plus request/404
+    noise records that must be skipped) -> read_warcs -> dedup -> extract.
+    Extracted text must be byte-identical to the source documents."""
+    import tempfile
+
+    from fortissimo_spark.pages import page_for_doc
+    from fortissimo_spark.warc import build_warc, read_warcs
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "lang").filter(F.col("doc_id") < 200)
+    records = []
+    for r in docs.collect():
+        pg = page_for_doc(int(r["doc_id"]), r["text"], r["lang"], 0)
+        records.append({"url": pg["url"],
+                        "date": pg["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+                        "body": bytes(pg["html"])})
+        records.append({"url": pg["url"], "date": "2024-01-01T00:00:00Z",
+                        "kind": "request"})
+    records.append({"url": "http://x.example/gone", "body": b"<p>404</p>",
+                    "date": "2024-01-01T00:00:00Z", "status": 404})
+    base = tempfile.mkdtemp(prefix="warc_oracle_")
+    half = len(records) // 2
+    with open(os.path.join(base, "a.warc.gz"), "wb") as f:
+        f.write(build_warc(records[:half], compress=True))
+    with open(os.path.join(base, "b.warc"), "wb") as f:
+        f.write(build_warc(records[half:]))
+    out = extract_df(dedup_latest_crawl(read_warcs(spark, base)), "density")
+    return out.select(
+        F.regexp_extract("url", _DOC_ID_FROM_URL, 1).cast("long")
+        .alias("doc_id"),
+        "text")
+
 
 def _q_chunk_documents(spark, sf_dir):
     """Context-window chunking: 50-token chunks with 10-token overlap,
@@ -1439,6 +1475,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang AS langid_guess, CAST(score AS INT) AS langid_score
             FROM r WHERE rn = 1""",
         "ann_ivf_topk": _ivf_oracle_sql(),
+        "warc_extract": """
+            SELECT doc_id, text FROM documents WHERE doc_id < 200""",
         "chunk_documents": """
             WITH w AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
