@@ -53,3 +53,27 @@ def test_jpeg_progressive_equals_baseline_fuzz(rgb, sub):
         prog = decode_jpeg_luma(
             encode_jpeg_progressive(rgb, sub, successive=successive))[2]
         assert np.array_equal(prog, base)
+
+
+# --- WARC framing fuzz (Content-Length framing vs adversarial bodies) ---
+
+from hypothesis import example  # noqa: E402
+
+from fortissimo_spark.warc import build_warc, parse_warc_pages  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=6),
+       st.booleans())
+@example([b"WARC/1.0\r\nWARC-Type: response\r\n\r\n", b"\r\n\r\nHTTP/1.1 200 OK"],
+         False)
+def test_warc_framing_fuzz(bodies, compress):
+    """Bodies are length-framed, so ARBITRARY payload bytes — including
+    embedded 'WARC/1.0' record heads and CRLF-CRLF separators — must never
+    desync the parser: every record comes back, bytes exact."""
+    records = [{"url": f"http://f.example/{i}",
+                "date": "2024-01-01T00:00:00Z", "body": b}
+               for i, b in enumerate(bodies)]
+    got = parse_warc_pages(build_warc(records, compress=compress))
+    assert [p["url"] for p in got] == [r["url"] for r in records]
+    assert [bytes(p["html"]) for p in got] == list(bodies)

@@ -1291,3 +1291,48 @@ def test_ivf_fitted_centroids_partitioned_path(spark, tmp_path_factory):
     want = [(r.vec_id, r.cos_sim) for r in
             ivf_topk(emb, 0, 10, n_probe=2, cents=cents).collect()]
     assert got == want and len(got) == 10
+
+
+def test_streaming_dedup_state_evicts(spark, tmp_path_factory):
+    """The r3 fix, proven at runtime: dropDuplicatesWithinWatermark must
+    EVICT url state once the watermark passes (plain dropDuplicates keyed
+    on url holds every url forever — the 10^12-doc OOM). Feed batches with
+    advancing event times and read the state-operator row counts."""
+    import datetime
+    import json as _json
+
+    from fortissimo_spark.schema import PAGES_SCHEMA
+    from fortissimo_spark.streaming import streaming_extract
+
+    base = tmp_path_factory.mktemp("evict")
+    in_dir, ckpt = str(base / "in"), str(base / "ckpt")
+    os.makedirs(in_dir)
+
+    def batch(name, day, urls):
+        ts = datetime.datetime(2024, 3, day, 12, 0, 0)
+        rows = [(f"http://e.example/{u}", ts, bytearray(b"<p>x</p>"), None,
+                 "en") for u in urls]
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(os.path.join(in_dir, name))
+
+    batch("b1", 1, range(40))
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir + "/*"))
+    q = (streaming_extract(stream, watermark="1 hour")
+         .writeStream.format("memory").queryName("evict_probe")
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        # 40 days-1 urls are in state now
+        s1 = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        assert s1 >= 40
+        # a batch 10 days later pushes the watermark far past day 1:
+        # all day-1 entries must be evicted, leaving only the new urls
+        batch("b2", 11, range(1000, 1010))
+        q.processAllAvailable()
+        batch("b3", 11, range(2000, 2010))  # one more to apply the watermark
+        q.processAllAvailable()
+        s2 = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        assert s2 < 40, _json.dumps(q.lastProgress["stateOperators"][0])
+    finally:
+        q.stop()
