@@ -262,14 +262,20 @@ def canonicalize(docs: DataFrame, id_col: str = "doc_id",
 
     Returns the surviving rows of ``docs`` (same schema). Requires unique
     ids in ``docs`` (standard for a corpus key): the exact-verify sides
-    read the RAW corpus pruned to candidate ids (``verify_docs=docs``), so
-    the exact-dedup window runs on the sign path and the final anti-join
-    only — never on the verify scans. Candidate ids always name exact-dedup
-    survivors, so with unique ids the pruned raw scan yields the same rows.
+    read the RAW corpus pruned to candidate ids (``verify_docs=docs``),
+    and exact-dedup is expressed as a ONE-TIME window whose only output is
+    the (small) exact-LOSER id set, materialized once — every survivor
+    consumer is then a plain anti-join on ids. The exchange+sort of the
+    full corpus happens exactly once; the sign path and the final result
+    are anti-joins AQE turns into broadcasts whenever the loser sets are
+    small (and plain exchanges — still cheaper than a sort — when a
+    pathological corpus makes them huge).
     """
     w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(id_col)
-    survivors = (docs.withColumn("_rn", F.row_number().over(w))
-                 .filter(F.col("_rn") == 1).drop("_rn"))
+    exact_losers = (docs.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") > 1).select(id_col))
+    exact_losers = exact_losers.localCheckpoint(eager=True)
+    survivors = docs.join(exact_losers, id_col, "left_anti")
     pairs = near_duplicate_pairs(survivors, id_col, text_col, n=n,
                                  num_hashes=num_hashes, bands=bands,
                                  threshold=threshold,
@@ -277,9 +283,9 @@ def canonicalize(docs: DataFrame, id_col: str = "doc_id",
                                  verify_docs=docs)
     clusters = duplicate_clusters(pairs.select("id_a", "id_b"),
                                   max_cluster_iterations)
-    losers = (clusters.filter(F.col("id") != F.col("cluster_id"))
-              .select(F.col("id").alias(id_col)))
-    return survivors.join(losers, id_col, "left_anti")
+    near_losers = (clusters.filter(F.col("id") != F.col("cluster_id"))
+                   .select(F.col("id").alias(id_col)))
+    return survivors.join(near_losers, id_col, "left_anti")
 
 
 def md5_word_hash(w):

@@ -176,9 +176,11 @@ def main():
     kept = canonicalize(docs, threshold=0.5)
     p = kept._jdf.queryExecution().optimizedPlan().toString()
     sections.append(("canonicalize residual plan (dedup endgame)", p, [
-        ("residual = survivor window + losers anti-join only",
-         "LeftAnti" in p and p.count("Join") == 1),
-        ("losers read from the materialized cluster labels",
+        ("residual = two anti-joins on materialized id sets",
+         p.count("LeftAnti") == 2),
+        ("NO window/sort in the residual plan (the exact-dedup window ran "
+         "once, its small loser set checkpointed)", "Window" not in p),
+        ("loser sets read from materialized checkpoints",
          "LogicalRDD" in p or "ExistingRDD" in p),
         ("one corpus scan in the residual plan", p.count("Relation") == 1),
     ]))
