@@ -780,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _q_gopher_filter,
         "decontaminate": _q_decontaminate,
         "warc_extract": _q_warc_extract,
+        "remove_dup_paragraphs": _q_remove_dup_paragraphs,
         "chunk_documents": _q_chunk_documents,
         "deterministic_sample": _q_deterministic_sample,
         "pack_shards": _q_pack_shards,
@@ -813,6 +814,21 @@ def _ivf_oracle_sql() -> str:
             FROM cells c, q
             WHERE c.vec_id != 0 AND c.cell IN (SELECT cid FROM probes)
             ORDER BY cos_sim DESC, c.vec_id LIMIT 10""".format(vals=vals)
+
+def _q_remove_dup_paragraphs(spark, sf_dir):
+    """CCNet-style corpus-wide duplicate-paragraph removal: a shared
+    footer paragraph is planted on every third document; it must vanish
+    from ALL of them while each unique body paragraph survives."""
+    from fortissimo_spark.textstats import remove_duplicate_paragraphs
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat("text", F.lit("\n\nSHARED FOOTER - subscribe now")))
+        .otherwise(F.col("text")).alias("text"))
+    return remove_duplicate_paragraphs(corpus) \
+        .select("doc_id", "text_clean", "n_paras_removed")
+
 
 def _q_warc_extract(spark, sf_dir):
     """The crawl-ingest leg end-to-end: documents -> deterministic
@@ -1477,6 +1493,33 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ivf_oracle_sql(),
         "warc_extract": """
             SELECT doc_id, text FROM documents WHERE doc_id < 200""",
+        "remove_dup_paragraphs": """
+            WITH corpus AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || chr(10) || chr(10) || 'SHARED FOOTER - subscribe now'
+                          ELSE text END AS text
+              FROM documents),
+            segs AS (
+              SELECT doc_id, string_split(text, chr(10) || chr(10)) AS s
+              FROM corpus),
+            p AS (
+              SELECT doc_id, i AS pos, s[i] AS para
+              FROM segs, (SELECT unnest(range(1, 1000)) AS i) t
+              WHERE i <= length(s)),
+            c AS (SELECT para, count(*) AS n FROM p GROUP BY para),
+            kept AS (
+              SELECT p.doc_id, p.pos, p.para
+              FROM p JOIN c USING (para) WHERE c.n <= 1),
+            reb AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_clean,
+                     count(*) AS k
+              FROM kept GROUP BY doc_id)
+            SELECT s.doc_id,
+                   coalesce(r.text_clean, '') AS text_clean,
+                   CAST(length(s.s) - coalesce(r.k, 0) AS INT) AS n_paras_removed
+            FROM segs s LEFT JOIN reb r USING (doc_id)""",
         "chunk_documents": """
             WITH w AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws

@@ -7,11 +7,12 @@ Gopher-family repetition/format rules, and rolling-hash fingerprints.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["with_token_counts", "with_quality_features", "with_langid",
            "with_fingerprints", "tf_idf_top_terms", "gopher_quality_filter",
-           "decontaminate", "collapse_repeated_tokens", "LANG_MARKERS"]
+           "decontaminate", "collapse_repeated_tokens",
+           "remove_duplicate_paragraphs", "LANG_MARKERS"]
 
 # tiny marker-word profiles (public-knowledge function words)
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -295,6 +296,50 @@ def gopher_quality_filter(docs: DataFrame, text_col: str = "text", *,
     return (out.withColumn("keep", keep)
             .drop(_NORM_COL, "_n_words", "_mean_word_len", "_alpha_ratio",
                   "_stop_hits"))
+
+
+def remove_duplicate_paragraphs(docs: DataFrame, id_col: str = "doc_id",
+                                text_col: str = "text", *,
+                                max_count: int = 1,
+                                out_col: str = "text_clean") -> DataFrame:
+    """CCNet-style CORPUS-WIDE duplicate-paragraph removal: drop every
+    occurrence of a paragraph (``\\n\\n``-separated segment) that appears
+    more than ``max_count`` times across the whole corpus — the cleanup
+    that strips cookie banners, nav footers, and license boilerplate that
+    per-document rules can't see. Adds ``out_col`` (survivors rejoined
+    with blank lines, original order) and ``n_paras_removed``.
+
+    Exactly two uniform shuffles at any corpus size: the corpus-wide count
+    is a window over ``sha2(paragraph)`` (one exchange — no count-table
+    self-join), the regroup is one exchange on the doc id; per-doc state
+    is bounded by document size. Whitespace-only segments share one hash
+    bucket and are dropped like any other repeated paragraph (blank-run
+    collapse), which this operator's cleanup semantics accept — it is a
+    normalizer, not a lossless transform.
+    """
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\n\n", -1))
+        .alias("pos", "para"))
+    w = Window.partitionBy(F.sha2(F.col("para"), 256))
+    counted = paras.withColumn("_n", F.count("*").over(w))
+    kept = counted.filter(F.col("_n") <= max_count)
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct(F.col("pos"), F.col("para")))),
+                            lambda s: s["para"]),
+                        "\n\n").alias(out_col),
+                    F.count("*").alias("_kept")))
+    totals = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col),
+                         F.size(F.split(F.col(text_col), r"\n\n", -1))
+                         .alias("_total"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select(F.col("doc_id").alias(id_col), text_col,
+                    F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+                    (F.col("_total") - F.coalesce(F.col("_kept"), F.lit(0)))
+                    .cast("int").alias("n_paras_removed")))
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame,

@@ -1336,3 +1336,28 @@ def test_streaming_dedup_state_evicts(spark, tmp_path_factory):
         assert s2 < 40, _json.dumps(q.lastProgress["stateOperators"][0])
     finally:
         q.stop()
+
+
+def test_remove_duplicate_paragraphs(spark):
+    from fortissimo_spark.textstats import remove_duplicate_paragraphs
+    rows = [
+        (1, "unique one\n\nCOOKIE BANNER\n\nbody text a"),
+        (2, "COOKIE BANNER\n\nbody text b"),
+        (3, "body text c\n\nCOOKIE BANNER\n\ntail c"),
+        (4, "all alone here"),
+        (5, "COOKIE BANNER"),
+    ]
+    out = {r.doc_id: (r.text_clean, r.n_paras_removed)
+           for r in remove_duplicate_paragraphs(
+               spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert out[1] == ("unique one\n\nbody text a", 1)
+    assert out[2] == ("body text b", 1)
+    assert out[3] == ("body text c\n\ntail c", 1)
+    assert out[4] == ("all alone here", 0)
+    assert out[5] == ("", 1)  # fully-boilerplate doc survives as empty
+    # looser cap keeps paragraphs up to the count
+    out3 = {r.doc_id: r.n_paras_removed
+            for r in remove_duplicate_paragraphs(
+                spark.createDataFrame(rows, ["doc_id", "text"]),
+                max_count=4).collect()}
+    assert all(v == 0 for v in out3.values())
