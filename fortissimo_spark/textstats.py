@@ -12,7 +12,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 __all__ = ["with_token_counts", "with_quality_features", "with_langid",
            "with_fingerprints", "tf_idf_top_terms", "gopher_quality_filter",
            "decontaminate", "collapse_repeated_tokens",
-           "remove_duplicate_paragraphs", "LANG_MARKERS"]
+           "remove_duplicate_paragraphs", "train_quality_classifier",
+           "score_quality", "LANG_MARKERS"]
 
 # tiny marker-word profiles (public-knowledge function words)
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -392,6 +393,49 @@ def tf_idf_top_terms(docs: DataFrame, top_n: int = 5, id_col: str = "doc_id",
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_n)
             .select("doc_id", "term", "tf", "df", "tfidf", "rank"))
+
+
+def train_quality_classifier(labeled: DataFrame, label_col: str = "label",
+                             text_col: str = "text", *, seed: int = 7):
+    """Train a logistic-regression document-quality classifier on the
+    JVM-side quality features (the pyspark.ml analogue of the fasttext
+    quality classifiers public pipelines train on weak labels — e.g.
+    'looks like a reference corpus' vs 'random crawl').
+
+    Features are exactly :func:`with_quality_features`'s columns, so
+    scoring is one ml transform over a feature vector assembled from
+    whole-stage-codegen expressions — no Python in the scoring path.
+    Returns the fitted PipelineModel; apply with
+    :func:`score_quality`."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = with_quality_features(labeled, text_col)
+    cols = ["q_len", "q_n_words", "q_alpha_ratio", "q_digit_ratio",
+            "q_punct_ratio", "q_upper_ratio", "q_mean_word_len",
+            "q_stopword_ratio"]
+    pipe = Pipeline(stages=[
+        VectorAssembler(inputCols=cols, outputCol="features"),
+        LogisticRegression(featuresCol="features", labelCol=label_col,
+                           maxIter=50, regParam=0.01)])
+    return pipe.fit(feats)
+
+
+def score_quality(docs: DataFrame, model, text_col: str = "text") -> DataFrame:
+    """Apply a :func:`train_quality_classifier` model: adds
+    ``quality_prob`` (P(label=1)) and ``quality_pred``. Distributed model
+    scoring — the features are computed JVM-side per partition and the LR
+    transform is a dot product; nothing collects to the driver."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = with_quality_features(docs, text_col)
+    scored = model.transform(feats)
+    return (scored
+            .withColumn("quality_prob",
+                        F.round(vector_to_array("probability")[1], 6))
+            .withColumn("quality_pred", F.col("prediction").cast("int"))
+            .drop("features", "rawPrediction", "probability", "prediction"))
 
 
 def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:

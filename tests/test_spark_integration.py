@@ -1361,3 +1361,31 @@ def test_remove_duplicate_paragraphs(spark):
                 spark.createDataFrame(rows, ["doc_id", "text"]),
                 max_count=4).collect()}
     assert all(v == 0 for v in out3.values())
+
+
+def test_quality_classifier_train_and_score(spark):
+    """Weak-label quality classifier: train LR on gibberish-vs-prose
+    labels, score held-out docs distributed; gibberish must score low,
+    prose high, and the scoring plan must contain no Python stages."""
+    from fortissimo_spark.textstats import (
+        score_quality, train_quality_classifier,
+    )
+    prose = ("the quick brown fox jumps over a lazy dog and then it runs "
+             "far away to find some of those better meals that everyone "
+             "is hoping will appear near this quiet village tonight")
+    def gib(i):
+        return " ".join(f"x{j}9#@!{i}" for j in range(30))
+    labeled = spark.createDataFrame(
+        [(i, prose + f" extra {i}", 1) for i in range(30)]
+        + [(100 + i, gib(i), 0) for i in range(30)],
+        ["doc_id", "text", "label"])
+    model = train_quality_classifier(labeled)
+    held = spark.createDataFrame(
+        [(1, prose + " held out"), (2, gib(99))], ["doc_id", "text"])
+    got = {r.doc_id: (r.quality_prob, r.quality_pred)
+           for r in score_quality(held, model).collect()}
+    assert got[1][1] == 1 and got[1][0] > 0.5
+    assert got[2][1] == 0 and got[2][0] < 0.5
+    plan = score_quality(held, model)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
