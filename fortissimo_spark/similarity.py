@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["cosine_topk", "hyperplane_signature", "cosine_near_pairs",
+           "hyperplane_bucket_stats",
            "normalize_col", "ivf_centroids", "ivf_fit_centroids",
            "ivf_assign", "ivf_topk",
            "write_ivf_partitioned", "ivf_topk_partitioned"]
@@ -286,3 +287,31 @@ def cosine_near_pairs(embeddings: DataFrame, threshold: float = 0.9,
     return (candidates.join(va, "id_a").join(vb, "id_b")
             .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
+
+
+def hyperplane_bucket_stats(embeddings: DataFrame, num_planes: int = 12,
+                            dim: int = 64, seed: int = 42,
+                            num_probes: int = 4,
+                            max_bucket_size: int = 1000,
+                            id_col: str = "vec_id",
+                            emb_col: str = "embedding") -> DataFrame:
+    """Observability for :func:`cosine_near_pairs`' bucket cap — the same
+    no-silent-caps contract as ``dedup.lsh_bucket_stats``: one row per
+    (probe, bucket) LARGER than ``max_bucket_size``, with the member and
+    dropped counts. Members past the cap are excluded from candidate
+    generation in that probe (a recall trade-off); an empty result means
+    the cap never bit. A hot bucket here usually means a constant or
+    near-constant embedding column (dead encoder, zero vectors) that
+    should be filtered upstream."""
+    out = None
+    for probe in range(num_probes):
+        sig = hyperplane_signature(embeddings, num_planes, dim, seed + probe,
+                                   id_col, emb_col)
+        stats = (sig.groupBy("bucket")
+                 .agg(F.count("*").alias("n_members"))
+                 .filter(F.col("n_members") > max_bucket_size)
+                 .select(F.lit(probe).alias("probe"), "bucket", "n_members",
+                         (F.col("n_members") - max_bucket_size)
+                         .alias("n_dropped")))
+        out = stats if out is None else out.union(stats)
+    return out

@@ -1389,3 +1389,17 @@ def test_quality_classifier_train_and_score(spark):
     plan = score_quality(held, model)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_hyperplane_bucket_stats(spark):
+    from fortissimo_spark.similarity import hyperplane_bucket_stats
+    emb = spark.createDataFrame([(i, [1.0] * 8) for i in range(60)],
+                                ["vec_id", "embedding"])
+    hot = hyperplane_bucket_stats(emb, num_planes=4, dim=8, num_probes=2,
+                                  max_bucket_size=10).collect()
+    assert len(hot) == 2  # one constant-vector bucket per probe
+    assert all(r.n_members == 60 and r.n_dropped == 50 for r in hot)
+    ok = spark.createDataFrame([(i, [float(i + j) for j in range(8)])
+                                for i in range(5)], ["vec_id", "embedding"])
+    assert hyperplane_bucket_stats(ok, num_planes=4, dim=8, num_probes=2,
+                                   max_bucket_size=10).count() == 0
