@@ -781,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "warc_extract": _q_warc_extract,
         "remove_dup_paragraphs": _q_remove_dup_paragraphs,
+        "script_stats": _q_script_stats,
         "chunk_documents": _q_chunk_documents,
         "deterministic_sample": _q_deterministic_sample,
         "pack_shards": _q_pack_shards,
@@ -814,6 +815,24 @@ def _ivf_oracle_sql() -> str:
             FROM cells c, q
             WHERE c.vec_id != 0 AND c.cell IN (SELECT cid FROM probes)
             ORDER BY cos_sim DESC, c.vec_id LIMIT 10""".format(vals=vals)
+
+def _q_script_stats(spark, sf_dir):
+    """Unicode-script character ratios + dominant script — the routing
+    gate in front of Latin-marker language ID (CJK/Cyrillic/Arabic docs
+    score 0 on every Latin profile). Fixture rows plant one document per
+    script plus a no-script row that must yield 'other'."""
+    from fortissimo_spark.textstats import with_script_ratios
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fixtures = spark.createDataFrame([
+        (9100001, "Это русский текст для проверки кириллицы"),
+        (9100002, "这是一段用于测试的中文文本内容"),
+        (9100003, "هذا نص عربي للاختبار فقط"),
+        (9100004, "यह परीक्षण के लिए हिंदी पाठ है"),
+        (9100005, "Αυτό είναι ελληνικό κείμενο δοκιμής"),
+        (9100006, "12345 67890 ---"),
+    ], "doc_id long, text string")
+    return with_script_ratios(docs.union(fixtures)).drop("text")
+
 
 def _q_remove_dup_paragraphs(spark, sf_dir):
     """CCNet-style corpus-wide duplicate-paragraph removal: a shared
@@ -886,6 +905,78 @@ def _q_pack_shards(spark, sf_dir):
     the equivalent naive global cumulative sum."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return pack_shards(docs, shard_tokens=10_000, num_partitions=8)
+
+
+def _langid_oracle_sql() -> str:
+    """Generated from textstats.LANG_MARKERS so the oracle can never drift
+    from the engine's marker table (mirrors textstats._with_ws_norm:
+    whitespace runs -> two spaces, padded)."""
+    from fortissimo_spark.textstats import LANG_MARKERS
+    langs = sorted(LANG_MARKERS)
+    sums = ",\n                ".join(
+        "(" + " + ".join(f"length(string_split(t, ' {w} ')) - 1"
+                         for w in LANG_MARKERS[lang]) + f") AS s_{lang}"
+        for lang in langs)
+    return """
+            WITH m AS (
+              SELECT doc_id,
+                     ' ' || regexp_replace(text, '\\s+', '  ', 'g') || ' ' AS t
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                {sums}
+              FROM m),
+            u AS (
+              SELECT doc_id, unnest([{names}]) AS lang,
+                     unnest([{scores}]) AS score FROM s),
+            r AS (
+              SELECT *, row_number() OVER
+                (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+              FROM u)
+            SELECT doc_id, lang AS langid_guess, CAST(score AS INT) AS langid_score
+            FROM r WHERE rn = 1""".format(
+        sums=sums,
+        names=", ".join(f"'{l}'" for l in langs),
+        scores=", ".join(f"s_{l}" for l in langs))
+
+
+def _script_oracle_sql() -> str:
+    """Generated from textstats.SCRIPT_CLASSES (RE2 ``\\p{Script}``
+    classes — same semantics as the Spark side's Java ``\\p{IsScript}``).
+    Mirrors the planted multi-script fixture rows."""
+    from fortissimo_spark.textstats import SCRIPT_CLASSES
+    ratios = ",\n              ".join(
+        f"round(CAST(length(t) - length(regexp_replace(t, '{re2}', '', 'g')) "
+        f"AS DOUBLE) / greatest(length(t), 1), 6) AS script_{name}_ratio"
+        for name, _java, re2 in SCRIPT_CLASSES)
+    names = [name for name, _j, _r in SCRIPT_CLASSES]
+    structs = ", ".join(
+        f"{{'r': script_{n}_ratio, 's': '{n}'}}" for n in names)
+    return """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES
+                (9100001, 'Это русский текст для проверки кириллицы'),
+                (9100002, '这是一段用于测试的中文文本内容'),
+                (9100003, 'هذا نص عربي للاختبار فقط'),
+                (9100004, 'यह परीक्षण के लिए हिंदी पाठ है'),
+                (9100005, 'Αυτό είναι ελληνικό κείμενο δοκιμής'),
+                (9100006, '12345 67890 ---')
+              ) AS f(doc_id, text)),
+            base AS (SELECT doc_id, text AS t FROM corpus),
+            feats AS (
+              SELECT doc_id,
+              {ratios}
+              FROM base),
+            best AS (
+              SELECT *, list_max([{structs}]) AS b
+              FROM feats)
+            SELECT doc_id, {cols},
+                   CASE WHEN b['r'] > 0 THEN b['s'] ELSE 'other' END AS script_guess
+            FROM best""".format(
+        ratios=ratios, structs=structs,
+        cols=", ".join(f"script_{n}_ratio" for n in names))
 
 
 def _gopher_oracle_sql() -> str:
@@ -1460,36 +1551,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, b.bench_id, b.gram
             FROM documents d JOIN bench b ON contains(d.text, b.gram)
             ORDER BY d.doc_id, b.bench_id""",
-        "langid_profile": """
-            WITH m AS (
-              -- mirror textstats._occurrences: whitespace runs -> two spaces
-              SELECT doc_id,
-                     ' ' || regexp_replace(text, '\\s+', '  ', 'g') || ' ' AS t
-              FROM documents),
-            s AS (
-              SELECT doc_id,
-                length(string_split(t,' the '))-1 + length(string_split(t,' and '))-1
-                  + length(string_split(t,' of '))-1 + length(string_split(t,' to '))-1
-                  + length(string_split(t,' a '))-1 + length(string_split(t,' is '))-1 AS s_en,
-                length(string_split(t,' der '))-1 + length(string_split(t,' die '))-1
-                  + length(string_split(t,' und '))-1 + length(string_split(t,' das '))-1
-                  + length(string_split(t,' nicht '))-1 + length(string_split(t,' ist '))-1 AS s_de,
-                length(string_split(t,' el '))-1 + length(string_split(t,' la '))-1
-                  + length(string_split(t,' que '))-1 + length(string_split(t,' de '))-1
-                  + length(string_split(t,' los '))-1 + length(string_split(t,' es '))-1 AS s_es,
-                length(string_split(t,' le '))-1 + length(string_split(t,' la '))-1
-                  + length(string_split(t,' les '))-1 + length(string_split(t,' des '))-1
-                  + length(string_split(t,' est '))-1 + length(string_split(t,' une '))-1 AS s_fr
-              FROM m),
-            u AS (
-              SELECT doc_id, unnest(['de','en','es','fr']) AS lang,
-                     unnest([s_de, s_en, s_es, s_fr]) AS score FROM s),
-            r AS (
-              SELECT *, row_number() OVER
-                (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
-              FROM u)
-            SELECT doc_id, lang AS langid_guess, CAST(score AS INT) AS langid_score
-            FROM r WHERE rn = 1""",
+        "langid_profile": _langid_oracle_sql(),
+        "script_stats": _script_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),
         "warc_extract": """
             SELECT doc_id, text FROM documents WHERE doc_id < 200""",

@@ -13,7 +13,8 @@ __all__ = ["with_token_counts", "with_quality_features", "with_langid",
            "with_fingerprints", "tf_idf_top_terms", "gopher_quality_filter",
            "decontaminate", "collapse_repeated_tokens",
            "remove_duplicate_paragraphs", "train_quality_classifier",
-           "score_quality", "LANG_MARKERS"]
+           "score_quality", "with_script_ratios", "LANG_MARKERS",
+           "SCRIPT_CLASSES"]
 
 # tiny marker-word profiles (public-knowledge function words)
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -21,7 +22,24 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "und", "das", "nicht", "ist"),
     "es": ("el", "la", "que", "de", "los", "es"),
     "fr": ("le", "la", "les", "des", "est", "une"),
+    "it": ("il", "la", "che", "di", "non", "per"),
+    "pt": ("o", "que", "de", "não", "uma", "com"),
+    "nl": ("de", "het", "een", "van", "niet", "ik"),
+    "sv": ("och", "att", "det", "som", "inte", "av"),
 }
+
+# Unicode scripts for codepoint-ratio detection: (name, Java regex class,
+# RE2/DuckDB class) — marker-word langid is Latin-script-only, so script
+# ratios are the first gate a multilingual crawl needs (CJK/Cyrillic/
+# Arabic documents score 0 on every Latin marker profile)
+SCRIPT_CLASSES: tuple[tuple[str, str, str], ...] = (
+    ("latin", r"\p{IsLatin}", r"\p{Latin}"),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("han", r"\p{IsHan}", r"\p{Han}"),
+    ("arabic", r"\p{IsArabic}", r"\p{Arabic}"),
+    ("devanagari", r"\p{IsDevanagari}", r"\p{Devanagari}"),
+    ("greek", r"\p{IsGreek}", r"\p{Greek}"),
+)
 
 # the padded whitespace-normalized text every marker count splits against;
 # materialized ONCE per operator (see _with_ws_norm) instead of one
@@ -116,6 +134,30 @@ def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("langid_guess", best["lang"])
             .withColumn("langid_score", best["score"])
             .drop(_NORM_COL))
+
+
+def with_script_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-script character ratios + dominant script (JVM-side regex
+    counts over Unicode script classes; Java ``\\p{IsX}`` here, RE2
+    ``\\p{X}`` in the DuckDB oracle — same script semantics).
+
+    ``script_guess`` = the highest-ratio script among
+    :data:`SCRIPT_CLASSES` (ties resolve to the lexicographically LAST
+    name, deterministic), or 'other' when none of them appear — the
+    routing gate in front of the Latin-marker language ID."""
+    t = F.col(text_col)
+    n = F.greatest(F.length(t), F.lit(1))
+    out = df
+    scored = []
+    for name, java_cls, _re2 in SCRIPT_CLASSES:
+        cnt = F.length(t) - F.length(F.regexp_replace(t, java_cls, ""))
+        out = out.withColumn(f"script_{name}_ratio", F.round(cnt / n, 6))
+        scored.append(F.struct(F.col(f"script_{name}_ratio").alias("r"),
+                               F.lit(name).alias("s")))
+    best = F.greatest(*scored)
+    return out.withColumn(
+        "script_guess",
+        F.when(best["r"] > 0, best["s"]).otherwise(F.lit("other")))
 
 
 def collapse_repeated_tokens(docs: DataFrame, text_col: str = "text",

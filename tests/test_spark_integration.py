@@ -1403,3 +1403,25 @@ def test_hyperplane_bucket_stats(spark):
                                 for i in range(5)], ["vec_id", "embedding"])
     assert hyperplane_bucket_stats(ok, num_planes=4, dim=8, num_probes=2,
                                    max_bucket_size=10).count() == 0
+
+
+def test_script_ratios_and_widened_langid(spark):
+    from fortissimo_spark.textstats import with_langid, with_script_ratios
+    rows = [
+        (1, "Это русский текст для проверки кириллицы"),
+        (2, "这是中文文本"),
+        (3, "the cat and the dog went to a house that is red"),
+        (4, "12345 --- 999"),
+        (5, "il gatto che non va di fretta per la strada"),
+        (6, "de kat en het huis van een man die ik ken niet"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    s = {r.doc_id: r.script_guess for r in with_script_ratios(df).collect()}
+    assert s[1] == "cyrillic" and s[2] == "han" and s[3] == "latin"
+    assert s[4] == "other"
+    lang = {r.doc_id: r.langid_guess for r in with_langid(df).collect()}
+    assert lang[3] == "en" and lang[5] == "it" and lang[6] == "nl"
+    # non-Latin docs score 0 on every Latin marker profile — exactly why
+    # the script gate exists
+    scores = {r.doc_id: r.langid_score for r in with_langid(df).collect()}
+    assert scores[1] == 0 and scores[2] == 0
