@@ -782,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": _q_warc_extract,
         "remove_dup_paragraphs": _q_remove_dup_paragraphs,
         "script_stats": _q_script_stats,
+        "redact_pii": _q_redact_pii,
         "chunk_documents": _q_chunk_documents,
         "deterministic_sample": _q_deterministic_sample,
         "pack_shards": _q_pack_shards,
@@ -832,6 +833,24 @@ def _q_script_stats(spark, sf_dir):
         (9100006, "12345 67890 ---"),
     ], "doc_id long, text string")
     return with_script_ratios(docs.union(fixtures)).drop("text")
+
+
+def _q_redact_pii(spark, sf_dir):
+    """PII masking pass over documents + planted PII fixtures; same RE2
+    regexes run in DuckDB, so replacement output and per-category counts
+    must match exactly."""
+    from fortissimo_spark.textstats import redact_pii
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fixtures = spark.createDataFrame([
+        (9200001, "contact bob.smith+x@ex-ample.co.uk or sales@corp.io now"),
+        (9200002, "server at 192.168.001.1 and 10.0.0.255 rebooted"),
+        (9200003, "call +1 (555) 123-4567 or 020 7946 0958 today"),
+        (9200004, "year 2024 had 365 days and no pii at all"),
+        (9200005, "mixed: a@b.co at 8.8.8.8 phone 555-123-4567 x"),
+    ], "doc_id long, text string")
+    return (redact_pii(docs.union(fixtures))
+            .select("doc_id", "text_redacted", "n_email", "n_ipv4",
+                    "n_phone"))
 
 
 def _q_remove_dup_paragraphs(spark, sf_dir):
@@ -977,6 +996,37 @@ def _script_oracle_sql() -> str:
             FROM best""".format(
         ratios=ratios, structs=structs,
         cols=", ".join(f"script_{n}_ratio" for n in names))
+
+
+def _pii_oracle_sql() -> str:
+    """Generated from textstats.PII_PATTERNS — DuckDB runs the IDENTICAL
+    RE2 regexes (count via regexp_extract_all on the progressively
+    redacted text, then replace, in the same order)."""
+    from fortissimo_spark.textstats import PII_PATTERNS
+    cur = "text"
+    counts = []
+    for name, pattern, token in PII_PATTERNS:
+        # DuckDB '' literals keep backslashes as-is — no doubling
+        esc = pattern.replace("'", "''")
+        counts.append(
+            f"CAST(length(regexp_extract_all({cur}, '{esc}')) AS INT)"
+            f" AS n_{name}")
+        cur = f"regexp_replace({cur}, '{esc}', '{token}', 'g')"
+    return """
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            (9200001, 'contact bob.smith+x@ex-ample.co.uk or sales@corp.io now'),
+            (9200002, 'server at 192.168.001.1 and 10.0.0.255 rebooted'),
+            (9200003, 'call +1 (555) 123-4567 or 020 7946 0958 today'),
+            (9200004, 'year 2024 had 365 days and no pii at all'),
+            (9200005, 'mixed: a@b.co at 8.8.8.8 phone 555-123-4567 x')
+          ) AS f(doc_id, text))
+        SELECT doc_id,
+               {redacted} AS text_redacted,
+               {counts}
+        FROM corpus""".format(redacted=cur, counts=",\n               ".join(counts))
 
 
 def _gopher_oracle_sql() -> str:
@@ -1553,6 +1603,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id, b.bench_id""",
         "langid_profile": _langid_oracle_sql(),
         "script_stats": _script_oracle_sql(),
+        "redact_pii": _pii_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),
         "warc_extract": """
             SELECT doc_id, text FROM documents WHERE doc_id < 200""",

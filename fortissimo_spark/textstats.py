@@ -13,8 +13,8 @@ __all__ = ["with_token_counts", "with_quality_features", "with_langid",
            "with_fingerprints", "tf_idf_top_terms", "gopher_quality_filter",
            "decontaminate", "collapse_repeated_tokens",
            "remove_duplicate_paragraphs", "train_quality_classifier",
-           "score_quality", "with_script_ratios", "LANG_MARKERS",
-           "SCRIPT_CLASSES"]
+           "score_quality", "with_script_ratios", "redact_pii",
+           "LANG_MARKERS", "SCRIPT_CLASSES", "PII_PATTERNS"]
 
 # tiny marker-word profiles (public-knowledge function words)
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -339,6 +339,37 @@ def gopher_quality_filter(docs: DataFrame, text_col: str = "text", *,
     return (out.withColumn("keep", keep)
             .drop(_NORM_COL, "_n_words", "_mean_word_len", "_alpha_ratio",
                   "_stop_hits"))
+
+
+# RE2-safe PII patterns (no lookarounds/backrefs, so the DuckDB oracle —
+# also RE2 — runs the IDENTICAL regex): pattern, replacement token.
+# Order matters: emails first (an email contains no ip/phone match damage),
+# then IPv4, then phone-ish digit runs (the loosest pattern last so it
+# can't eat the structured ones).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\[\]. -]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text",
+               out_col: str = "text_redacted") -> DataFrame:
+    """PII scrubbing (the ROOTS/Dolma-style masking pass): replace emails,
+    IPv4 addresses, and phone-like digit runs with typed tokens, and count
+    each category so redaction volume is observable per document. All
+    JVM-side ``regexp_replace``/``regexp_count`` under whole-stage codegen;
+    patterns are RE2-safe so the DuckDB oracle runs the identical regexes.
+    Detection is pattern-based and documented — a production pipeline adds
+    locale-specific validators on top, but the masking plumbing, ordering
+    (structured patterns before loose ones) and observability are the
+    contract here."""
+    out = docs
+    red = F.col(text_col)
+    for name, pattern, token in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(red, F.lit(pattern)))
+        red = F.regexp_replace(red, pattern, token)
+    return out.withColumn(out_col, red)
 
 
 def remove_duplicate_paragraphs(docs: DataFrame, id_col: str = "doc_id",

@@ -1425,3 +1425,20 @@ def test_script_ratios_and_widened_langid(spark):
     # the script gate exists
     scores = {r.doc_id: r.langid_score for r in with_langid(df).collect()}
     assert scores[1] == 0 and scores[2] == 0
+
+
+def test_redact_pii(spark):
+    from fortissimo_spark.textstats import redact_pii
+    rows = [
+        (1, "contact bob.smith+x@ex-ample.co.uk or call +1 (555) 123-4567"),
+        (2, "server at 192.168.001.1 and 10.0.0.255 rebooted"),
+        (3, "no pii here at all just words"),
+        (4, "year 2024 had 365 days"),  # short digit runs are NOT phones
+    ]
+    out = {r.doc_id: r for r in redact_pii(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert out[1].text_redacted == "contact <EMAIL> or call <PHONE>"
+    assert (out[1].n_email, out[1].n_phone) == (1, 1)
+    assert out[2].text_redacted == "server at <IP> and <IP> rebooted"
+    assert out[2].n_ipv4 == 2
+    assert out[3].text_redacted == rows[2][1] and out[4].n_phone == 0
