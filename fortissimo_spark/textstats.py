@@ -7,7 +7,7 @@ Gopher-family repetition/format rules, and rolling-hash fingerprints.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["with_token_counts", "with_quality_features", "with_langid",
            "with_fingerprints", "tf_idf_top_terms", "gopher_quality_filter",
@@ -383,21 +383,24 @@ def remove_duplicate_paragraphs(docs: DataFrame, id_col: str = "doc_id",
     per-document rules can't see. Adds ``out_col`` (survivors rejoined
     with blank lines, original order) and ``n_paras_removed``.
 
-    Exactly two uniform shuffles at any corpus size: the corpus-wide count
-    is a window over ``sha2(paragraph)`` (one exchange — no count-table
-    self-join), the regroup is one exchange on the doc id; per-doc state
-    is bounded by document size. Whitespace-only segments share one hash
-    bucket and are dropped like any other repeated paragraph (blank-run
-    collapse), which this operator's cleanup semantics accept — it is a
-    normalizer, not a lossless transform.
+    Skew-safe shape: the corpus-wide count is a ``groupBy(hash).count()``
+    (map-side partial aggregation collapses even a 10^9-copy boilerplate
+    paragraph to one row per map task) joined back on the hash (AQE
+    skew-join splits any hot key) — NOT a window over the hash, which
+    would funnel every copy of a hot paragraph into a single task with no
+    partial aggregation. The regroup is one exchange on the doc id;
+    per-doc state is bounded by document size. Whitespace-only segments
+    share one hash bucket and are dropped like any other repeated
+    paragraph (blank-run collapse), which this operator's cleanup
+    semantics accept — it is a normalizer, not a lossless transform.
     """
     paras = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), r"\n\n", -1))
-        .alias("pos", "para"))
-    w = Window.partitionBy(F.sha2(F.col("para"), 256))
-    counted = paras.withColumn("_n", F.count("*").over(w))
-    kept = counted.filter(F.col("_n") <= max_count)
+        .alias("pos", "para")).withColumn("_h", F.sha2(F.col("para"), 256))
+    counts = paras.groupBy("_h").agg(F.count("*").alias("_n"))
+    kept = (paras.join(counts, "_h")
+            .filter(F.col("_n") <= max_count))
     rebuilt = (kept.groupBy("doc_id")
                .agg(F.array_join(
                         F.transform(
