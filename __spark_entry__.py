@@ -872,7 +872,12 @@ def _q_warc_extract(spark, sf_dir):
     """The crawl-ingest leg end-to-end: documents -> deterministic
     .warc.gz fixture archives (per-record gzip members, plus request/404
     noise records that must be skipped) -> read_warcs -> dedup -> extract.
-    Extracted text must be byte-identical to the source documents."""
+    Extracted text must be byte-identical to the source documents.
+
+    The fixture archives live at a FIXED temp path (overwritten per run,
+    never accumulating) — valid in the local/local-cluster modes this
+    sandbox runs, where driver and executors share the filesystem; a
+    multi-node run would stage them on shared storage."""
     import tempfile
 
     from fortissimo_spark.pages import page_for_doc
@@ -890,7 +895,9 @@ def _q_warc_extract(spark, sf_dir):
                         "kind": "request"})
     records.append({"url": "http://x.example/gone", "body": b"<p>404</p>",
                     "date": "2024-01-01T00:00:00Z", "status": 404})
-    base = tempfile.mkdtemp(prefix="warc_oracle_")
+    base = os.path.join(tempfile.gettempdir(),
+                        f"fortissimo_warc_oracle_{os.path.basename(sf_dir)}")
+    os.makedirs(base, exist_ok=True)
     half = len(records) // 2
     with open(os.path.join(base, "a.warc.gz"), "wb") as f:
         f.write(build_warc(records[:half], compress=True))
@@ -1617,10 +1624,11 @@ def oracle_sql() -> dict[str, str]:
             segs AS (
               SELECT doc_id, string_split(text, chr(10) || chr(10)) AS s
               FROM corpus),
-            p AS (
-              SELECT doc_id, i AS pos, s[i] AS para
-              FROM segs, (SELECT unnest(range(1, 1000)) AS i) t
-              WHERE i <= length(s)),
+            p0 AS (
+              -- per-row position list: no fixed cap on paragraph count
+              SELECT doc_id, s, unnest(range(1, length(s) + 1)) AS pos
+              FROM segs),
+            p AS (SELECT doc_id, pos, s[pos] AS para FROM p0),
             c AS (SELECT para, count(*) AS n FROM p GROUP BY para),
             kept AS (
               SELECT p.doc_id, p.pos, p.para

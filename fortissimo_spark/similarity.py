@@ -302,7 +302,12 @@ def hyperplane_bucket_stats(embeddings: DataFrame, num_planes: int = 12,
     generation in that probe (a recall trade-off); an empty result means
     the cap never bit. A hot bucket here usually means a constant or
     near-constant embedding column (dead encoder, zero vectors) that
-    should be filtered upstream."""
+    should be filtered upstream. ``max_bucket_size=0`` (cap disabled in
+    :func:`cosine_near_pairs`) returns an empty frame — nothing can be
+    dropped when there is no cap."""
+    if not max_bucket_size:
+        return (embeddings.sparkSession.createDataFrame(
+            [], "probe int, bucket long, n_members long, n_dropped long"))
     out = None
     for probe in range(num_probes):
         sig = hyperplane_signature(embeddings, num_planes, dim, seed + probe,

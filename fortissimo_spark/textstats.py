@@ -117,8 +117,9 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Best marker-profile language + its score (deterministic tie-break by
-    language code). One whitespace normalization feeds all 24 marker
-    counts."""
+    language code). One whitespace normalization feeds all
+    ``len(LANG_MARKERS) * 6`` marker counts (48 at the shipped 8
+    languages)."""
     scored = []
     for lang, markers in sorted(LANG_MARKERS.items()):
         score = None
@@ -363,13 +364,25 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
     Detection is pattern-based and documented — a production pipeline adds
     locale-specific validators on top, but the masking plumbing, ordering
     (structured patterns before loose ones) and observability are the
-    contract here."""
+    contract here.
+
+    Each redaction stage is materialized as a column referenced twice
+    (next count + next replace) — the same multi-reference construction
+    as ``_with_ws_norm`` — so every regexp_replace runs once per row by
+    CollapseProject's own rules, not by optimizer-courtesy subexpression
+    elimination of a nested chain."""
     out = docs
-    red = F.col(text_col)
-    for name, pattern, token in PII_PATTERNS:
-        out = out.withColumn(f"n_{name}", F.regexp_count(red, F.lit(pattern)))
-        red = F.regexp_replace(red, pattern, token)
-    return out.withColumn(out_col, red)
+    prev = text_col
+    stage_cols = []
+    for i, (name, pattern, token) in enumerate(PII_PATTERNS):
+        out = out.withColumn(f"n_{name}",
+                             F.regexp_count(F.col(prev), F.lit(pattern)))
+        nxt = f"_pii_r{i}"
+        out = out.withColumn(nxt, F.regexp_replace(F.col(prev), pattern, token))
+        stage_cols.append(nxt)
+        prev = nxt
+    return (out.withColumn(out_col, F.col(prev))
+            .drop(*stage_cols))
 
 
 def remove_duplicate_paragraphs(docs: DataFrame, id_col: str = "doc_id",
@@ -472,11 +485,12 @@ def tf_idf_top_terms(docs: DataFrame, top_n: int = 5, id_col: str = "doc_id",
 
 
 def train_quality_classifier(labeled: DataFrame, label_col: str = "label",
-                             text_col: str = "text", *, seed: int = 7):
+                             text_col: str = "text"):
     """Train a logistic-regression document-quality classifier on the
     JVM-side quality features (the pyspark.ml analogue of the fasttext
     quality classifiers public pipelines train on weak labels — e.g.
-    'looks like a reference corpus' vs 'random crawl').
+    'looks like a reference corpus' vs 'random crawl'). Training is
+    deterministic (LBFGS on assembled features — no stochastic stage).
 
     Features are exactly :func:`with_quality_features`'s columns, so
     scoring is one ml transform over a feature vector assembled from

@@ -1404,6 +1404,9 @@ def test_hyperplane_bucket_stats(spark):
                                 for i in range(5)], ["vec_id", "embedding"])
     assert hyperplane_bucket_stats(ok, num_planes=4, dim=8, num_probes=2,
                                    max_bucket_size=10).count() == 0
+    # cap disabled -> nothing CAN be dropped -> empty, not all-dropped
+    assert hyperplane_bucket_stats(emb, num_planes=4, dim=8, num_probes=2,
+                                   max_bucket_size=0).count() == 0
 
 
 def test_script_ratios_and_widened_langid(spark):
