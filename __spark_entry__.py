@@ -693,6 +693,8 @@ def _q_gopher_filter(spark, sf_dir):
         (9000004, "this goes on...\nand it keeps going on...\nmore still..."),
         (9000005, "price # tag # deal # now # buy # it # cheap # sale"),
         (9000006, "buy now buy now buy now buy now click here"),
+        # U+2026 spam: must FAIL rule_symbols (not just rule_ellipsis)
+        (9000007, "wait… see… more… soon… here… now… yes… go… on… up…"),
     ], "doc_id long, text string")
     out = gopher_quality_filter(docs.union(fixtures))
     return out.select(
@@ -1050,7 +1052,8 @@ def _gopher_oracle_sql() -> str:
             (9000003, array_to_string(list_transform(range(0, 10), i -> '• item ' || i), chr(10))),
             (9000004, 'this goes on...' || chr(10) || 'and it keeps going on...' || chr(10) || 'more still...'),
             (9000005, 'price # tag # deal # now # buy # it # cheap # sale'),
-            (9000006, 'buy now buy now buy now buy now click here')
+            (9000006, 'buy now buy now buy now buy now click here'),
+            (9000007, 'wait… see… more… soon… here… now… yes… go… on… up…')
           ) AS f(doc_id, text)),
         base AS (
           SELECT doc_id, text AS t,
@@ -1096,7 +1099,8 @@ def _gopher_oracle_sql() -> str:
                     list_filter(list_distinct(g4), g -> length(list_filter(g4, x -> x = g)) >= 2),
                     g -> length(list_filter(g4, x -> x = g)) * length(g))), 0) AS DOUBLE) / n, 6) AS top4,
             round(CAST((length(t) - length(replace(t, '#', '')))
-                     + (length(t) - length(replace(t, '...', ''))) // 3 AS DOUBLE)
+                     + (length(t) - length(replace(t, '...', ''))) // 3
+                     + (length(t) - length(replace(t, '…', ''))) AS DOUBLE)
                   / greatest(length(w), 1), 6) AS symbol_ratio,
             round(CAST(length(list_filter(lines,
                     s -> substr(s, 1, 1) = '•' OR substr(s, 1, 1) = '-' OR substr(s, 1, 1) = '*')) AS DOUBLE)

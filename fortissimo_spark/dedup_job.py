@@ -59,8 +59,42 @@ class DedupJob:
                      "losers", "metrics"):
             setattr(self, f"{name}_path", os.path.join(out_dir, name))
 
+    # --- filesystem plumbing ------------------------------------------
+    # Resume detection and small-file metrics persistence go through the
+    # Hadoop FileSystem API (py4j), not the driver's local os/open: with a
+    # driver-local check a "resumable 100 TB" job on an HDFS/S3 out_dir
+    # would silently never resume (always rebuild) and crash on the
+    # metrics write, even though the parquet stage writes themselves work.
+    def _fs(self, path: str):
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, jpath, jvm
+
+    def _exists(self, path: str) -> bool:
+        fs, jpath, _ = self._fs(path)
+        return fs.exists(jpath)
+
+    def _read_json(self, path: str) -> dict:
+        fs, jpath, jvm = self._fs(path)
+        stream = fs.open(jpath)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8")
+        finally:
+            stream.close()
+        return json.loads(text)
+
+    def _write_json(self, path: str, obj: dict) -> None:
+        fs, jpath, _ = self._fs(path)
+        out = fs.create(jpath, True)  # overwrite; creates parent dirs
+        try:
+            out.write(bytearray(json.dumps(obj, indent=2).encode("utf-8")))
+        finally:
+            out.close()
+
     def _done(self, path: str) -> bool:
-        return os.path.exists(os.path.join(path, "_SUCCESS"))
+        return self._exists(os.path.join(path, "_SUCCESS"))
 
     def _stage(self, name: str, path: str, build, resume: bool,
                metrics: list) -> DataFrame:
@@ -96,15 +130,12 @@ class DedupJob:
         # stage: recomputing it would re-shuffle the full signature table
         # on every resume, including a no-op one
         capped_file = os.path.join(self.metrics_path, "capped_buckets.json")
-        if resume and metrics[-1]["skipped"] and os.path.exists(capped_file):
-            with open(capped_file) as f:
-                capped = json.load(f)["capped_buckets"]
+        if resume and metrics[-1]["skipped"] and self._exists(capped_file):
+            capped = self._read_json(capped_file)["capped_buckets"]
         else:
             capped = lsh_bucket_stats(sigs, self.bands,
                                       self.max_bucket_size).count()
-            os.makedirs(self.metrics_path, exist_ok=True)
-            with open(capped_file, "w") as f:
-                json.dump({"capped_buckets": capped}, f)
+            self._write_json(capped_file, {"capped_buckets": capped})
 
         pairs = self._stage(
             "pairs", self.pairs_path,
@@ -127,9 +158,8 @@ class DedupJob:
         stats = {"stages": metrics, "capped_buckets": capped,
                  "threshold": self.threshold, "bands": self.bands,
                  "num_hashes": self.num_hashes}
-        os.makedirs(self.metrics_path, exist_ok=True)
-        with open(os.path.join(self.metrics_path, "metrics.json"), "w") as f:
-            json.dump(stats, f, indent=2)
+        self._write_json(os.path.join(self.metrics_path, "metrics.json"),
+                         stats)
         return stats
 
     def canonical(self, docs: DataFrame) -> DataFrame:

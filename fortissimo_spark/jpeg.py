@@ -284,6 +284,15 @@ def decode_jpeg_luma(payload: bytes):
         c["qt"] = quant.get(c["tq"])
         if c["qt"] is None:
             raise ValueError("missing quant table")
+    # a spec-legal baseline may carry several non-interleaved scans
+    # (ns < ncomp); this decoder stops at the first SOS, so anything short
+    # of full coverage is an unsupported *feature*, not a corrupt payload
+    if {s["id"] for s in scan} != set(by_id):
+        raise ValueError("non-interleaved baseline (partial scan) "
+                         "unsupported")
+    # MCU data interleaves components in SOS scan order, which T.81 does
+    # not require to match SOF order
+    scan_order = [by_id[s["id"]] for s in scan]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
@@ -311,7 +320,7 @@ def decode_jpeg_luma(payload: bytes):
                     br.i = m.at
                     br.align_after_marker()
                     preds = {c["id"]: 0 for c in comps}
-            for c in comps:
+            for c in scan_order:
                 want = c is luma
                 for by in range(c["v"]):
                     for bx in range(c["h"]):

@@ -280,8 +280,13 @@ def gopher_quality_filter(docs: DataFrame, text_col: str = "text", *,
                        / F.greatest(total, F.lit(1)), 6)
 
     n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
-    n_ellipsis = ((F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))
-                  / 3).cast("long")
+    # both ASCII "..." and U+2026 "…" count as ellipses, matching the
+    # ellipsis-line rule below — otherwise "…"-heavy spam passes
+    # rule_symbols while failing rule_ellipsis
+    n_ellipsis = (((F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+                   / 3).cast("long")
+                  + (F.length(t)
+                     - F.length(F.replace(t, F.lit("…"), F.lit("")))))
     bullet_lines = F.size(F.filter(
         lines, lambda s: F.substring(s, 1, 1).isin("•", "-", "*")))
     ellipsis_lines = F.size(F.filter(

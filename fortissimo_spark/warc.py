@@ -115,13 +115,25 @@ def iter_warc_records(payload: bytes) -> Iterator[tuple[dict, bytes]]:
             i += 2
         if i >= n or not payload.startswith(b"WARC/", i):
             break
-        head_end = payload.index(b"\r\n\r\n", i)
-        head_lines = payload[i:head_end].decode("latin-1").split("\r\n")
-        headers = {}
-        for line in head_lines[1:]:
-            k, _, v = line.partition(":")
-            headers[k.strip().lower()] = v.strip()
-        length = int(headers.get("content-length", "0"))
+        # record-framing tolerance: a record whose header block never
+        # terminates (`index` ValueError) or carries a non-numeric
+        # Content-Length (`int` ValueError) must not discard the records
+        # already yielded from this archive — resync at the next record
+        # marker instead of letting the exception escape the generator.
+        try:
+            head_end = payload.index(b"\r\n\r\n", i)
+            head_lines = payload[i:head_end].decode("latin-1").split("\r\n")
+            headers = {}
+            for line in head_lines[1:]:
+                k, _, v = line.partition(":")
+                headers[k.strip().lower()] = v.strip()
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            nxt = payload.find(b"\r\nWARC/", i + 5)
+            if nxt < 0:
+                return
+            i = nxt + 2
+            continue
         block_start = head_end + 4
         yield headers, payload[block_start:block_start + length]
         i = block_start + length

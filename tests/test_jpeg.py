@@ -257,6 +257,23 @@ def test_jpeg_refusals():
         decode_jpeg_luma(b"\x89PNG not a jpeg")
 
 
+def test_jpeg_partial_scan_baseline_refused():
+    """r4 ADVICE fix: a spec-legal multi-scan non-interleaved baseline
+    (first SOS covers only some frame components) must surface as the
+    unsupported-feature ValueError contract, not a KeyError masquerading
+    as a corrupt payload."""
+    good = encode_jpeg(_gradient(16, 16), "444")
+    i = good.index(b"\xff\xda")
+    # original SOS: 3 scan components (payload 10, length field 12);
+    # rewrite to a 1-component scan (payload 6, length field 8)
+    partial = (good[:i]
+               + b"\xff\xda" + (8).to_bytes(2, "big")
+               + bytes([1, 1, 0x00, 0, 63, 0])
+               + good[i + 14:])
+    with pytest.raises(ValueError, match="non-interleaved baseline"):
+        decode_jpeg_luma(partial)
+
+
 def test_jpeg_through_decode_image_and_kernel():
     from fortissimo_spark.modality import decode_image
     rgb = _gradient(16, 16)

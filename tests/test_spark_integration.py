@@ -1272,6 +1272,32 @@ def test_warc_fractional_date_and_bad_record_tolerance(spark):
     assert pages[0]["warc_ts"].microsecond == 123456
 
 
+def test_warc_framing_failure_keeps_other_records(spark):
+    """r4 ADVICE fix: a record whose header block never terminates or whose
+    Content-Length is non-numeric must not escape iter_warc_records and
+    discard the archive — earlier records stay yielded, and when a later
+    record marker exists the iterator resyncs to it."""
+    from fortissimo_spark.warc import build_warc, parse_warc_pages
+    good_a = build_warc([{"url": "http://g.example/a",
+                          "date": "2024-05-06T07:08:09Z",
+                          "body": b"<p>a</p>"}])
+    good_b = build_warc([{"url": "http://g.example/b",
+                          "date": "2024-05-06T07:08:10Z",
+                          "body": b"<p>b</p>"}])
+    bad_len = (b"WARC/1.0\r\n"
+               b"WARC-Type: response\r\n"
+               b"Content-Length: NaN\r\n"
+               b"\r\n")
+    # non-numeric Content-Length mid-archive: resync keeps the b record
+    pages = parse_warc_pages(good_a + bad_len + b"junk\r\n" + good_b)
+    assert [p["url"] for p in pages] == ["http://g.example/a",
+                                        "http://g.example/b"]
+    # unterminated header block at EOF: already-yielded records survive
+    trunc = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Le"
+    pages = parse_warc_pages(good_a + trunc)
+    assert [p["url"] for p in pages] == ["http://g.example/a"]
+
+
 def test_ivf_fitted_centroids_partitioned_path(spark, tmp_path_factory):
     """Fitted centroids thread through write_ivf_partitioned ->
     ivf_topk_partitioned and agree with the in-plan ivf_topk given the
