@@ -21,8 +21,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from fortissimo_spark.dedup import (  # noqa: E402
-    canonicalize, duplicate_clusters, md5_word_hash, near_duplicate_pairs,
-    simhash64,
+    canonicalize, duplicate_clusters, duplicate_spans, md5_word_hash,
+    near_duplicate_pairs, remove_duplicate_spans, simhash64,
 )
 from fortissimo_spark.corpus import (  # noqa: E402
     chunk_documents, deterministic_sample, pack_shards,
@@ -747,6 +747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "deterministic_sample": _q_deterministic_sample,
         "pack_shards": _q_pack_shards,
+        # (b) new in round 4
+        "dup_spans": _q_dup_spans,
+        "remove_dup_spans": _q_remove_dup_spans,
         # (c) stable, driver-verified r3 (and mostly r2)
         "extract_density": _q_extract_density,
         "extract_tokens": _q_extract_tokens,
@@ -880,6 +883,41 @@ def _q_remove_dup_paragraphs(spark, sf_dir):
         .otherwise(F.col("text")).alias("text"))
     return remove_duplicate_paragraphs(corpus) \
         .select("doc_id", "text_clean", "n_paras_removed")
+
+
+_SPAN_SHARED = ("breaking news update follow share like comment subscribe")
+_SPAN_FIXTURES = [
+    (9300001, "intro words here " + _SPAN_SHARED + " closing remarks"),
+    (9300002, "different page " + _SPAN_SHARED + " more text follows now"),
+    # internal repeat: the same 8-gram twice inside ONE doc, separated by
+    # a gap wider than k, must yield two distinct spans
+    (9300003, "rep " + _SPAN_SHARED + " gap1 gap2 gap3 "
+              + _SPAN_SHARED + " end"),
+]
+
+
+def _span_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fixtures = spark.createDataFrame(_SPAN_FIXTURES,
+                                     "doc_id long, text string")
+    return docs.union(fixtures)
+
+
+def _q_dup_spans(spark, sf_dir):
+    """Substring-level exact dedup (Lee et al. 2022 ExactSubstr), finder
+    half: maximal token spans covered by 8-token grams occurring >= 2
+    times corpus-wide. Fixtures plant a shared 8-gram across two docs and
+    a within-doc repeat (two separate spans)."""
+    return (duplicate_spans(_span_corpus(spark, sf_dir), k=8)
+            .orderBy("doc_id", "s"))
+
+
+def _q_remove_dup_spans(spark, sf_dir):
+    """Substring-level exact dedup, rewriter half: duplicated-span tokens
+    removed, survivors rejoined (whitespace-normalized), with a removal
+    count per doc."""
+    return (remove_duplicate_spans(_span_corpus(spark, sf_dir), k=8)
+            .orderBy("doc_id"))
 
 
 def _q_warc_extract(spark, sf_dir):
@@ -1156,8 +1194,73 @@ def _gopher_oracle_sql() -> str:
         FROM feats"""
 
 
+def _span_oracle_ctes() -> str:
+    """Shared CTE prefix for the duplicate-span oracles: corpus (documents
+    + the SAME fixture rows the Spark query plants — generated from
+    _SPAN_FIXTURES so they cannot drift), token arrays, k-gram hashes
+    (md5_word_hash's DuckDB equivalent), corpus-wide duplicate grams, and
+    gaps-and-islands span merge with k = 8."""
+    vals = ",\n            ".join(
+        "({}, '{}')".format(i, t.replace("'", "''"))
+        for i, t in _SPAN_FIXTURES)
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            {vals}
+          ) AS f(doc_id, text)),
+        toks AS (SELECT doc_id,
+                        regexp_split_to_array(trim(text), '\\s+') AS w
+                 FROM corpus),
+        grams AS (
+          SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                 CAST('0x' || substr(md5(array_to_string(w[i:i+7], ' ')),
+                                     1, 15) AS BIGINT) AS gh
+          FROM toks, unnest(range(1, length(w) - 8 + 2)) AS t(i)
+          WHERE length(w) >= 8),
+        dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+        flagged AS (SELECT doc_id, pos FROM grams JOIN dup USING (gh)),
+        marked AS (SELECT doc_id, pos,
+            CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS brk
+          FROM flagged WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl AS (SELECT doc_id, pos,
+            sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+          FROM marked),
+        spans AS (SELECT doc_id, CAST(min(pos) AS INTEGER) AS s,
+                         CAST(max(pos) + 8 AS INTEGER) AS e
+                  FROM isl GROUP BY doc_id, g)"""
+
+
+def _dup_spans_oracle_sql() -> str:
+    return _span_oracle_ctes() + """
+        SELECT doc_id, s, e FROM spans"""
+
+
+def _remove_dup_spans_oracle_sql() -> str:
+    return _span_oracle_ctes() + """,
+        tok_rows AS (SELECT doc_id, i, w[i] AS tok
+                     FROM toks, unnest(range(1, length(w) + 1)) AS t(i)),
+        kept AS (SELECT tr.doc_id, tr.i, tr.tok FROM tok_rows tr
+                 WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = tr.doc_id
+                      AND tr.i - 1 >= sp.s AND tr.i - 1 < sp.e)),
+        rebuilt AS (SELECT doc_id,
+                           string_agg(tok, ' ' ORDER BY i) AS text_clean,
+                           count(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+        SELECT t.doc_id,
+               coalesce(r.text_clean, '') AS text_clean,
+               CAST(length(t.w) - coalesce(r.n_kept, 0) AS INTEGER)
+                 AS n_tokens_removed
+        FROM toks t LEFT JOIN rebuilt r USING (doc_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "dup_spans": _dup_spans_oracle_sql(),
+        "remove_dup_spans": _remove_dup_spans_oracle_sql(),
         "extract_density": "SELECT doc_id, text FROM documents",
         "extract_tokens": """
             SELECT doc_id,

@@ -26,7 +26,8 @@ __all__ = ["exact_duplicates", "shingle_sets", "minhash_signatures",
            "lsh_candidate_pairs", "lsh_bucket_stats",
            "verified_near_duplicates", "verify_candidates_pruned",
            "simhash64", "duplicate_clusters", "canonicalize",
-           "md5_word_hash", "near_duplicate_pairs"]
+           "md5_word_hash", "near_duplicate_pairs",
+           "duplicate_spans", "remove_duplicate_spans"]
 
 _MERSENNE_P = (1 << 31) - 1
 
@@ -398,3 +399,96 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
                    lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"), lambda a, v: a + v)
     return docs.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+
+
+def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", *, k: int = 50,
+                    min_count: int = 2) -> DataFrame:
+    """Substring-level exact dedup, finder half (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, the ExactSubstr setting): every maximal token-index
+    span ``[s, e)`` covered by ``k``-token grams that occur at least
+    ``min_count`` times corpus-wide (including repeats inside one
+    document). This catches the dominant residual duplication in real
+    crawls — repeated 50-token spans *inside* otherwise-unique pages —
+    that document- and paragraph-granular dedup can't see.
+
+    Shape (all JVM-side, no Python):
+
+    1. one row per token position: ``(doc_id, pos, gram_hash)`` where the
+       gram hash is :func:`md5_word_hash` of the k-token window — the
+       corpus-token-count explode that IS the cost of substring dedup
+       (the suffix-array formulation touches the same volume);
+    2. ``groupBy(gram_hash).count()`` — map-side partial aggregation
+       collapses a 10^9-copy boilerplate gram to one row per map task;
+    3. join positions back to the >=min_count hashes (AQE skew-join
+       splits hot boilerplate hashes; no pair enumeration anywhere, so a
+       mega-hot gram costs O(copies), never O(copies^2));
+    4. merge flagged windows into maximal spans per doc with a
+       gaps-and-islands pass (lag + running sum over a per-doc window —
+       per-doc rows are bounded by the doc's own token count).
+
+    Returns ``(doc_id, s, e)`` with ``s``/``e`` in token indices over
+    ``split(trim(text), '\\s+')``.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = (docs
+             .select(F.col(id_col).alias("doc_id"), toks.alias("w"))
+             .filter(F.size("w") >= k)
+             .select("doc_id",
+                     F.posexplode(F.transform(
+                         F.sequence(F.lit(0), F.size("w") - k),
+                         lambda i: md5_word_hash(
+                             F.concat_ws(" ", F.slice("w", i + 1, k)))))
+                     .alias("pos", "gh")))
+    dup_hashes = (grams.groupBy("gh").agg(F.count("*").alias("_n"))
+                  .filter(F.col("_n") >= min_count)
+                  .select("gh"))
+    flagged = grams.join(dup_hashes, "gh").select("doc_id", "pos")
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # windows [prev, prev+k) and [pos, pos+k) overlap or touch iff
+    # pos <= prev + k; positions are increasing, so the running island
+    # end is always last_pos + k and a lag() test is exact
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0)
+    islands = (flagged.withColumn("_brk", brk)
+               .withColumn("_isl", F.sum("_brk").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (islands.groupBy("doc_id", "_isl")
+            .agg(F.min("pos").alias("s"),
+                 (F.max("pos") + k).alias("e"))
+            .select("doc_id", "s", "e"))
+
+
+def remove_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", *, k: int = 50,
+                           min_count: int = 2,
+                           out_col: str = "text_clean") -> DataFrame:
+    """Substring-level exact dedup, rewriter half: drop every token inside
+    a :func:`duplicate_spans` span and rejoin the survivors with single
+    spaces. Like Lee et al.'s ExactSubstr remover this operates on the
+    token sequence, so output text is whitespace-normalized (a normalizer,
+    not a lossless transform — same contract as
+    ``remove_duplicate_paragraphs``). Adds ``n_tokens_removed``.
+
+    The span list rides back to each doc as one array column (bounded by
+    the doc's own token count); token filtering is an index lambda under
+    whole-stage codegen — no Python, no second corpus scan.
+    """
+    spans = duplicate_spans(docs, id_col, text_col, k=k,
+                            min_count=min_count)
+    span_arr = (spans.groupBy("doc_id")
+                .agg(F.array_sort(F.collect_list(F.struct("s", "e")))
+                     .alias("_spans")))
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (docs.select(F.col(id_col).alias("doc_id"), toks.alias("_w"))
+            .join(span_arr, "doc_id", "left"))
+    in_span = lambda i: F.exists(  # noqa: E731
+        "_spans", lambda sp: (i >= sp["s"]) & (i < sp["e"]))
+    kept = F.when(F.col("_spans").isNull(), F.col("_w")).otherwise(
+        F.filter("_w", lambda x, i: ~in_span(i)))
+    return base.select(
+        F.col("doc_id").alias(id_col),
+        F.array_join(kept, " ").alias(out_col),
+        (F.size("_w") - F.size(kept)).cast("int")
+        .alias("n_tokens_removed"))

@@ -675,6 +675,41 @@ def test_canonicalize(spark):
     assert min(originals) in ids
 
 
+def test_duplicate_spans_planted(spark):
+    """Adversarial planted-span matrix for substring-level exact dedup
+    (Lee et al. ExactSubstr): shared-gram overlap merges to ONE maximal
+    span; an internal repeat beyond the merge gap yields TWO spans; docs
+    shorter than k and unique docs are untouched; a fully-duplicated doc
+    empties out."""
+    from fortissimo_spark.dedup import duplicate_spans, remove_duplicate_spans
+    shared = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"  # 10 tokens -> 3 k=8 grams
+    docs = spark.createDataFrame([
+        (1, "u1 u2 u3 " + shared + " t1 t2"),
+        (2, "v1 " + shared + " v2 v3 v4"),
+        (3, "only unique tokens live here nothing repeats at all ever"),
+        (4, "r0 " + shared + " g1 g2 g3 g4 g5 g6 g7 g8 g9 "
+            + shared + " r1"),
+        (5, "tiny doc"),
+        (6, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+        (7, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+    ], "doc_id long, text string")
+    spans = {(r.doc_id, r.s, r.e)
+             for r in duplicate_spans(docs, k=8).collect()}
+    # doc 1: shared occupies tokens 3..12 -> grams at 3,4,5 merge to [3,13)
+    # doc 4: two occurrences separated by a 9-token gap (> k=8) stay split
+    assert spans == {(1, 3, 13), (2, 1, 11),
+                     (4, 1, 11), (4, 20, 30),
+                     (6, 0, 10), (7, 0, 10)}
+    clean = {r.doc_id: (r.text_clean, r.n_tokens_removed)
+             for r in remove_duplicate_spans(docs, k=8).collect()}
+    assert clean[1] == ("u1 u2 u3 t1 t2", 10)
+    assert clean[2] == ("v1 v2 v3 v4", 10)
+    assert clean[3][1] == 0
+    assert clean[4] == ("r0 g1 g2 g3 g4 g5 g6 g7 g8 g9 r1", 20)
+    assert clean[5] == ("tiny doc", 0)
+    assert clean[6] == ("", 10) and clean[7] == ("", 10)
+
+
 def test_normalize_url(spark):
     from fortissimo_spark.urls import normalize_url
     cases = [
