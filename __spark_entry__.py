@@ -24,6 +24,9 @@ from fortissimo_spark.dedup import (  # noqa: E402
     canonicalize, duplicate_clusters, duplicate_spans, md5_word_hash,
     near_duplicate_pairs, remove_duplicate_spans, simhash64,
 )
+from fortissimo_spark.bpe import (  # noqa: E402
+    train_merges_from_counts, with_bpe_token_counts,
+)
 from fortissimo_spark.corpus import (  # noqa: E402
     chunk_documents, deterministic_sample, pack_shards,
 )
@@ -750,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) new in round 4
         "dup_spans": _q_dup_spans,
         "remove_dup_spans": _q_remove_dup_spans,
+        "bpe_token_stats": _q_bpe_token_stats,
         # (c) stable, driver-verified r3 (and mostly r2)
         "extract_density": _q_extract_density,
         "extract_tokens": _q_extract_tokens,
@@ -883,6 +887,41 @@ def _q_remove_dup_paragraphs(spark, sf_dir):
         .otherwise(F.col("text")).alias("text"))
     return remove_duplicate_paragraphs(corpus) \
         .select("doc_id", "text_clean", "n_paras_removed")
+
+
+# Fixed BPE tokenizer for the oracle query: merges trained ONCE from a
+# deterministic seed frequency table (data-independent, like the IVF
+# centroid literals), by the SAME pure-Python trainer the distributed
+# bpe_train delegates to. Seed mixes the testdata vocabulary (so merges
+# fire on real corpus words) with morphological variants and words the
+# corpus lacks (so partial-merge and char-fallback paths are exercised).
+_BPE_SEED_COUNTS = [
+    ("the", 100), ("a", 95), ("join", 90), ("hash", 85), ("row", 80),
+    ("batch", 75), ("scan", 70), ("customer", 65), ("column", 60),
+    ("filter", 55), ("merge", 50), ("order", 45), ("vector", 40),
+    ("stream", 35), ("window", 30), ("streaming", 12), ("ordering", 10),
+    ("scanner", 8), ("joining", 6), ("hashes", 5),
+]
+_BPE_MERGES = train_merges_from_counts(_BPE_SEED_COUNTS, 40)
+_BPE_FIXTURES = [
+    # unseen-unicode word (codepoint fallback), seed words (full merges),
+    # morphology sharing prefixes with seed words (partial merges)
+    (9400001, "тест 日本語 café join merge streaming windows batching"),
+    (9400002, ""),
+    (9400003, "  scan   scan\tscanner  "),
+]
+
+
+def _q_bpe_token_stats(spark, sf_dir):
+    """Real BPE token counts per document (Sennrich-style merges, GPT-2
+    rank-greedy apply in a memoized mapInPandas kernel) under the fixed
+    seed-trained tokenizer. The DuckDB oracle replays the merge list as a
+    marker-wrapped replace-chain — same single-sweep-per-merge semantics."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fixtures = spark.createDataFrame(_BPE_FIXTURES,
+                                     "doc_id long, text string")
+    return (with_bpe_token_counts(docs.union(fixtures), _BPE_MERGES)
+            .select("doc_id", "n_tokens_bpe"))
 
 
 _SPAN_SHARED = ("breaking news update follow share like comment subscribe")
@@ -1257,10 +1296,52 @@ def _remove_dup_spans_oracle_sql() -> str:
         FROM toks t LEFT JOIN rebuilt r USING (doc_id)"""
 
 
+def _bpe_oracle_sql() -> str:
+    """DuckDB replay of the fixed BPE tokenizer: each word is wrapped as
+    chr(2)||sym||chr(3) per symbol, then the merge list is applied IN RANK
+    ORDER as a chain of replace() calls — one left-to-right non-overlapping
+    sweep per merge, which is exactly the kernel's semantics (a merged
+    symbol can never re-create its own pair, and a pair only involves
+    symbols from strictly earlier merges, so one sweep per rank is
+    complete). Token count = number of chr(2) markers left."""
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    expr = ("chr(2) || array_to_string(regexp_split_to_array(word, ''), "
+            "chr(3) || chr(2)) || chr(3)")
+    for x, y in _BPE_MERGES:
+        pat = f"chr(2) || {lit(x)} || chr(3) || chr(2) || {lit(y)} || chr(3)"
+        rep = f"chr(2) || {lit(x + y)} || chr(3)"
+        expr = f"replace({expr},\n              {pat}, {rep})"
+    vals = ",\n            ".join(
+        "({}, '{}')".format(i, t.replace("'", "''"))
+        for i, t in _BPE_FIXTURES)
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            {vals}
+          ) AS f(doc_id, text)),
+        toks AS (SELECT doc_id,
+                        regexp_split_to_array(trim(text), '\\s+') AS w
+                 FROM corpus),
+        words AS (SELECT doc_id, w[i] AS word
+                  FROM toks, unnest(range(1, length(w) + 1)) AS t(i)),
+        enc AS (SELECT doc_id,
+                  CASE WHEN word = '' THEN '' ELSE {expr} END AS s
+                FROM words)
+        SELECT doc_id,
+               CAST(sum(length(s) - length(replace(s, chr(2), '')))
+                    AS INTEGER) AS n_tokens_bpe
+        FROM enc GROUP BY doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "dup_spans": _dup_spans_oracle_sql(),
         "remove_dup_spans": _remove_dup_spans_oracle_sql(),
+        "bpe_token_stats": _bpe_oracle_sql(),
         "extract_density": "SELECT doc_id, text FROM documents",
         "extract_tokens": """
             SELECT doc_id,

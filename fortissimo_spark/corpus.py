@@ -79,10 +79,18 @@ def deterministic_sample(docs: DataFrame, rate: float,
 
 def pack_shards(docs: DataFrame, shard_tokens: int = 100_000,
                 id_col: str = "doc_id", text_col: str = "text",
-                num_partitions: int | None = None) -> DataFrame:
+                num_partitions: int | None = None,
+                token_count_col: str | None = None) -> DataFrame:
     """(doc_id, n_tokens, shard_id) — pack docs into fixed-token-budget
     training shards in stable ``id_col`` order: a doc goes to shard
     ``floor(cum_tokens_before_it / shard_tokens)``.
+
+    The token denominator is the whitespace count of ``text_col`` by
+    default; pass ``token_count_col`` to budget in REAL tokenizer tokens
+    instead (e.g. the ``n_tokens_bpe`` column from
+    :func:`fortissimo_spark.bpe.with_bpe_token_counts`) — at 100 TB the
+    training budget is denominated in tokenizer tokens, and the
+    whitespace proxy drifts 20-40% against any real vocabulary.
 
     Scale shape (the reason this isn't one ``Window.orderBy``): a global
     ordered window has no partition key, so Spark plans a SINGLE task over
@@ -97,7 +105,8 @@ def pack_shards(docs: DataFrame, shard_tokens: int = 100_000,
     Deterministic given the id order; the result equals the naive global
     cumsum (the oracle computes exactly that in DuckDB).
     """
-    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n_tok = (F.col(token_count_col).cast("long") if token_count_col
+             else F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
     base = docs.select(F.col(id_col).alias("doc_id"),
                        n_tok.alias("n_tokens"))
     if num_partitions:

@@ -1070,6 +1070,53 @@ def test_pack_shards_matches_naive_cumsum(spark):
     assert got1 == {k: v[1] for k, v in got.items()}
 
 
+def test_bpe_train_distributed_matches_local(spark):
+    """bpe_train's Spark half (word count + deterministic top-N collect)
+    feeds the same pure-Python merge loop: training on the documents table
+    must equal training on a driver-side recount of the same texts, and
+    the top_words cap must follow the (count desc, word asc) order."""
+    from collections import Counter
+
+    from fortissimo_spark.bpe import bpe_train, train_merges_from_counts
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    counts = Counter()
+    for r in docs.collect():
+        counts.update(w for w in r.text.split() if w)
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert bpe_train(docs, num_merges=30) == \
+        train_merges_from_counts(ordered, 30)
+    assert bpe_train(docs, num_merges=30, top_words=10) == \
+        train_merges_from_counts(ordered[:10], 30)
+
+
+def test_pack_shards_bpe_denominator_parity(spark):
+    """pack_shards budgets in real BPE tokens when handed a
+    token_count_col: shard assignment equals the naive global cumsum over
+    the BPE counts, and demonstrably differs from whitespace budgeting
+    (the proxy-drift the real tokenizer exists to fix)."""
+    from fortissimo_spark.bpe import (
+        bpe_train, encode_word, with_bpe_token_counts,
+    )
+    from fortissimo_spark.corpus import pack_shards
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    merges = bpe_train(docs, num_merges=12)  # few merges -> multi-token words
+    with_counts = with_bpe_token_counts(docs, merges)
+    got = {r.doc_id: (r.n_tokens, r.shard_id)
+           for r in pack_shards(with_counts, 20000, num_partitions=6,
+                                token_count_col="n_tokens_bpe").collect()}
+    ranks = {m: i for i, m in enumerate(merges)}
+    toks = {r.doc_id: sum(len(encode_word(w, ranks))
+                          for w in r.text.split() if w)
+            for r in docs.collect()}
+    cum = 0
+    for did in sorted(toks):
+        assert got[did] == (toks[did], cum // 20000), did
+        cum += toks[did]
+    ws = {r.doc_id: r.shard_id
+          for r in pack_shards(docs, 20000, num_partitions=6).collect()}
+    assert ws != {k: v[1] for k, v in got.items()}
+
+
 def test_lsh_bucket_stats_reports_truncation(spark):
     """No silent caps: the stats companion must surface exactly the buckets
     whose members were dropped by the candidate-generation cap."""
