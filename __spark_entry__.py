@@ -754,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "remove_dup_spans": _q_remove_dup_spans,
         "bpe_token_stats": _q_bpe_token_stats,
+        "ngram_perplexity": _q_ngram_perplexity,
         # (c) stable, driver-verified r3 (and mostly r2)
         "extract_density": _q_extract_density,
         "extract_tokens": _q_extract_tokens,
@@ -922,6 +923,29 @@ def _q_bpe_token_stats(spark, sf_dir):
                                      "doc_id long, text string")
     return (with_bpe_token_counts(docs.union(fixtures), _BPE_MERGES)
             .select("doc_id", "n_tokens_bpe"))
+
+
+_PPL_FIXTURES = [
+    # scored but NOT trained on: OOV words must hit the stupid-backoff
+    # floor, a 1-token doc and an empty doc must yield NULL ppl
+    (9500001, "zzzunknown join merge qqqnever join zzzunknown"),
+    (9500002, "one"),
+    (9500003, ""),
+]
+_PPL_TOPV = 500  # small enough that sf0.01's ~900 bigrams get truncated
+
+
+def _q_ngram_perplexity(spark, sf_dir):
+    """CCNet-style LM quality gate: bigram stupid-backoff perplexity per
+    document under a model trained on the corpus itself (bounded top-V
+    count tables, broadcast at scoring time). Fixtures exercise the OOV
+    floor and the degenerate <2-token docs."""
+    from fortissimo_spark.lm import train_bigram_lm, with_perplexity
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = train_bigram_lm(docs, top_v=_PPL_TOPV)
+    fixtures = spark.createDataFrame(_PPL_FIXTURES,
+                                     "doc_id long, text string")
+    return with_perplexity(docs.union(fixtures), lm)
 
 
 _SPAN_SHARED = ("breaking news update follow share like comment subscribe")
@@ -1337,11 +1361,70 @@ def _bpe_oracle_sql() -> str:
         FROM enc GROUP BY doc_id"""
 
 
+def _ppl_oracle_sql() -> str:
+    """DuckDB recompute of the whole LM pipeline: train (count, truncate
+    to top-V by (count desc, gram asc)) on documents, score documents +
+    fixtures with the identical stupid-backoff formula."""
+    vals = ",\n            ".join(
+        "({}, '{}')".format(i, t.replace("'", "''"))
+        for i, t in _PPL_FIXTURES)
+    return f"""
+        WITH toks_t AS (
+          SELECT doc_id, list_filter(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   x -> x <> '') AS w
+          FROM documents),
+        uni_all AS (SELECT x AS w, count(*) AS c
+                    FROM toks_t, unnest(w) AS u(x) GROUP BY x),
+        uni AS (SELECT w, c FROM (
+                  SELECT w, c, row_number() OVER (ORDER BY c DESC, w) rn
+                  FROM uni_all) WHERE rn <= {_PPL_TOPV}),
+        bi_all AS (SELECT w[i] AS w1, w[i + 1] AS w2, count(*) AS c
+                   FROM toks_t, unnest(range(1, length(w))) AS t(i)
+                   GROUP BY w1, w2),
+        bi AS (SELECT w1, w2, c FROM (
+                 SELECT w1, w2, c,
+                        row_number() OVER (ORDER BY c DESC, w1, w2) rn
+                 FROM bi_all) WHERE rn <= {_PPL_TOPV}),
+        n_total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni_all),
+        corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            {vals}
+          ) AS f(doc_id, text)),
+        toks_s AS (
+          SELECT doc_id, list_filter(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   x -> x <> '') AS w
+          FROM corpus),
+        pairs AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+                  FROM toks_s, unnest(range(1, length(w))) AS t(i)),
+        scored AS (
+          SELECT p.doc_id,
+                 CASE WHEN b.c IS NOT NULL AND u1.c IS NOT NULL
+                      THEN CAST(b.c AS DOUBLE) / u1.c
+                      ELSE 0.4 * CAST(coalesce(u2.c, 1) AS DOUBLE)
+                           / (SELECT n FROM n_total) END AS score
+          FROM pairs p
+          LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+          LEFT JOIN uni u1 ON u1.w = p.w1
+          LEFT JOIN uni u2 ON u2.w = p.w2),
+        per_doc AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+                           round(power(10, -avg(log10(score))), 6) AS ppl
+                    FROM scored GROUP BY doc_id)
+        SELECT c.doc_id,
+               coalesce(d.n_bigrams, 0) AS n_bigrams,
+               d.ppl
+        FROM corpus c LEFT JOIN per_doc d USING (doc_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "dup_spans": _dup_spans_oracle_sql(),
         "remove_dup_spans": _remove_dup_spans_oracle_sql(),
         "bpe_token_stats": _bpe_oracle_sql(),
+        "ngram_perplexity": _ppl_oracle_sql(),
         "extract_density": "SELECT doc_id, text FROM documents",
         "extract_tokens": """
             SELECT doc_id,

@@ -1500,6 +1500,37 @@ def test_quality_classifier_train_and_score(spark):
     assert "Python" not in plan and "ArrowEval" not in plan
 
 
+def test_bigram_perplexity_ground_truth(spark):
+    """Stupid-backoff bigram perplexity against hand-computed values:
+    corpus 'a b a b' + 'a b c' gives uni a:3 b:3 c:1 (N=7), bi (a,b):3
+    (b,a):1 (b,c):1. OOV bigrams hit alpha*c(w)/N; <2-token docs are NULL;
+    both count joins must be broadcast and the plan Python-free."""
+    import math
+
+    from fortissimo_spark.lm import train_bigram_lm, with_perplexity
+    train = spark.createDataFrame([(1, "a b a b"), (2, "a b c")],
+                                  "doc_id long, text string")
+    lm = train_bigram_lm(train)
+    assert lm.total_tokens == 7
+    score = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "z a"), (4, "z q"), (5, "a"),
+         (6, "")], "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.ppl)
+           for r in with_perplexity(score, lm).collect()}
+    assert got[1] == (3, round(3 ** (1 / 3), 6))       # 1, 1/3, 1
+    assert got[2] == (2, round(math.sqrt(3), 6))       # 1, 1/3
+    assert got[3] == (1, round(7 / (0.4 * 3), 6))      # alpha*c(a)/N
+    assert got[4] == (1, round(7 / 0.4, 6))            # OOV floor 1/N
+    assert got[5] == (0, None) and got[6] == (0, None)
+    plan = with_perplexity(score, lm)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "Python" not in plan
+    # truncation is deterministic: top-2 bigrams keep (a,b) then (b,a)
+    lm2 = train_bigram_lm(train, top_v=2)
+    kept = {(r.w1, r.w2) for r in lm2.bigrams.collect()}
+    assert kept == {("a", "b"), ("b", "a")}
+
+
 def test_hyperplane_bucket_stats(spark):
     from fortissimo_spark.similarity import hyperplane_bucket_stats
     emb = spark.createDataFrame([(i, [1.0] * 8) for i in range(60)],
