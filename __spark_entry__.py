@@ -755,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_dup_spans": _q_remove_dup_spans,
         "bpe_token_stats": _q_bpe_token_stats,
         "ngram_perplexity": _q_ngram_perplexity,
+        "domain_caps": _q_domain_caps,
         # (c) stable, driver-verified r3 (and mostly r2)
         "extract_density": _q_extract_density,
         "extract_tokens": _q_extract_tokens,
@@ -923,6 +924,31 @@ def _q_bpe_token_stats(spark, sf_dir):
                                      "doc_id long, text string")
     return (with_bpe_token_counts(docs.union(fixtures), _BPE_MERGES)
             .select("doc_id", "n_tokens_bpe"))
+
+
+def _q_domain_caps(spark, sf_dir):
+    """Domain-level corpus controls (RefinedWeb/Dolma practice): build a
+    deterministic url per document (two blocked shapes — one exact-match
+    host, one subdomain of a blocked parent — plus five regular hosts),
+    drop blocklisted hosts via the suffix-explode broadcast anti-join,
+    then keep a deterministic hash-ordered cap of 20 docs per host."""
+    from fortissimo_spark.urls import (
+        cap_per_host, filter_blocked_hosts, url_host,
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    host = (F.when(d % 10 == 7, F.lit("ads.spam.net"))
+            .when(d % 10 == 3, F.lit("blocked.example.com"))
+            .otherwise(F.concat(F.lit("h"), (d % 5).cast("string"),
+                                F.lit(".example.com"))))
+    urls = docs.select("doc_id", F.concat(
+        F.lit("https://"), host, F.lit("/p/"),
+        d.cast("string")).alias("url"))
+    kept = cap_per_host(
+        filter_blocked_hosts(urls, ["spam.net", "blocked.example.com"]),
+        20, salt="r4")
+    return (kept.select("doc_id", url_host("url").alias("host"))
+            .orderBy("doc_id"))
 
 
 _PPL_FIXTURES = [
@@ -1425,6 +1451,28 @@ def oracle_sql() -> dict[str, str]:
         "remove_dup_spans": _remove_dup_spans_oracle_sql(),
         "bpe_token_stats": _bpe_oracle_sql(),
         "ngram_perplexity": _ppl_oracle_sql(),
+        "domain_caps": """
+            WITH base AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 10 = 7 THEN 'ads.spam.net'
+                     WHEN doc_id % 10 = 3 THEN 'blocked.example.com'
+                     ELSE 'h' || CAST(doc_id % 5 AS VARCHAR)
+                          || '.example.com' END AS host
+              FROM documents),
+            unblocked AS (
+              SELECT doc_id, host FROM base b
+              WHERE NOT EXISTS (
+                SELECT 1 FROM (VALUES ('spam.net'),
+                                      ('blocked.example.com')) AS bl(d)
+                WHERE b.host = bl.d OR b.host LIKE '%.' || bl.d)),
+            ranked AS (
+              SELECT doc_id, host,
+                     row_number() OVER (PARTITION BY host ORDER BY
+                       CAST('0x' || substr(md5('r4'
+                             || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                       doc_id) AS rn
+              FROM unblocked)
+            SELECT doc_id, host FROM ranked WHERE rn <= 20""",
         "extract_density": "SELECT doc_id, text FROM documents",
         "extract_tokens": """
             SELECT doc_id,

@@ -28,7 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-__all__ = ["normalize_url", "TRACKING_PARAM_PREFIXES"]
+__all__ = ["normalize_url", "TRACKING_PARAM_PREFIXES", "url_host",
+           "host_suffixes", "filter_blocked_hosts", "cap_per_host"]
 
 
 def _purl(col: Column, part: str) -> Column:
@@ -69,3 +70,74 @@ def normalize_url(url) -> Column:
                     F.concat(F.lit("?"), F.array_join(kept, "&"))) \
         .otherwise(F.lit(""))
     return F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+
+
+# --- domain-level corpus controls (RefinedWeb / Dolma practice) ---------
+
+def url_host(url) -> Column:
+    """Lowercased host of a url column (NULL for unparseable urls)."""
+    col = F.col(url) if isinstance(url, str) else url
+    return F.lower(_purl(col, "HOST"))
+
+
+def host_suffixes(host) -> Column:
+    """Every domain suffix of a host: ``a.b.example.com`` ->
+    ``[a.b.example.com, b.example.com, example.com, com]``. Bounded by the
+    label count (<= ~10 on the real web), so exploding it turns
+    subdomain-aware blocklist matching into an EQUALITY join — a broadcast
+    hash join instead of the BroadcastNestedLoopJoin an ``endswith`` OR
+    chain would force."""
+    col = F.col(host) if isinstance(host, str) else host
+    parts = F.split(col, r"\.")
+    n = F.size(parts)
+    return F.transform(F.sequence(F.lit(0), n - 1),
+                       lambda i: F.concat_ws(".", F.slice(parts, i + 1, n)))
+
+
+def filter_blocked_hosts(docs, blocklist, url_col: str = "url"):
+    """Drop rows whose url host matches a blocklist entry exactly OR is a
+    subdomain of one (RefinedWeb's URL-blocklist gate, arXiv:2306.01116).
+
+    ``blocklist`` is a list[str] of domains (or a 1-column DataFrame).
+    Shape: explode each row's host-suffix list (<= ~10 rows per doc, map
+    side), broadcast LEFT ANTI hash-join against the (small) blocklist,
+    then keep the rows whose id survived — expressed as a semi-join of the
+    original rows against the surviving exploded rows so no column is
+    lost. Rows with unparseable urls (NULL host) are kept."""
+    spark = docs.sparkSession
+    if isinstance(blocklist, (list, tuple)):
+        bl = spark.createDataFrame([(b.lower(),) for b in blocklist],
+                                   ["_blocked_host"])
+    else:
+        bl = blocklist.toDF("_blocked_host")
+    suffixes = docs.select(
+        F.col(url_col).alias("_u"),
+        F.explode_outer(host_suffixes(url_host(F.col(url_col))))
+        .alias("_sfx"))
+    hit = (suffixes.join(F.broadcast(bl),
+                         suffixes["_sfx"] == bl["_blocked_host"],
+                         "left_semi")
+           .select("_u").distinct())
+    return docs.join(hit, docs[url_col] == hit["_u"], "left_anti")
+
+
+def cap_per_host(docs, max_per_host: int, url_col: str = "url",
+                 id_col: str = "doc_id", salt: str = ""):
+    """Keep at most ``max_per_host`` documents per url host, chosen by a
+    content-stable hash order (md5 of salt||id, id tiebreak) so the kept
+    set is deterministic across partitioning, retries, and engines — the
+    per-domain cap RefinedWeb/Dolma apply to stop mega-hosts dominating
+    the corpus.
+
+    Skew note: the rank is a ``row_number() <= N`` filter, which Spark
+    3.5+ rewrites with WindowGroupLimit — every map task pre-prunes to N
+    rows per host BEFORE the exchange, so a 10^9-page host ships
+    N x #map-partitions rows, not 10^9, into the window task."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+        16, 10).cast("long")
+    from pyspark.sql import Window
+    w = (Window.partitionBy(url_host(F.col(url_col)))
+         .orderBy(h.asc(), F.col(id_col).asc()))
+    return (docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_per_host).drop("_rn"))

@@ -1500,6 +1500,40 @@ def test_quality_classifier_train_and_score(spark):
     assert "Python" not in plan and "ArrowEval" not in plan
 
 
+def test_domain_controls(spark):
+    """Blocklist: exact host AND any-depth subdomain match, parseable-url
+    survivors keep all columns, NULL-host rows survive. Cap: deterministic
+    hash-ordered top-N per host, with the WindowGroupLimit rewrite in the
+    plan (map-side pre-prune => a mega-host never ships all its rows)."""
+    from fortissimo_spark.urls import cap_per_host, filter_blocked_hosts
+    rows = [(i, f"https://h{i % 3}.example.com/p/{i}", f"t{i}")
+            for i in range(60)]
+    rows += [(100, "https://spam.net/x", "t"),
+             (101, "https://ads.spam.net/x", "t"),
+             (102, "https://deep.ads.spam.net/x", "t"),
+             (103, "https://notspam.net/x", "t"),
+             (104, "not a url at all", "t")]
+    docs = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    kept = filter_blocked_hosts(docs, ["spam.net"])
+    ids = {r.doc_id for r in kept.collect()}
+    assert {100, 101, 102}.isdisjoint(ids)
+    assert {103, 104} <= ids and len(ids) == 62
+    assert kept.columns == ["doc_id", "url", "text"]
+
+    capped = cap_per_host(kept, 10, salt="s")
+    per_host = {}
+    for r in capped.collect():
+        host = r.url.split("/")[2] if "://" in r.url else None
+        per_host.setdefault(host, set()).add(r.doc_id)
+    assert all(len(v) <= 10 for v in per_host.values())
+    # determinism across layouts
+    again = {r.doc_id for r in
+             cap_per_host(kept.repartition(7), 10, salt="s").collect()}
+    assert again == {r.doc_id for r in capped.collect()}
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
 def test_bigram_perplexity_ground_truth(spark):
     """Stupid-backoff bigram perplexity against hand-computed values:
     corpus 'a b a b' + 'a b c' gives uni a:3 b:3 c:1 (N=7), bi (a,b):3
