@@ -8,10 +8,14 @@ reconstruction, 8-bit gray/gray+alpha/RGB/RGBA, non-interlaced), BMP
 (uncompressed 24/32-bit) and PPM (P6/P3) images produce real dimensions
 and a pixel-derived 4x4 grayscale feature grid; WAV PCM audio produces
 real sample rate / channels / duration and a 16-window RMS loudness
-profile. Remaining codec gaps (WebP, mp3, video) raise
-``NotImplementedError``/``ValueError`` unless ``deterministic_fake=True``,
-which substitutes a seeded content-derived stand-in so downstream
-plumbing stays exercisable end-to-end.
+profile. Codec formats get header-only sniffing (``sniff_media``): WebP
+(VP8/VP8L/VP8X), GIF and AVIF yield real dimensions, mp3 yields real
+sample rate / channels / CBR duration — so the typed metadata columns
+populate without a codec library, while the pixel/sample summaries for
+those formats remain digest stand-ins. Fully-unrecognized formats (video
+codecs, ogg, ...) raise ``NotImplementedError``/``ValueError`` unless
+``deterministic_fake=True``, which substitutes a seeded content-derived
+stand-in so downstream plumbing stays exercisable end-to-end.
 """
 
 from __future__ import annotations
@@ -31,7 +35,8 @@ __all__ = ["MEDIA_SCHEMA", "IMAGE_FEATURES_SCHEMA", "AUDIO_FEATURES_SCHEMA",
            "decode_image", "decode_bmp", "decode_ppm", "decode_png", "decode_wav",
            "decode_audio", "make_image_feature_kernel",
            "make_audio_feature_kernel", "image_features", "audio_features",
-           "sample_frames"]
+           "sample_frames", "sniff_media", "sniff_webp", "sniff_gif",
+           "sniff_avif", "sniff_mp3"]
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType()),
@@ -226,6 +231,122 @@ def decode_png(payload: bytes):
     return width, height, _gray_grid(width, height, gray_at)
 
 
+# --- header-only sniffing (codec-format metadata without decode) --------
+# Fills the typed metadata columns (width/height/duration) for the formats
+# whose PIXEL/SAMPLE decode still needs an external codec: WebP (all three
+# bitstream flavors, RIFF spec), GIF (logical screen descriptor), AVIF
+# (ISO-BMFF ispe property box), and mp3 (first MPEG audio frame header +
+# CBR duration estimate, ID3v2 skip). All offsets are from the public
+# container specs; a recognized-but-malformed header raises ValueError.
+
+def sniff_webp(raw: bytes):
+    """(width, height, flavor) for a WebP payload, else None."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
+        return None
+    fourcc, d = raw[12:16], raw[20:]
+    if fourcc == b"VP8 ":  # lossy: 3B frame tag, 3B start code, 2x u16le
+        if d[3:6] != b"\x9d\x01\x2a":
+            raise ValueError("bad VP8 start code")
+        w = int.from_bytes(d[6:8], "little") & 0x3FFF
+        h = int.from_bytes(d[8:10], "little") & 0x3FFF
+        return w, h, "vp8"
+    if fourcc == b"VP8L":  # lossless: 1B signature, 14+14 bits (w-1, h-1)
+        if d[0:1] != b"\x2f":
+            raise ValueError("bad VP8L signature")
+        bits = int.from_bytes(d[1:5], "little")
+        return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "vp8l"
+    if fourcc == b"VP8X":  # extended: flags+reserved, 2x 24-bit LE minus-one
+        if len(d) < 10:
+            raise ValueError("truncated VP8X header")
+        w = int.from_bytes(d[4:7], "little") + 1
+        h = int.from_bytes(d[7:10], "little") + 1
+        return w, h, "vp8x"
+    raise ValueError(f"unknown WebP chunk {fourcc!r}")
+
+
+def sniff_gif(raw: bytes):
+    """(width, height) from the GIF logical screen descriptor, else None."""
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    if len(raw) < 10:
+        raise ValueError("truncated GIF header")
+    return (int.from_bytes(raw[6:8], "little"),
+            int.from_bytes(raw[8:10], "little"))
+
+
+def sniff_avif(raw: bytes):
+    """(width, height) from an AVIF's ispe property box, else None."""
+    if raw[4:8] != b"ftyp" or b"avif" not in raw[8:32]:
+        return None
+    i = raw.find(b"ispe")
+    if i < 0 or len(raw) < i + 16:
+        raise ValueError("AVIF without readable ispe box")
+    return (int.from_bytes(raw[i + 8:i + 12], "big"),
+            int.from_bytes(raw[i + 12:i + 16], "big"))
+
+
+_MP3_BITRATES = {  # kbps, Layer III (0 = free, 15 = bad)
+    3: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    0: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+def sniff_mp3(raw: bytes):
+    """(sample_rate, n_channels, bitrate_kbps, duration_ms) from the first
+    Layer-III frame header, else None. Duration is the CBR estimate over
+    the audio bytes after any ID3v2 tag — the standard header-only figure
+    (a VBR file needs a Xing/VBRI walk or full decode)."""
+    pos = 0
+    if raw[:3] == b"ID3" and len(raw) >= 10:
+        pos = 10 + int.from_bytes(
+            bytes(b & 0x7F for b in raw[6:10]), "big")  # synchsafe
+    while pos + 4 <= len(raw):
+        b0, b1, b2, b3 = raw[pos:pos + 4]
+        if b0 == 0xFF and (b1 & 0xE0) == 0xE0:
+            version = (b1 >> 3) & 3       # 3=MPEG1 2=MPEG2 0=MPEG2.5
+            layer = (b1 >> 1) & 3         # 1 = Layer III
+            br_idx = (b2 >> 4) & 0xF
+            sr_idx = (b2 >> 2) & 3
+            if (layer == 1 and version in _MP3_BITRATES
+                    and 0 < br_idx < 15 and sr_idx < 3):
+                kbps = _MP3_BITRATES[version][br_idx]
+                rate = _MP3_RATES[version][sr_idx]
+                nch = 1 if ((b3 >> 6) & 3) == 3 else 2
+                dur = int((len(raw) - pos) * 8 * 1000 / (kbps * 1000))
+                return rate, nch, kbps, dur
+        pos += 1
+    return None
+
+
+def sniff_media(payload: bytes) -> dict | None:
+    """Typed-metadata dict for any sniffable container, else None:
+    ``{format, width, height, sample_rate, n_channels, bitrate_kbps,
+    duration_ms}`` with inapplicable fields None."""
+    raw = payload or b""
+    base = {"format": None, "width": None, "height": None,
+            "sample_rate": None, "n_channels": None,
+            "bitrate_kbps": None, "duration_ms": None}
+    wp = sniff_webp(raw)
+    if wp:
+        return {**base, "format": f"webp-{wp[2]}",
+                "width": wp[0], "height": wp[1]}
+    g = sniff_gif(raw)
+    if g:
+        return {**base, "format": "gif", "width": g[0], "height": g[1]}
+    av = sniff_avif(raw)
+    if av:
+        return {**base, "format": "avif", "width": av[0], "height": av[1]}
+    m = sniff_mp3(raw)
+    if m:
+        return {**base, "format": "mp3", "sample_rate": m[0],
+                "n_channels": m[1], "bitrate_kbps": m[2],
+                "duration_ms": m[3]}
+    return None
+
+
 def decode_image(payload: bytes, *, deterministic_fake: bool = False):
     """Decode encoded image bytes to (width, height, 16-byte pixel summary).
 
@@ -250,6 +371,12 @@ def decode_image(payload: bytes, *, deterministic_fake: bool = False):
             return decode_bmp(raw)
         if raw[:2] in (b"P6", b"P3"):
             return decode_ppm(raw)
+        # header-sniffable codec formats: REAL dimensions from the
+        # container header, digest stand-in for the pixel summary (the
+        # bitstream still needs a codec library)
+        sniffed = sniff_webp(raw) or sniff_gif(raw) or sniff_avif(raw)
+        if sniffed:
+            return sniffed[0], sniffed[1], hashlib.sha256(raw).digest()
         unrecognized = True
     except Exception as e:  # noqa: BLE001 - corrupt payloads must degrade
         if not deterministic_fake:
@@ -257,9 +384,11 @@ def decode_image(payload: bytes, *, deterministic_fake: bool = False):
         unrecognized = False
     if unrecognized and not deterministic_fake:
         raise NotImplementedError(
-            "only baseline-JPEG/PNG/BMP/PPM have in-container decoders; "
-            "other formats need an imaging library — pass "
-            "deterministic_fake=True for the content-derived stand-in")
+            "only baseline-JPEG/PNG/BMP/PPM have in-container PIXEL "
+            "decoders (WebP/GIF/AVIF headers sniff real dimensions with a "
+            "digest pixel summary); other formats need an imaging library "
+            "— pass deterministic_fake=True for the content-derived "
+            "stand-in")
     # stand-in: unrecognized format, or corrupt payload with fake enabled —
     # a kernel row must never kill the Spark task
     digest = hashlib.sha256(raw).digest()
@@ -388,6 +517,13 @@ def decode_audio(payload: bytes, *, deterministic_fake: bool = False):
     try:
         if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
             return decode_wav(raw)
+        # mp3: REAL rate/channels/CBR-duration from the frame header,
+        # digest stand-in for the loudness profile (samples need a codec)
+        m = sniff_mp3(raw)
+        if m:
+            digest = hashlib.sha256(raw).digest()
+            return m[0], m[1], m[3], [digest[i % 32] / 255.0
+                                      for i in range(16)]
         unrecognized = True
     except Exception as e:  # noqa: BLE001 - corrupt payloads must degrade
         if not deterministic_fake:
@@ -395,8 +531,10 @@ def decode_audio(payload: bytes, *, deterministic_fake: bool = False):
         unrecognized = False
     if unrecognized and not deterministic_fake:
         raise NotImplementedError(
-            "only WAV PCM has an in-container decoder; other audio formats "
-            "need a codec — pass deterministic_fake=True for the stand-in")
+            "only WAV PCM has an in-container SAMPLE decoder (mp3 headers "
+            "sniff real rate/channels/duration with a digest loudness "
+            "stand-in); other audio formats need a codec — pass "
+            "deterministic_fake=True for the stand-in")
     digest = hashlib.sha256(raw).digest()
     rate = 8000 * (1 + digest[0] % 6)
     return rate, 1 + digest[1] % 2, 1000 + digest[2] * 16, \

@@ -588,6 +588,77 @@ def test_driver_entry_contract(spark):
     assert len(qs) >= 31
 
 
+def test_media_header_sniffing(spark):
+    """Header-only metadata for codec formats, on hand-built fixture
+    headers from the public container specs: WebP VP8/VP8L/VP8X, GIF,
+    AVIF ispe, mp3 frame header (with and without an ID3v2 tag).
+    decode_image/decode_audio surface the real dimensions/duration for
+    these instead of raising."""
+    from fortissimo_spark.modality import (
+        decode_audio, decode_image, sniff_media,
+    )
+
+    def riff(fourcc, data):
+        chunk = fourcc + len(data).to_bytes(4, "little") + data
+        return (b"RIFF" + (4 + len(chunk)).to_bytes(4, "little")
+                + b"WEBP" + chunk)
+
+    # VP8 lossy: frame tag + start code + 14-bit dims (320x240)
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a"
+               + (320).to_bytes(2, "little") + (240).to_bytes(2, "little"))
+    assert sniff_media(vp8) == {
+        "format": "webp-vp8", "width": 320, "height": 240,
+        "sample_rate": None, "n_channels": None, "bitrate_kbps": None,
+        "duration_ms": None}
+    # VP8L lossless: signature + packed (w-1 | (h-1)<<14)
+    bits = (99) | (49 << 14)
+    vp8l = riff(b"VP8L", b"\x2f" + bits.to_bytes(4, "little"))
+    s = sniff_media(vp8l)
+    assert (s["format"], s["width"], s["height"]) == ("webp-vp8l", 100, 50)
+    # VP8X extended: flags + 24-bit minus-one canvas dims (1920x1080)
+    vp8x = riff(b"VP8X", b"\x00\x00\x00\x00"
+                + (1919).to_bytes(3, "little") + (1079).to_bytes(3, "little"))
+    s = sniff_media(vp8x)
+    assert (s["format"], s["width"], s["height"]) == ("webp-vp8x", 1920, 1080)
+    # decode_image: real dims, digest summary, no raise
+    w, h, summary = decode_image(vp8)
+    assert (w, h) == (320, 240) and len(summary) == 32
+
+    gif = b"GIF89a" + (640).to_bytes(2, "little") \
+        + (480).to_bytes(2, "little") + b"\x00" * 3
+    s = sniff_media(gif)
+    assert (s["format"], s["width"], s["height"]) == ("gif", 640, 480)
+
+    ispe = (20).to_bytes(4, "big") + b"ispe" + b"\x00" * 4 \
+        + (800).to_bytes(4, "big") + (600).to_bytes(4, "big")
+    avif = (24).to_bytes(4, "big") + b"ftyp" + b"avif" \
+        + b"\x00" * 12 + ispe
+    s = sniff_media(avif)
+    assert (s["format"], s["width"], s["height"]) == ("avif", 800, 600)
+
+    # mp3: MPEG1 Layer III, 128 kbps (idx 9), 44100 Hz (idx 0), stereo;
+    # 4000 payload bytes after a 100-byte ID3v2 tag -> 250 ms CBR estimate
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + b"\x00" * 100
+    mp3 = id3 + hdr + b"\x00" * 3996
+    s = sniff_media(mp3)
+    assert s == {"format": "mp3", "width": None, "height": None,
+                 "sample_rate": 44100, "n_channels": 2,
+                 "bitrate_kbps": 128, "duration_ms": 250}
+    rate, nch, dur, rms = decode_audio(mp3)
+    assert (rate, nch, dur) == (44100, 2, 250) and len(rms) == 16
+    # MPEG2 table arm: 22050 Hz (idx 0), 96 kbps (idx 10), mono
+    hdr2 = bytes([0xFF, 0xF3, 0xA0, 0xC0])
+    s = sniff_media(hdr2 + b"\x00" * 796)
+    assert (s["sample_rate"], s["n_channels"], s["bitrate_kbps"],
+            s["duration_ms"]) == (22050, 1, 96, 66)
+
+    assert sniff_media(b"\x00\x01\x02 not media") is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_image(riff(b"VP8 ", b"\x00\x00\x00BAD!" + b"\x00" * 4))
+
+
 def test_modality_real_audio_decode(spark):
     """Real WAV PCM bytes through the distributed kernel: true sample rate,
     channels, duration, and amplitude-accurate RMS (no fake)."""
