@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .schema import PAGES_SCHEMA
 
 __all__ = ["build_warc", "iter_warc_records", "parse_warc_pages",
-           "read_warcs"]
+           "read_warcs", "read_warcs_split", "iter_warc_records_range"]
 
 
 def build_warc(records: list[dict], *, compress: bool = False,
@@ -157,6 +157,27 @@ def _split_http_response(block: bytes) -> tuple[int, dict, bytes]:
     return status, headers, block[sep + 4:]
 
 
+def _page_from_record(headers: dict, block: bytes) -> dict | None:
+    """PAGES_SCHEMA dict for a 2xx HTML response record, else None.
+    Raises on malformed fields (bad date, mangled HTTP head) — callers
+    wrap per record so one bad record never discards its neighbors."""
+    if headers.get("warc-type") != "response":
+        return None
+    url = headers.get("warc-target-uri")
+    date = headers.get("warc-date")
+    if not url or not date:
+        return None
+    status, http_headers, body = _split_http_response(block)
+    if not (200 <= status < 300):
+        return None
+    ctype = http_headers.get("content-type", "")
+    if "html" not in ctype:
+        return None
+    ts = _parse_warc_date(date)
+    return {"url": url, "warc_ts": ts, "html": bytearray(body),
+            "text": None, "lang": None}
+
+
 def parse_warc_pages(payload: bytes) -> list[dict]:
     """Extract page rows from one WARC file's bytes: response records with
     an HTML content type and a 2xx status. Returns dicts matching
@@ -167,23 +188,11 @@ def parse_warc_pages(payload: bytes) -> list[dict]:
         # record-level tolerance: one malformed record (bad date, mangled
         # HTTP head) must not discard the archive's other records
         try:
-            if headers.get("warc-type") != "response":
-                continue
-            url = headers.get("warc-target-uri")
-            date = headers.get("warc-date")
-            if not url or not date:
-                continue
-            status, http_headers, body = _split_http_response(block)
-            if not (200 <= status < 300):
-                continue
-            ctype = http_headers.get("content-type", "")
-            if "html" not in ctype:
-                continue
-            ts = _parse_warc_date(date)
+            page = _page_from_record(headers, block)
         except Exception:  # noqa: BLE001 - skip the record, keep the file
             continue
-        pages.append({"url": url, "warc_ts": ts, "html": bytearray(body),
-                      "text": None, "lang": None})
+        if page is not None:
+            pages.append(page)
     return pages
 
 
@@ -227,3 +236,226 @@ def read_warcs(spark: SparkSession, path_glob: str) -> DataFrame:
     files = (spark.read.format("binaryFile").load(path_glob)
              .select("content"))
     return files.mapInPandas(_warc_kernel, PAGES_SCHEMA)
+
+
+# --- split ingest for oversized archives --------------------------------
+# ``read_warcs`` loads each archive as ONE binaryFile row — right for the
+# ~1 GB Common-Crawl shard, but a pathological archive hits Spark's 2 GB
+# single-row limit and spikes one task's memory. ``read_warcs_split``
+# plans byte-range splits per file (the Hadoop text-split recipe: a task
+# aligns its start to the next RECORD boundary and consumes every record
+# that STARTS inside its range, reading past the range end to finish the
+# last one). Memory bound per task = split size + the largest single
+# record, independent of archive size.
+
+class _RangeReader:
+    """Buffered forward reader over one byte range of a file object,
+    tracking absolute offsets. ``ensure`` grows the buffer past the range
+    end when a record spans the boundary."""
+
+    def __init__(self, f, start: int, chunk: int = 4 << 20):
+        self._f = f
+        self._f.seek(start)
+        self.base = start          # absolute offset of buf[0]
+        self.buf = b""
+        self.eof = False
+        self._chunk = chunk
+
+    def ensure(self, n: int) -> bool:
+        """True once the buffer holds >= n bytes (reads more as needed)."""
+        while len(self.buf) < n and not self.eof:
+            piece = self._f.read(max(self._chunk, n - len(self.buf)))
+            if not piece:
+                self.eof = True
+                break
+            self.buf += piece
+        return len(self.buf) >= n
+
+    def advance(self, n: int) -> None:
+        self.buf = self.buf[n:]
+        self.base += n
+
+
+def _gzip_member_at(rr: _RangeReader, pos: int) -> bool:
+    """True if buf[pos:] starts a REAL per-record-gzip WARC member (magic
+    bytes alone can occur inside compressed data — verify by inflating a
+    probe window and checking for the WARC/ record prefix)."""
+    rr.ensure(pos + 512)
+    window = rr.buf[pos:pos + 512]
+    if window[:3] != b"\x1f\x8b\x08":
+        return False
+    try:
+        probe = zlib.decompressobj(wbits=31).decompress(window)
+    except zlib.error:
+        return False
+    return probe.startswith(b"WARC/")
+
+
+def iter_warc_records_range(f, start: int, end: int, *,
+                            compressed: bool) -> Iterator[tuple[dict, bytes]]:
+    """(headers, block) for every record whose START offset lies in
+    [start, end), aligning past a mid-record ``start`` and reading beyond
+    ``end`` to complete the final record."""
+    if start >= end:
+        return
+    # Plain splits scan from start-1: a record is owned by the right split
+    # iff it STARTS past the boundary (p = q+2 > start for a "\r\nWARC/"
+    # marker at q), i.e. q >= start-1 — a cut inside the marker's CRLF
+    # must not orphan the record between the two splits.
+    rr = _RangeReader(f, start if (compressed or start == 0) else start - 1)
+    # --- align to the first record boundary at/after start
+    pos = 0
+    if start > 0 or compressed:
+        marker = b"\x1f\x8b" if compressed else b"\r\nWARC/"
+        while True:
+            rr.ensure(pos + (1 << 20))
+            i = rr.buf.find(marker, pos)
+            if i < 0:
+                if rr.eof:
+                    return
+                pos = max(len(rr.buf) - len(marker) + 1, 0)
+                if rr.base + pos >= end:
+                    return
+                rr.advance(pos)
+                pos = 0
+                continue
+            if compressed and not _gzip_member_at(rr, i):
+                pos = i + 1
+                continue
+            pos = i if compressed else i + 2
+            break
+        if start == 0 and compressed:
+            pos = 0 if rr.buf[:3] == b"\x1f\x8b\x08" else pos
+    rr.advance(pos)
+
+    # Ownership convention per storage format (each record consumed by
+    # EXACTLY one split): gzip members align on the magic AT OR AFTER a
+    # split's start, so a split owns member starts in [start, end). Plain
+    # records align on the "\r\nWARC/" marker whose CRLF precedes the
+    # record, so a record starting exactly at a boundary is invisible to
+    # the right split — the LEFT split owns record starts in [start, end]
+    # inclusive (the right split's alignment then lands strictly past it).
+    def _more() -> bool:
+        if rr.base < end:
+            return True
+        return (not compressed and rr.base == end and rr.ensure(5)
+                and rr.buf.startswith(b"WARC/"))
+
+    while _more():
+        if compressed:
+            d = zlib.decompressobj(wbits=31)
+            out, consumed = [], 0
+            while True:
+                if not rr.ensure(consumed + 1) and consumed >= len(rr.buf):
+                    break
+                piece = rr.buf[consumed:consumed + (1 << 20)]
+                if not piece:
+                    break
+                try:
+                    out.append(d.decompress(piece))
+                except zlib.error:
+                    return  # corrupt member: stop this split gracefully
+                consumed += len(piece)
+                if d.unused_data:
+                    consumed -= len(d.unused_data)
+                    break
+                if d.eof:
+                    break
+            if not out and consumed == 0:
+                return
+            member = b"".join(out)
+            rr.advance(consumed)
+            yield from iter_warc_records(member)
+        else:
+            if not rr.ensure(5) or not rr.buf.startswith(b"WARC/"):
+                # inter-record CRLFs
+                if rr.ensure(2) and rr.buf[:2] == b"\r\n":
+                    rr.advance(2)
+                    continue
+                return
+            # grow until the header terminator is in the buffer
+            while rr.buf.find(b"\r\n\r\n") < 0:
+                if not rr.ensure(len(rr.buf) + (1 << 20)):
+                    return
+            head_end = rr.buf.find(b"\r\n\r\n")
+            try:
+                head_lines = rr.buf[:head_end].decode("latin-1").split("\r\n")
+                headers = {}
+                for line in head_lines[1:]:
+                    k, _, v = line.partition(":")
+                    headers[k.strip().lower()] = v.strip()
+                length = int(headers.get("content-length", "0"))
+            except ValueError:
+                return
+            total = head_end + 4 + length
+            if not rr.ensure(total):
+                return
+            yield headers, rr.buf[head_end + 4:total]
+            rr.advance(total)
+
+
+def _open_for_range(path: str):
+    """Seekable binary stream for a Spark file URI. Local paths use plain
+    ``open``; other schemes go through pyarrow.fs (HDFS/S3 when the
+    environment provides them)."""
+    if path.startswith("file:"):
+        local = path[len("file:"):]
+        while local.startswith("//"):
+            local = local[1:]
+        return open(local, "rb")
+    if "://" not in path:
+        return open(path, "rb")
+    from pyarrow import fs as pafs
+    filesystem, rel = pafs.FileSystem.from_uri(path)
+    return filesystem.open_input_file(rel)
+
+
+def _split_kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ("url", "warc_ts", "html", "text", "lang")
+    for pdf in batches:
+        rows: dict[str, list] = {k: [] for k in cols}
+        for path, start, end, gz in zip(pdf["path"].tolist(),
+                                        pdf["start"].tolist(),
+                                        pdf["end"].tolist(),
+                                        pdf["gz"].tolist()):
+            try:
+                with _open_for_range(path) as f:
+                    for headers, block in iter_warc_records_range(
+                            f, int(start), int(end), compressed=bool(gz)):
+                        try:
+                            page = _page_from_record(headers, block)
+                        except Exception:  # noqa: BLE001 - skip record
+                            continue
+                        if page is not None:
+                            for k in cols:
+                                rows[k].append(page[k])
+            except Exception:  # noqa: BLE001 - unreadable split
+                continue
+        if rows["url"]:
+            yield pd.DataFrame(rows, columns=cols)
+
+
+def read_warcs_split(spark: SparkSession, path_glob: str, *,
+                     target_split_mb: int = 128) -> DataFrame:
+    """pages DataFrame from WARC files with BYTE-RANGE parallelism: each
+    file is planned into ~``target_split_mb`` ranges (one tiny driver-side
+    listing — #files rows), one task per range. Equivalent rows to
+    :func:`read_warcs`, but a multi-GB archive neither hits the 2 GB
+    binaryFile row limit nor funnels into a single task."""
+    import math
+
+    meta = (spark.read.format("binaryFile").load(path_glob)
+            .select("path", "length").collect())
+    tsb = max(1, target_split_mb) << 20
+    splits = []
+    for r in meta:
+        n = int(r["length"])
+        k = max(1, math.ceil(n / tsb))
+        step = math.ceil(n / k) if k else n
+        gz = r["path"].endswith(".gz")
+        for i in range(k):
+            splits.append((r["path"], i * step, min((i + 1) * step, n), gz))
+    sdf = spark.createDataFrame(
+        splits, "path string, start long, end long, gz boolean")
+    return (sdf.repartition(max(len(splits), 1))
+            .mapInPandas(_split_kernel, PAGES_SCHEMA))

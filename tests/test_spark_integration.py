@@ -1451,6 +1451,60 @@ def test_warc_framing_failure_keeps_other_records(spark):
     assert [p["url"] for p in pages] == ["http://g.example/a"]
 
 
+def test_warc_range_reader_every_cut_point():
+    """Split ownership is exact: for EVERY byte cut point, the two ranges
+    together yield exactly the archive's records, no loss, no duplication
+    — plain (CRLF-straddling cuts included) and per-record-gzip (false
+    magic inside compressed data included)."""
+    import io
+
+    from fortissimo_spark.warc import (
+        build_warc, iter_warc_records, iter_warc_records_range,
+    )
+    for compress in (False, True):
+        payload = build_warc(
+            [{"url": f"http://x.example/{i}",
+              "date": "2024-01-01T00:00:00Z",
+              "body": f"<p>d{i}</p>".encode()} for i in range(6)],
+            compress=compress)
+        want = [h.get("warc-target-uri")
+                for h, _ in iter_warc_records(payload)]
+        for cut in range(len(payload) + 1):
+            got = []
+            for s, e in ((0, cut), (cut, len(payload))):
+                got += [h.get("warc-target-uri")
+                        for h, _ in iter_warc_records_range(
+                            io.BytesIO(payload), s, e,
+                            compressed=compress)]
+            assert got == want, (compress, cut)
+
+
+def test_warc_split_read_large_archive(spark, tmp_path_factory):
+    """read_warcs_split on a large synthetic .warc.gz + a plain .warc:
+    byte-identical page set to read_warcs, with genuinely many byte-range
+    tasks per file — the >2 GB-archive path scaled down (memory bound is
+    split size + largest record, not archive size)."""
+    from fortissimo_spark.warc import build_warc, read_warcs, read_warcs_split
+    base = tmp_path_factory.mktemp("warc_split")
+    n = 4000
+    recs = [{"url": f"http://big.example/{i}",
+             "date": "2024-01-01T00:00:00Z",
+             "body": (f"<p>doc {i} " + "filler words here "
+                      * (100 + i % 211) + "</p>").encode()}
+            for i in range(n)]
+    (base / "big.warc.gz").write_bytes(
+        build_warc(recs[: n // 2], compress=True))
+    (base / "big.warc").write_bytes(build_warc(recs[n // 2:]))
+
+    whole = read_warcs(spark, str(base)).select("url", "html")
+    split = read_warcs_split(spark, str(base), target_split_mb=1) \
+        .select("url", "html")
+    assert split.rdd.getNumPartitions() > 5  # real byte-range parallelism
+    a = {r.url: bytes(r.html) for r in whole.collect()}
+    b = {r.url: bytes(r.html) for r in split.collect()}
+    assert len(b) == n and a == b
+
+
 def test_ivf_fitted_centroids_partitioned_path(spark, tmp_path_factory):
     """Fitted centroids thread through write_ivf_partitioned ->
     ivf_topk_partitioned and agree with the in-plan ivf_topk given the
