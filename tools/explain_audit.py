@@ -185,6 +185,56 @@ def main():
         ("one corpus scan in the residual plan", p.count("Relation") == 1),
     ]))
 
+    # 8. substring-level dedup (r4): gram counts must partial-aggregate
+    #    map-side (a 10^9-copy boilerplate gram collapses before the
+    #    exchange); span merge windows on doc_id; everything JVM-side
+    from fortissimo_spark.dedup import duplicate_spans
+    sp = duplicate_spans(docs, k=8)
+    p = plan_of(sp)
+    sections.append(("duplicate_spans (substring dedup)", p, [
+        ("gram-count exchange keyed on the gram hash",
+         "hashpartitioning(gh" in p),
+        ("map-side partial aggregation on gram counts",
+         "partial_count" in p),
+        ("island merge windows on doc_id", "hashpartitioning(doc_id" in p),
+        ("no Python stage anywhere", "Python" not in p
+         and "MapInPandas" not in p),
+    ]))
+
+    # 9. LM perplexity scoring: both count tables broadcast, no
+    #    sort-merge join, one final per-doc regroup
+    from fortissimo_spark.lm import train_bigram_lm, with_perplexity
+    lm = train_bigram_lm(docs.limit(200))
+    p = plan_of(with_perplexity(docs, lm))
+    sections.append(("ngram perplexity scoring", p, [
+        ("count-table joins are broadcast", p.count("BroadcastHashJoin") >= 3),
+        ("no SortMergeJoin", "SortMergeJoin" not in p),
+        ("map-side partial aggregation into the per-doc regroup",
+         "partial_count" in p or "partial_avg" in p),
+        ("no Python stage", "Python" not in p and "MapInPandas" not in p),
+    ]))
+
+    # 10. per-host cap: row_number<=N takes the WindowGroupLimit rewrite
+    #     (map tasks pre-prune a mega-host before the exchange)
+    from fortissimo_spark.urls import cap_per_host
+    urls = docs.select("doc_id", F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/p/"), F.col("doc_id").cast("string"))
+        .alias("url"))
+    p = plan_of(cap_per_host(urls, 20))
+    sections.append(("cap_per_host (domain cap)", p, [
+        ("WindowGroupLimit pre-prune present", "WindowGroupLimit" in p),
+        ("no Python stage", "Python" not in p),
+    ]))
+
+    # 11. BPE apply: map-side only — composes with upstream layout
+    from fortissimo_spark.bpe import with_bpe_token_counts
+    p = plan_of(with_bpe_token_counts(docs, [("t", "h"), ("th", "e")]))
+    sections.append(("with_bpe_token_counts (BPE apply)", p, [
+        ("no shuffle (map-side kernel only)", "Exchange" not in p),
+        ("Arrow-batched kernel", "MapInPandas" in p or "ArrowEval" in p),
+    ]))
+
     checks_failed = 0
     with open(OUT, "w") as f:
         for title, plan, checks in sections:
