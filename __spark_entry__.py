@@ -756,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "ngram_perplexity": _q_ngram_perplexity,
         "domain_caps": _q_domain_caps,
+        "semantic_dedup": _q_semantic_dedup,
         # (c) stable, driver-verified r3 (and mostly r2)
         "extract_density": _q_extract_density,
         "extract_tokens": _q_extract_tokens,
@@ -924,6 +925,27 @@ def _q_bpe_token_stats(spark, sf_dir):
                                      "doc_id long, text string")
     return (with_bpe_token_counts(docs.union(fixtures), _BPE_MERGES)
             .select("doc_id", "n_tokens_bpe"))
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDedup-style embedding dedup: coarse-cell blocking + within-cell
+    cosine pairs + connected components; every vector that loses to a
+    near-dup with a smaller id reports its canonical. Planted copies
+    (scaled vectors — cosine exactly 1, same cell by construction) must
+    each lose to their original."""
+    from fortissimo_spark.similarity import semantic_dedup
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>")
+                   .alias("embedding")))
+    copies = (emb.filter(F.col("vec_id") < 6)
+              .select((F.col("vec_id") + 9600000).alias("vec_id"),
+                      F.transform("embedding", lambda x: x * 1.5)
+                      .alias("embedding")))
+    cents = ivf_centroids(64, 8, 7)
+    return (semantic_dedup(emb.union(copies), 0.95, cents=cents,
+                           max_cell_size=0)
+            .orderBy("vec_id"))
 
 
 def _q_domain_caps(spark, sf_dir):
@@ -1387,6 +1409,50 @@ def _bpe_oracle_sql() -> str:
         FROM enc GROUP BY doc_id"""
 
 
+def _semantic_dedup_oracle_sql() -> str:
+    """DuckDB recompute of the whole SemDedup path: same centroid
+    literals, same (dot desc, cid asc) assignment tie-break, within-cell
+    cosine pairs at the same 6dp-rounded threshold, recursive-CTE
+    connected components with min-label canonicals."""
+    cents = ivf_centroids(64, 8, 7)
+    vals = ",\n                   ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cents))
+    return f"""
+        WITH RECURSIVE cents(cid, c) AS (VALUES {vals}),
+        base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          UNION ALL
+          SELECT vec_id + 9600000,
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+          FROM embeddings WHERE vec_id < 6),
+        assign AS (
+          SELECT b.vec_id, b.v, c.cid,
+                 row_number() OVER (PARTITION BY b.vec_id
+                    ORDER BY list_dot_product(b.v, c.c) DESC, c.cid) AS rn
+          FROM base b CROSS JOIN cents c),
+        cells AS (SELECT vec_id, v, cid AS cell FROM assign WHERE rn = 1),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM cells a JOIN cells b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.v, b.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL
+                  SELECT id_b AS a, id_a AS b FROM pairs),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        walk(id, lab) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.a, w.lab FROM edges e JOIN walk w ON e.b = w.id),
+        comp AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id)
+        SELECT id AS vec_id, cluster_id AS canonical_id
+        FROM comp WHERE id <> cluster_id"""
+
+
 def _ppl_oracle_sql() -> str:
     """DuckDB recompute of the whole LM pipeline: train (count, truncate
     to top-V by (count desc, gram asc)) on documents, score documents +
@@ -1451,6 +1517,7 @@ def oracle_sql() -> dict[str, str]:
         "remove_dup_spans": _remove_dup_spans_oracle_sql(),
         "bpe_token_stats": _bpe_oracle_sql(),
         "ngram_perplexity": _ppl_oracle_sql(),
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
         "domain_caps": """
             WITH base AS (
               SELECT doc_id,

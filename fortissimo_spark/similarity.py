@@ -21,7 +21,8 @@ __all__ = ["cosine_topk", "hyperplane_signature", "cosine_near_pairs",
            "hyperplane_bucket_stats",
            "normalize_col", "ivf_centroids", "ivf_fit_centroids",
            "ivf_assign", "ivf_topk",
-           "write_ivf_partitioned", "ivf_topk_partitioned"]
+           "write_ivf_partitioned", "ivf_topk_partitioned",
+           "semantic_near_pairs", "semantic_cell_stats", "semantic_dedup"]
 
 
 def _planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
@@ -320,3 +321,71 @@ def hyperplane_bucket_stats(embeddings: DataFrame, num_planes: int = 12,
                          .alias("n_dropped")))
         out = stats if out is None else out.union(stats)
     return out
+
+
+def semantic_near_pairs(embeddings: DataFrame, threshold: float = 0.95, *,
+                        cents: list[list[float]],
+                        max_cell_size: int = 10_000,
+                        id_col: str = "vec_id",
+                        emb_col: str = "embedding") -> DataFrame:
+    """(id_a, id_b, cos_sim) — embedding near-dup pairs found WITHIN
+    coarse-quantizer cells (SemDedup, Abbas et al. 2023, arXiv:2303.09540:
+    cluster first, compare only inside each cluster). The cell is the
+    blocking key, so candidate generation is a self-join on ``cell`` —
+    sum-of-cell-size² work instead of corpus², and near-dups always land
+    in the same cell when they are truly near (the documented SemDedup
+    recall trade-off for pairs that straddle a cell boundary).
+
+    Hot cells are capped deterministically (row_number by id, taking the
+    WindowGroupLimit map-side pre-prune) at ``max_cell_size`` members;
+    :func:`semantic_cell_stats` surfaces any cell the cap bit — the same
+    no-silent-caps contract as the LSH operators."""
+    assigned = ivf_assign(embeddings, cents, id_col, emb_col)
+    if max_cell_size:
+        from pyspark.sql import Window
+        w = Window.partitionBy("cell").orderBy("vec_id")
+        assigned = (assigned.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") <= max_cell_size).drop("_rn"))
+    a = assigned.select(F.col("vec_id").alias("id_a"),
+                        F.col("v").alias("va"), "cell")
+    b = assigned.select(F.col("vec_id").alias("id_b"),
+                        F.col("v").alias("vb"), "cell")
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va"))
+                                            * _norm(F.col("vb")))
+    return (a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
+def semantic_cell_stats(embeddings: DataFrame, *,
+                        cents: list[list[float]],
+                        max_cell_size: int = 10_000,
+                        id_col: str = "vec_id",
+                        emb_col: str = "embedding") -> DataFrame:
+    """One row per cell larger than ``max_cell_size`` (members + dropped)
+    — the cap observability companion to :func:`semantic_near_pairs`."""
+    return (ivf_assign(embeddings, cents, id_col, emb_col)
+            .groupBy("cell").agg(F.count("*").alias("n_members"))
+            .filter(F.col("n_members") > max_cell_size)
+            .select("cell", "n_members",
+                    (F.col("n_members") - max_cell_size).alias("n_dropped")))
+
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95, *,
+                   cents: list[list[float]],
+                   max_cell_size: int = 10_000,
+                   id_col: str = "vec_id",
+                   emb_col: str = "embedding") -> DataFrame:
+    """(vec_id, canonical_id) for every vector that LOSES to a
+    near-duplicate with a smaller id: SemDedup's keep-one-per-group over
+    the connected components of the within-cell near-pair graph. The
+    surviving corpus is ``embeddings`` anti-joined with these rows."""
+    from .dedup import duplicate_clusters
+    pairs = semantic_near_pairs(embeddings, threshold, cents=cents,
+                                max_cell_size=max_cell_size,
+                                id_col=id_col, emb_col=emb_col)
+    clusters = duplicate_clusters(pairs.select("id_a", "id_b"))
+    return (clusters.filter(F.col("id") != F.col("cluster_id"))
+            .select(F.col("id").alias(id_col),
+                    F.col("cluster_id").alias("canonical_id")))

@@ -1690,6 +1690,32 @@ def test_bigram_perplexity_ground_truth(spark):
     assert kept == {("a", "b"), ("b", "a")}
 
 
+def test_semantic_dedup_planted(spark):
+    """SemDedup: scaled copies (cosine exactly 1, same cell) each lose to
+    their original; unique vectors survive; the cell cap reports through
+    semantic_cell_stats instead of failing silently."""
+    from fortissimo_spark.similarity import (
+        ivf_centroids, semantic_cell_stats, semantic_dedup,
+    )
+    emb = load_table(spark, SF_DIR, "embeddings") \
+        .select("vec_id", F.col("embedding").cast("array<double>")
+                .alias("embedding"))
+    copies = (emb.filter(F.col("vec_id") < 4)
+              .select((F.col("vec_id") + 1000).alias("vec_id"),
+                      F.transform("embedding", lambda x: x * 2.0)
+                      .alias("embedding")))
+    cents = ivf_centroids(64, 8, 7)
+    losers = {r.vec_id: r.canonical_id
+              for r in semantic_dedup(emb.union(copies), 0.97,
+                                      cents=cents).collect()}
+    for i in range(4):
+        assert losers.get(1000 + i) == i
+    assert all(v < 1000 for v in losers.values())
+    # cap observability: a tiny cap must surface every oversized cell
+    hot = semantic_cell_stats(emb, cents=cents, max_cell_size=5).collect()
+    assert hot and all(r.n_dropped == r.n_members - 5 for r in hot)
+
+
 def test_hyperplane_bucket_stats(spark):
     from fortissimo_spark.similarity import hyperplane_bucket_stats
     emb = spark.createDataFrame([(i, [1.0] * 8) for i in range(60)],
