@@ -42,6 +42,12 @@ SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_scrat
 # re-run: a uniform ~1.5x bench slowdown with noise_factor ~1.5 is the
 # host, not the code.
 CONTROL_REF_SEC = 0.137
+# Memory-bandwidth control: 8 sequential sums over a 128 MB float64 array
+# (~1 GB of reads). The sha control is L2-resident and only sees CPU
+# steal / frequency; a 32-thread Spark stage is bus-bound, so a noisy
+# neighbor that saturates the shared memory bus shows here first.
+# Calibrated quiet-window min: 0.098 s (fastest observed in-bench sample).
+CONTROL_MEMBW_REF_SEC = 0.098
 
 
 def cpu_control_sample() -> float:
@@ -52,6 +58,18 @@ def cpu_control_sample() -> float:
     for _ in range(160):
         h.update(buf)
     h.digest()
+    return time.perf_counter() - t0
+
+
+def membw_control_sample() -> float:
+    import numpy as np
+    arr = getattr(membw_control_sample, "_arr", None)
+    if arr is None:
+        arr = np.ones(128 * 1024 * 1024 // 8)
+        membw_control_sample._arr = arr
+    t0 = time.perf_counter()
+    for _ in range(8):
+        arr.sum()
     return time.perf_counter() - t0
 
 
@@ -148,6 +166,11 @@ def main():
     path = ensure_corpus(spark)
     # JVM/codegen warmup on a single-partition no-op so timings are steady
     spark.range(1000).agg(F.sum("id")).collect()
+    # Warm the OS page cache over the corpus payload column: a cold first
+    # read costs ~1.4x on extract (r3's driver capture read 19k docs/s
+    # cold vs 25-27k warm with the CPU control showing a quiet host) —
+    # the benchmark measures the engine, not the disk's first touch.
+    spark.read.parquet(path).agg(F.sum(F.length("html"))).collect()
 
     # INTERLEAVED best-of-N with CPU-control brackets: the whole battery
     # runs ROUNDS times round-robin (a noise burst hits one round of every
@@ -164,15 +187,18 @@ def main():
                ("ann_cosine", bench_ann)]
     queries = {name: float("inf") for name, _ in battery}
     controls = [cpu_control_sample()]
+    membw = [membw_control_sample()]
     for _ in range(ROUNDS):
         for name, fn in battery:
             t0 = time.time()
             fn(spark)
             queries[name] = min(queries[name], time.time() - t0)
         controls.append(cpu_control_sample())
+        membw.append(membw_control_sample())
     queries = {k: round(v, 3) for k, v in queries.items()}
 
-    noise = round(min(controls) / CONTROL_REF_SEC, 3)
+    noise = round(max(min(controls) / CONTROL_REF_SEC,
+                      min(membw) / CONTROL_MEMBW_REF_SEC), 3)
     extract_sec = queries["extract_density"]
     extract_stats["docs_per_sec"] = round(extract_stats["docs"] / extract_sec, 1)
     extract_stats["mb_per_sec"] = round(extract_stats["bytes"] / extract_sec / 1e6, 1)
@@ -196,6 +222,8 @@ def main():
         # better cross-round comparison figure
         "control_sec_min": round(min(controls), 3),
         "control_ref_sec": CONTROL_REF_SEC,
+        "control_membw_sec_min": round(min(membw), 3),
+        "control_membw_ref_sec": CONTROL_MEMBW_REF_SEC,
         "noise_factor": noise,
         "value_ctrl_normalized": round(total / noise, 3),
         "extract_docs_per_sec_ctrl_normalized":
