@@ -44,11 +44,36 @@ def main():
         docs = (extract_df(dedup_latest_crawl(bt), "density")
                 .agg(F.count("*").alias("docs")).collect()[0]["docs"])
         best = min(best, time.time() - t0)
+    spark.stop()
+    # ambient-noise controls AFTER spark.stop() (nothing of ours running):
+    # same fixed workloads + quiet-window references as bench.py, so each
+    # scaling line self-identifies whether its window was noisy
+    import hashlib
+
+    import numpy as np
+    buf = b"\xab" * (1 << 20)
+
+    def cpu():
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        for _ in range(160):
+            h.update(buf)
+        return time.perf_counter() - t0
+
+    arr = np.ones(128 * 1024 * 1024 // 8)
+
+    def membw():
+        t0 = time.perf_counter()
+        for _ in range(8):
+            arr.sum()
+        return time.perf_counter() - t0
+    noise = round(max(min(cpu() for _ in range(3)) / 0.137,
+                      min(membw() for _ in range(3)) / 0.098), 3)
     print(json.dumps({"executors": n_exec, "cores_per_executor": 2,
                       "layout": "url-bucketed (exchange-free window dedup)",
                       "docs": docs, "seconds": round(best, 2),
-                      "docs_per_sec": round(docs / best, 1)}))
-    spark.stop()
+                      "docs_per_sec": round(docs / best, 1),
+                      "noise_factor": noise}))
 
 
 if __name__ == "__main__":
