@@ -69,7 +69,13 @@ def main():
         return time.perf_counter() - t0
     noise = round(max(min(cpu() for _ in range(3)) / 0.137,
                       min(membw() for _ in range(3)) / 0.098), 3)
+    # loadavg catches what single-thread controls cannot: a co-tenant
+    # burning whole cores steadily (controls read ~1.00 while loadavg
+    # shows ~3) — that regime degrades the 8-core side of the pair most
+    with open("/proc/loadavg") as f:
+        load1 = float(f.read().split()[0])
     print(json.dumps({"executors": n_exec, "cores_per_executor": 2,
+                      "ambient_load1": load1,
                       "layout": "url-bucketed (exchange-free window dedup)",
                       "docs": docs, "seconds": round(best, 2),
                       "docs_per_sec": round(docs / best, 1),
