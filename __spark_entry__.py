@@ -757,6 +757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_perplexity": _q_ngram_perplexity,
         "domain_caps": _q_domain_caps,
         "semantic_dedup": _q_semantic_dedup,
+        "stratified_sample": _q_stratified_sample,
+        "incremental_new_pages": _q_incremental_new_pages,
         # (c) stable, driver-verified r3 (and mostly r2)
         "extract_density": _q_extract_density,
         "extract_tokens": _q_extract_tokens,
@@ -925,6 +927,45 @@ def _q_bpe_token_stats(spark, sf_dir):
                                      "doc_id long, text string")
     return (with_bpe_token_counts(docs.union(fixtures), _BPE_MERGES)
             .select("doc_id", "n_tokens_bpe"))
+
+
+_MIX_QUOTAS = {"en": 100, "es": 40, "de": 40, "zh": 25}  # fr dropped
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Data-mixing quotas: deterministic per-language document caps in
+    content-stable hash order; languages outside the mixture (fr) drop
+    entirely. en's quota (100 < 218 docs) and zh's (25 < 75) bite; es/de
+    quotas don't (40 < 73/70? they do bite too) — both regimes covered."""
+    from fortissimo_spark.corpus import stratified_sample
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (stratified_sample(docs, _MIX_QUOTAS, "lang", salt="mix")
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+def _q_incremental_new_pages(spark, sf_dir):
+    """Incremental recrawl ingest: current snapshot = previous with every
+    7th document's content edited (-> 'changed') plus brand-new urls
+    (-> 'new'); unchanged rows must drop out entirely."""
+    from fortissimo_spark.corpus import incremental_new_pages
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    url = F.concat(F.lit("https://inc.example/p/"),
+                   F.col("doc_id").cast("string"))
+    previous = docs.select("doc_id", url.alias("url"), "text")
+    edited = docs.select(
+        "doc_id", url.alias("url"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat("text", F.lit(" updated"))).otherwise(
+                   F.col("text")).alias("text"))
+    fresh = (docs.filter(F.col("doc_id") % 11 == 0)
+             .select((F.col("doc_id") + 8000000).alias("doc_id"), "text")
+             .select("doc_id",
+                     F.concat(F.lit("https://inc.example/p/"),
+                              F.col("doc_id").cast("string")).alias("url"),
+                     "text"))
+    out = incremental_new_pages(edited.union(fresh), previous,
+                                content_col="text")
+    return out.select("doc_id", "change").orderBy("doc_id")
 
 
 def _q_semantic_dedup(spark, sf_dir):
@@ -1518,6 +1559,46 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats": _bpe_oracle_sql(),
         "ngram_perplexity": _ppl_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "stratified_sample": """
+            WITH q(lang, quota) AS (VALUES
+              ('en', 100), ('es', 40), ('de', 40), ('zh', 25)),
+            ranked AS (
+              SELECT d.doc_id, d.lang, q.quota,
+                     row_number() OVER (PARTITION BY d.lang ORDER BY
+                       CAST('0x' || substr(md5('mix'
+                             || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                            AS BIGINT),
+                       d.doc_id) AS rn
+              FROM documents d JOIN q ON q.lang = d.lang)
+            SELECT doc_id, lang FROM ranked WHERE rn <= quota""",
+        "incremental_new_pages": """
+            WITH previous AS (
+              SELECT doc_id,
+                     'https://inc.example/p/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                     text
+              FROM documents),
+            current AS (
+              SELECT doc_id,
+                     'https://inc.example/p/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' updated'
+                          ELSE text END AS text
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 8000000,
+                     'https://inc.example/p/'
+                       || CAST(doc_id + 8000000 AS VARCHAR),
+                     text
+              FROM documents WHERE doc_id % 11 = 0),
+            prev_h AS (SELECT url, list(md5(text)) AS hs
+                       FROM previous GROUP BY url)
+            SELECT c.doc_id,
+                   CASE WHEN p.url IS NULL THEN 'new'
+                        WHEN NOT list_contains(p.hs, md5(c.text))
+                          THEN 'changed' END AS change
+            FROM current c LEFT JOIN prev_h p USING (url)
+            WHERE (p.url IS NULL) OR NOT list_contains(p.hs, md5(c.text))""",
         "domain_caps": """
             WITH base AS (
               SELECT doc_id,

@@ -21,7 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["chunk_documents", "deterministic_sample", "pack_shards"]
+__all__ = ["chunk_documents", "deterministic_sample", "pack_shards",
+           "stratified_sample", "incremental_new_pages"]
 
 
 def chunk_documents(docs: DataFrame, chunk_tokens: int = 256,
@@ -136,3 +137,69 @@ def pack_shards(docs: DataFrame, shard_tokens: int = 100_000,
     return (base.select("doc_id", "n_tokens",
                         F.floor(cum_before / shard_tokens)
                         .cast("int").alias("shard_id")))
+
+
+def stratified_sample(docs: DataFrame, quotas: dict, strata_col: str,
+                      id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Keep a deterministic per-stratum quota of rows — the data-mixing
+    step that caps each source/language at a target document count
+    (the Pile/Dolma-style mixture recipe, expressed as hard quotas).
+
+    ``quotas`` maps stratum value -> max rows; strata absent from the map
+    are DROPPED (an explicit mixture is a whitelist). Selection within a
+    stratum follows the content-stable md5(salt||id) order with an id
+    tiebreak — the same engine-portable determinism contract as
+    :func:`deterministic_sample`/``cap_per_host`` — so the realized
+    mixture is identical across partitioning, retries, and engines.
+    The ``row_number() <= quota`` filter takes Spark's WindowGroupLimit
+    rewrite: map tasks pre-prune each stratum before the exchange."""
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in quotas.items()],
+        [strata_col, "_quota"])
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+        16, 10).cast("long")
+    w = (Window.partitionBy(strata_col)
+         .orderBy(h.asc(), F.col(id_col).asc()))
+    # two-stage limit: the LITERAL max-quota bound is what Spark's
+    # WindowGroupLimit rewrite recognizes (map tasks pre-prune every
+    # stratum to max(quota) rows before the exchange — the per-stratum
+    # column bound alone would ship whole mega-strata); the exact
+    # per-stratum quota then refines the survivors
+    max_quota = max((int(v) for v in quotas.values()), default=0)
+    ranked = (docs.join(F.broadcast(qdf), strata_col)
+              .withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= F.lit(max_quota)))
+    return (ranked.filter(F.col("_rn") <= F.col("_quota"))
+            .drop("_rn", "_quota"))
+
+
+def incremental_new_pages(current: DataFrame, previous: DataFrame,
+                          url_col: str = "url",
+                          content_col: str = "html") -> DataFrame:
+    """Rows of ``current`` a previous snapshot has not already processed,
+    tagged ``change='new'`` (url never seen) or ``'changed'`` (seen, but
+    the content hash differs) — the incremental-ingest step that lets a
+    monthly 100 TB recrawl reprocess only its delta.
+
+    Shape: both sides reduce to (url, md5(content)) map-side BEFORE any
+    shuffle, so the previous snapshot's payload bytes never cross the
+    network; the previous side aggregates to one row per url (a bounded
+    ``collect_set`` of its hashes — re-crawled urls may carry several);
+    the join is a plain url-keyed hash join (AQE-skew-safe,
+    co-partitionable with the url-bucketed layout). Unchanged rows drop
+    out; every surviving row keeps all of ``current``'s columns."""
+    h = F.md5(F.col(content_col).cast("binary"))
+    prev = (previous
+            .select(F.col(url_col).alias("_u"), h.alias("_h"))
+            .groupBy("_u")
+            .agg(F.collect_set("_h").alias("_prev_hashes")))
+    cur = current.withColumn("_h", h)
+    joined = cur.join(prev, cur[url_col] == prev["_u"], "left")
+    status = (F.when(F.col("_prev_hashes").isNull(), F.lit("new"))
+              .when(~F.array_contains("_prev_hashes", F.col("_h")),
+                    F.lit("changed")))
+    return (joined.withColumn("change", status)
+            .filter(F.col("change").isNotNull())
+            .drop("_u", "_h", "_prev_hashes"))

@@ -1690,6 +1690,51 @@ def test_bigram_perplexity_ground_truth(spark):
     assert kept == {("a", "b"), ("b", "a")}
 
 
+def test_stratified_sample_quotas(spark):
+    """Quotas bind per stratum, non-whitelisted strata drop entirely, and
+    the kept set is identical across partitioning (determinism contract).
+    WindowGroupLimit pre-prune must appear in the plan."""
+    from fortissimo_spark.corpus import stratified_sample
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    quotas = {"en": 10, "es": 3}
+    out = stratified_sample(docs, quotas, "lang", salt="s")
+    rows = [(r.doc_id, r.lang) for r in out.collect()]
+    per = {}
+    for _, lang in rows:
+        per[lang] = per.get(lang, 0) + 1
+    assert per == {"en": 10, "es": 3}
+    again = {(r.doc_id, r.lang) for r in
+             stratified_sample(docs.repartition(13), quotas, "lang",
+                               salt="s").collect()}
+    assert again == set(rows)
+    assert "WindowGroupLimit" in \
+        out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_incremental_new_pages(spark):
+    """Delta-ingest: unchanged rows drop, edited rows tag 'changed', new
+    urls tag 'new'; all current columns survive; a url with several
+    previous hashes (recrawl history) only fires when the hash is
+    genuinely unseen."""
+    from fortissimo_spark.corpus import incremental_new_pages
+    prev = spark.createDataFrame(
+        [(1, "u1", b"aaa"), (2, "u2", b"bbb"),
+         (3, "u3", b"c1"), (3, "u3", b"c2")],  # u3 seen with two versions
+        ["doc_id", "url", "html"])
+    cur = spark.createDataFrame(
+        [(1, "u1", b"aaa"),       # unchanged -> drop
+         (2, "u2", b"BBB"),       # changed
+         (3, "u3", b"c2"),        # matches an OLD version -> drop
+         (3, "u3", b"c3"),        # genuinely new content -> changed
+         (9, "u9", b"zzz")],      # new url
+        ["doc_id", "url", "html"])
+    out = incremental_new_pages(cur, prev)
+    got = {(r.url, bytes(r.html)): r.change for r in out.collect()}
+    assert got == {("u2", b"BBB"): "changed", ("u3", b"c3"): "changed",
+                   ("u9", b"zzz"): "new"}
+    assert set(out.columns) == {"doc_id", "url", "html", "change"}
+
+
 def test_semantic_dedup_planted(spark):
     """SemDedup: scaled copies (cosine exactly 1, same cell) each lose to
     their original; unique vectors survive; the cell cap reports through
