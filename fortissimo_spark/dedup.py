@@ -403,7 +403,8 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 
 def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", *, k: int = 50,
-                    min_count: int = 2) -> DataFrame:
+                    min_count: int = 2,
+                    materialize_grams: bool = False) -> DataFrame:
     """Substring-level exact dedup, finder half (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better",
     arXiv:2107.06499, the ExactSubstr setting): every maximal token-index
@@ -430,6 +431,14 @@ def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
 
     Returns ``(doc_id, s, e)`` with ``s``/``e`` in token indices over
     ``split(trim(text), '\\s+')``.
+
+    The gram subtree feeds BOTH the count aggregation and the join back,
+    so by default the corpus is scanned (and re-shingled) twice — usually
+    the right trade at warehouse scale, where re-scanning columnar input
+    is cheaper than storing a corpus-token-count intermediate.
+    ``materialize_grams=True`` pins the gram table once
+    (``localCheckpoint``) for when compute dominates storage (expensive
+    upstream transforms, small-to-mid corpora).
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = (docs
@@ -441,6 +450,8 @@ def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
                          lambda i: md5_word_hash(
                              F.concat_ws(" ", F.slice("w", i + 1, k)))))
                      .alias("pos", "gh")))
+    if materialize_grams:
+        grams = grams.localCheckpoint(eager=True)
     dup_hashes = (grams.groupBy("gh").agg(F.count("*").alias("_n"))
                   .filter(F.col("_n") >= min_count)
                   .select("gh"))
