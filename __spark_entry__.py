@@ -760,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "incremental_new_pages": _q_incremental_new_pages,
         "curate_corpus": _q_curate_corpus,
+        "sentence_stats": _q_sentence_stats,
         # (c) stable, driver-verified r3 (and mostly r2)
         "extract_density": _q_extract_density,
         "extract_tokens": _q_extract_tokens,
@@ -928,6 +929,28 @@ def _q_bpe_token_stats(spark, sf_dir):
                                      "doc_id long, text string")
     return (with_bpe_token_counts(docs.union(fixtures), _BPE_MERGES)
             .select("doc_id", "n_tokens_bpe"))
+
+
+_SENT_FIXTURES = [
+    (9900001, "First sentence here. Second one follows! Third asks? Done"),
+    (9900002, "no terminators at all in this single sentence doc"),
+    (9900003, "Ellipsis wait... then more!!  And double-space gaps. end."),
+    (9900004, ""),
+    (9900005, "Trailing terminator. "),
+]
+
+
+def _q_sentence_stats(spark, sf_dir):
+    """Sentence segmentation + Flesch reading-ease (public 1948 formula)
+    with RE2-safe boundary marking. Fixtures exercise terminator runs,
+    no-terminator docs, trailing terminators, and empty text."""
+    from fortissimo_spark.textstats import with_sentence_stats
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fixtures = spark.createDataFrame(_SENT_FIXTURES,
+                                     "doc_id long, text string")
+    return (with_sentence_stats(docs.union(fixtures))
+            .select("doc_id", "n_sentences", "n_words_ss",
+                    "n_syllables", "flesch"))
 
 
 _CURATE_QUOTAS = {"en": 80, "es": 40, "de": 40, "zh": 20}  # fr dropped
@@ -1622,8 +1645,43 @@ def _curate_oracle_sql() -> str:
         SELECT doc_id, lang, ppl FROM ranked WHERE rn <= quota"""
 
 
+def _sentence_stats_oracle_sql() -> str:
+    vals = ",\n            ".join(
+        "({}, '{}')".format(i, t.replace("'", "''"))
+        for i, t in _SENT_FIXTURES)
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            {vals}
+          ) AS f(doc_id, text)),
+        feats AS (
+          SELECT doc_id,
+            greatest(length(list_filter(
+              string_split(regexp_replace(text, '[.!?]+\\s+', chr(30), 'g'),
+                           chr(30)),
+              s -> trim(s) <> '')), 1) AS n_sent,
+            length(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '')) AS nw,
+            length(list_filter(regexp_split_to_array(lower(text),
+                                                     '[^aeiouy]+'),
+                               x -> x <> '')) AS syll
+          FROM corpus)
+        SELECT doc_id,
+               CAST(n_sent AS INTEGER) AS n_sentences,
+               CAST(nw AS INTEGER) AS n_words_ss,
+               CAST(syll AS INTEGER) AS n_syllables,
+               round(206.835
+                     - 1.015 * (CAST(greatest(nw, 1) AS DOUBLE) / n_sent)
+                     - 84.6 * (CAST(syll AS DOUBLE) / greatest(nw, 1)), 6)
+                 AS flesch
+        FROM feats"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "sentence_stats": _sentence_stats_oracle_sql(),
         "curate_corpus": _curate_oracle_sql(),
         "dup_spans": _dup_spans_oracle_sql(),
         "remove_dup_spans": _remove_dup_spans_oracle_sql(),

@@ -14,6 +14,7 @@ __all__ = ["with_token_counts", "with_quality_features", "with_langid",
            "decontaminate", "collapse_repeated_tokens",
            "remove_duplicate_paragraphs", "train_quality_classifier",
            "score_quality", "with_script_ratios", "redact_pii",
+           "with_sentence_stats",
            "LANG_MARKERS", "SCRIPT_CLASSES", "PII_PATTERNS"]
 
 # tiny marker-word profiles (public-knowledge function words)
@@ -551,3 +552,39 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("fp_md5", F.md5(t))
             .withColumn("fp_sha256", F.sha2(t, 256))
             .withColumn("fp_rolling", rolling))
+
+
+def with_sentence_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sentence segmentation + Flesch reading-ease, all JVM-side and
+    RE2-mirrorable (no lookarounds — a terminator run ``[.!?]+`` followed
+    by whitespace is marked with a sentinel, then split):
+
+    * ``n_sentences`` — terminator-boundary count + the final fragment
+      (a doc with no terminators is one sentence);
+    * ``n_syllables`` — vowel-group count over the lowercased text (the
+      standard public heuristic; word boundaries need no special casing
+      because spaces are non-vowels too);
+    * ``flesch``      — 206.835 − 1.015·(words/sentences) −
+      84.6·(syllables/words), rounded to 6dp (Flesch 1948, public
+      formula), with the degenerate guards both engines share.
+
+    Map-side only — composes with any upstream layout, no shuffle.
+    """
+    t = F.col(text_col)
+    marked = F.regexp_replace(t, r"[.!?]+\s+", "\x1e")
+    sentences = F.filter(F.split(marked, "\x1e"),
+                         lambda s: F.trim(s) != "")
+    n_sent = F.greatest(F.size(sentences), F.lit(1))
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    syll = F.size(F.filter(F.split(F.lower(t), r"[^aeiouy]+"),
+                           lambda x: x != ""))
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent)
+        - F.lit(84.6) * (syll.cast("double") / n_words), 6)
+    return (docs
+            .withColumn("n_sentences", n_sent.cast("int"))
+            .withColumn("n_words_ss", F.size(words).cast("int"))
+            .withColumn("n_syllables", syll.cast("int"))
+            .withColumn("flesch", flesch))
