@@ -235,6 +235,28 @@ def main():
         ("Arrow-batched kernel", "MapInPandas" in p or "ArrowEval" in p),
     ]))
 
+    # 12. composed curation recipe: each stage keeps its audited shape
+    #     when chained — partial-agg dedup counts, broadcast LM tables,
+    #     broadcast quota join, no Python anywhere
+    from fortissimo_spark.pipeline import curate_corpus
+    docs_l = load_table(spark, SF_DIR, "documents") \
+        .select("doc_id", "lang", "text")
+    lm2 = train_bigram_lm(docs_l.limit(200))
+    p = plan_of(curate_corpus(docs_l, lm2, ppl_cutoff=100.0,
+                              quotas={"en": 10, "es": 5}))
+    sections.append(("curate_corpus (composed recipe)", p, [
+        ("exact-dedup winners via partial-agg groupBy (no hash window)",
+         "partial_min" in p and "WindowGroupLimit" in p),
+        ("LM + quota joins broadcast", p.count("BroadcastHashJoin") >= 4),
+        ("no SortMergeJoin", "SortMergeJoin" not in p),
+        # the quota literal table scans as applySchemaToPythonRDD (a
+        # driver-side 2-row RDD, not a per-row Python stage) — check for
+        # actual Python EXECUTION operators instead
+        ("no per-row Python execution stage",
+         all(m not in p for m in ("BatchEvalPython", "ArrowEvalPython",
+                                  "MapInPandas", "FlatMapGroupsInPandas"))),
+    ]))
+
     checks_failed = 0
     with open(OUT, "w") as f:
         for title, plan, checks in sections:
