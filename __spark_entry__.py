@@ -984,8 +984,8 @@ _MIX_QUOTAS = {"en": 100, "es": 40, "de": 40, "zh": 25}  # fr dropped
 def _q_stratified_sample(spark, sf_dir):
     """Data-mixing quotas: deterministic per-language document caps in
     content-stable hash order; languages outside the mixture (fr) drop
-    entirely. en's quota (100 < 218 docs) and zh's (25 < 75) bite; es/de
-    quotas don't (40 < 73/70? they do bite too) — both regimes covered."""
+    entirely. Every quota binds at sf0.01 (en 100<218, es 40<73,
+    de 40<70, zh 25<75), so the output is exactly the quota total."""
     from fortissimo_spark.corpus import stratified_sample
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return (stratified_sample(docs, _MIX_QUOTAS, "lang", salt="mix")
