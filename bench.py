@@ -34,20 +34,22 @@ ROUNDS = int(os.environ.get("BENCH_ROUNDS", "2"))
 SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_scratch")
 
 # Fixed-work single-thread CPU control: sha256 over 160 MB. Reference is
-# the fastest sample observed over repeated quiet-window calibration on
-# this host (0.137 s; samples ranged 0.137-0.167 even back-to-back, i.e.
-# ~20% ambient jitter). The reported noise_factor = min(control samples)
-# / CONTROL_REF_SEC lets any capture self-identify a noisy-neighbor
-# window (BASELINE.md documents up to 3x variance) without a judge
-# re-run: a uniform ~1.5x bench slowdown with noise_factor ~1.5 is the
-# host, not the code.
-CONTROL_REF_SEC = 0.137
+# the MEDIAN of a quiet-window calibration run (loadavg ~1 on 32 cores,
+# 25 samples, r5 recalibration) — not the fastest-ever sample, so a
+# quiet host reads noise_factor ~1.0 (+-5%) rather than >=1.0 by
+# construction, and the *_ctrl_normalized figures stop systematically
+# exceeding measured throughput on a quiet host. The reported
+# noise_factor = min(control samples) / CONTROL_REF_SEC lets any capture
+# self-identify a noisy-neighbor window (BASELINE.md documents up to 3x
+# variance) without a judge re-run: a uniform ~1.5x bench slowdown with
+# noise_factor ~1.5 is the host, not the code.
+CONTROL_REF_SEC = 0.136
 # Memory-bandwidth control: 8 sequential sums over a 128 MB float64 array
 # (~1 GB of reads). The sha control is L2-resident and only sees CPU
 # steal / frequency; a 32-thread Spark stage is bus-bound, so a noisy
 # neighbor that saturates the shared memory bus shows here first.
-# Calibrated quiet-window min: 0.098 s (fastest observed in-bench sample).
-CONTROL_MEMBW_REF_SEC = 0.098
+# Quiet-window median (15 samples, same r5 calibration run): 0.090 s.
+CONTROL_MEMBW_REF_SEC = 0.090
 
 
 def cpu_control_sample() -> float:
@@ -218,8 +220,10 @@ def main():
         "extract_errors": extract_stats["errors"],
         # noise self-identification: control_* are a fixed single-thread
         # CPU workload; noise_factor ~1.0 = quiet host, >1.2 = the capture
-        # ran in a noisy-neighbor window and *_ctrl_normalized is the
-        # better cross-round comparison figure
+        # ran in a noisy-neighbor window. *_ctrl_normalized is a
+        # DIAGNOSTIC estimate of the quiet-host figure (an upper bound —
+        # whole-core co-tenant load can exceed what a 1-thread control
+        # sees); the raw value/queries are the comparison record.
         "control_sec_min": round(min(controls), 3),
         "control_ref_sec": CONTROL_REF_SEC,
         "control_membw_sec_min": round(min(membw), 3),

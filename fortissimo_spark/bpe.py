@@ -134,10 +134,14 @@ def with_bpe_token_counts(docs: DataFrame,
                           out_col: str = "n_tokens_bpe") -> DataFrame:
     """All input columns plus ``out_col``: the document's real BPE token
     count — sum of per-word token counts over ``split(trim(text), '\\s+')``
-    under the trained merges. mapInPandas with per-batch word memoization;
-    no shuffle, composes with any upstream layout."""
+    under the trained merges. mapInPandas with a bounded word memo (kept
+    across batches for hit rate, cleared whenever it exceeds
+    ``memo_limit`` distinct words so a long task over a 100 TB input
+    can't grow it without bound); no shuffle, composes with any upstream
+    layout."""
     import re
 
+    memo_limit = 1 << 20
     ranks = {tuple(m): i for i, m in enumerate(merges)}
     # StructType.add mutates in place — copy, or the source df's own
     # schema object grows a phantom column
@@ -166,6 +170,8 @@ def with_bpe_token_counts(docs: DataFrame,
             return total
 
         for pdf in batches:
+            if len(memo) > memo_limit:
+                memo.clear()
             out = pdf[cols].copy()
             out[out_col] = (pdf[text_col].map(n_tokens).astype("int32"))
             yield out

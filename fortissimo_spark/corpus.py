@@ -152,8 +152,15 @@ def stratified_sample(docs: DataFrame, quotas: dict, strata_col: str,
     :func:`deterministic_sample`/``cap_per_host`` — so the realized
     mixture is identical across partitioning, retries, and engines.
     The ``row_number() <= quota`` filter takes Spark's WindowGroupLimit
-    rewrite: map tasks pre-prune each stratum before the exchange."""
+    rewrite: map tasks pre-prune each stratum before the exchange.
+
+    An empty ``quotas`` map is an empty whitelist: every stratum is
+    dropped, so the result is an empty frame with ``docs``'s schema
+    (short-circuited — schema inference on an empty quota list would
+    otherwise fail)."""
     spark = docs.sparkSession
+    if not quotas:
+        return docs.filter(F.lit(False))
     qdf = spark.createDataFrame(
         [(k, int(v)) for k, v in quotas.items()],
         [strata_col, "_quota"])
@@ -189,8 +196,16 @@ def incremental_new_pages(current: DataFrame, previous: DataFrame,
     ``collect_set`` of its hashes — re-crawled urls may carry several);
     the join is a plain url-keyed hash join (AQE-skew-safe,
     co-partitionable with the url-bucketed layout). Unchanged rows drop
-    out; every surviving row keeps all of ``current``'s columns."""
-    h = F.md5(F.col(content_col).cast("binary"))
+    out; every surviving row keeps all of ``current``'s columns.
+
+    NULL content hashes to a sentinel (no md5 output is 8 chars, so it
+    cannot collide), so a NULL-content row is classified like any other
+    instead of vanishing through three-valued logic: NULL at a
+    never-seen url is ``new``, NULL where the previous crawl had real
+    content is ``changed``, and NULL at a url whose previous crawl was
+    also NULL is unchanged (same content, dropped)."""
+    h = F.coalesce(F.md5(F.col(content_col).cast("binary")),
+                   F.lit("\x00NULL\x00"))
     prev = (previous
             .select(F.col(url_col).alias("_u"), h.alias("_h"))
             .groupBy("_u")

@@ -291,11 +291,106 @@ def _gzip_member_at(rr: _RangeReader, pos: int) -> bool:
     return probe.startswith(b"WARC/")
 
 
-def iter_warc_records_range(f, start: int, end: int, *,
-                            compressed: bool) -> Iterator[tuple[dict, bytes]]:
+_MAX_WARC_HEADER = 1 << 20
+
+
+def _plain_record_at(rr: _RangeReader, pos: int) -> bool:
+    """True if ``buf[pos:]`` starts a PARSEABLE plain WARC record: a
+    ``WARC/<digits.digits>`` version line, a CRLFCRLF header terminator
+    within ``_MAX_WARC_HEADER`` bytes, and a numeric Content-Length.
+    Byte-range alignment must fully validate a candidate boundary — a
+    crawled page body is untrusted and can contain the literal
+    ``\\r\\nWARC/`` marker, which would otherwise false-sync a split
+    into record content and emit garbage or duplicate rows."""
+    if not rr.ensure(pos + 8) or rr.buf[pos:pos + 5] != b"WARC/":
+        return False
+    while True:
+        he = rr.buf.find(b"\r\n\r\n", pos, pos + _MAX_WARC_HEADER)
+        if he >= 0:
+            break
+        if len(rr.buf) >= pos + _MAX_WARC_HEADER or \
+                not rr.ensure(len(rr.buf) + (1 << 16)):
+            return False
+    lines = rr.buf[pos:he].decode("latin-1", "replace").split("\r\n")
+    version = lines[0][5:]
+    if not version or len(version) > 8 or \
+            not all(c.isdigit() or c == "." for c in version):
+        return False
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-length":
+            return v.strip().isdigit()
+    return False
+
+
+def _resync_plain(rr: _RangeReader, skip: int) -> bool:
+    """Advance ``rr`` past ``skip`` bytes to the next VALIDATED plain
+    record start (marker scan + :func:`_plain_record_at`), for recovery
+    after a mid-split framing failure. False at EOF."""
+    pos = skip
+    while True:
+        rr.ensure(pos + (1 << 20))
+        i = rr.buf.find(b"\r\nWARC/", pos)
+        if i < 0:
+            if rr.eof:
+                return False
+            pos = max(len(rr.buf) - 7 + 1, skip)
+            rr.advance(pos)
+            pos, skip = 0, 0
+            continue
+        if _plain_record_at(rr, i + 2):
+            rr.advance(i + 2)
+            return True
+        pos = i + 2
+
+
+class _MemberStream:
+    """File-like view of the REST of one gzip member's decompressed bytes
+    (already-inflated ``prefix`` chunks first, then continued inflation
+    from ``rr``), stopping at the member's end so per-record ownership of
+    any FOLLOWING members is preserved. ``consumed`` tracks compressed
+    bytes taken from ``rr.buf`` so the caller can resume there."""
+
+    def __init__(self, rr: _RangeReader, d, prefix: list[bytes],
+                 consumed: int):
+        self._rr = rr
+        self._d = d
+        self._pending = b"".join(prefix)
+        self.consumed = consumed
+
+    def seek(self, pos: int) -> None:
+        if pos != 0:
+            raise io.UnsupportedOperation("forward-only stream")
+
+    def read(self, n: int) -> bytes:
+        rr, d = self._rr, self._d
+        while len(self._pending) < n and not d.eof:
+            if not rr.ensure(self.consumed + 1) and \
+                    self.consumed >= len(rr.buf):
+                break
+            piece = rr.buf[self.consumed:self.consumed + (1 << 20)]
+            if not piece:
+                break
+            try:
+                self._pending += d.decompress(piece)
+            except zlib.error:
+                break  # corrupt tail: surface what we have
+            self.consumed += len(piece)
+            if d.unused_data:
+                self.consumed -= len(d.unused_data)
+                break
+        out, self._pending = self._pending[:n], self._pending[n:]
+        return out
+
+
+def iter_warc_records_range(f, start: int, end: int, *, compressed: bool,
+                            max_member_bytes: int = 256 << 20,
+                            ) -> Iterator[tuple[dict, bytes]]:
     """(headers, block) for every record whose START offset lies in
     [start, end), aligning past a mid-record ``start`` and reading beyond
-    ``end`` to complete the final record."""
+    ``end`` to complete the final record. A gzip member inflating past
+    ``max_member_bytes`` (a whole-file-gzip archive, spec-legal) switches
+    to streaming parse of that member instead of materializing it."""
     if start >= end:
         return
     # Plain splits scan from start-1: a record is owned by the right split
@@ -319,8 +414,21 @@ def iter_warc_records_range(f, start: int, end: int, *,
                 rr.advance(pos)
                 pos = 0
                 continue
+            # a candidate at/after the range end can't be owned by this
+            # split — stop instead of scanning the rest of the file (a
+            # whole-file-gzip archive has NO interior members, so without
+            # this every split would read to EOF looking for one)
+            if compressed and rr.base + i >= end:
+                return
+            if not compressed and rr.base + i + 2 > end:
+                return
             if compressed and not _gzip_member_at(rr, i):
                 pos = i + 1
+                continue
+            if not compressed and not _plain_record_at(rr, i + 2):
+                # body bytes that merely LOOK like a record marker —
+                # keep scanning (see _plain_record_at)
+                pos = i + 2
                 continue
             pos = i if compressed else i + 2
             break
@@ -341,10 +449,11 @@ def iter_warc_records_range(f, start: int, end: int, *,
         return (not compressed and rr.base == end and rr.ensure(5)
                 and rr.buf.startswith(b"WARC/"))
 
+    max_member = max_member_bytes
     while _more():
         if compressed:
             d = zlib.decompressobj(wbits=31)
-            out, consumed = [], 0
+            out, out_len, consumed = [], 0, 0
             while True:
                 if not rr.ensure(consumed + 1) and consumed >= len(rr.buf):
                     break
@@ -352,15 +461,33 @@ def iter_warc_records_range(f, start: int, end: int, *,
                 if not piece:
                     break
                 try:
-                    out.append(d.decompress(piece))
+                    dec = d.decompress(piece)
                 except zlib.error:
                     return  # corrupt member: stop this split gracefully
+                out.append(dec)
+                out_len += len(dec)
                 consumed += len(piece)
                 if d.unused_data:
                     consumed -= len(d.unused_data)
                     break
                 if d.eof:
                     break
+                if out_len > max_member:
+                    # one gzip member larger than any sane record group —
+                    # a spec-legal WHOLE-FILE-gzip archive (or a giant
+                    # member). Don't materialize it: hand the member's
+                    # remaining stream to the plain incremental parser,
+                    # which buffers only one record at a time, keeping
+                    # the documented memory bound (split + largest
+                    # record) instead of inflating the archive in one go.
+                    ms = _MemberStream(rr, d, out, consumed)
+                    yield from iter_warc_records_range(
+                        ms, 0, 1 << 62, compressed=False)
+                    rr.advance(ms.consumed)
+                    out, consumed = None, None
+                    break
+            if out is None:
+                continue  # streamed member fully consumed above
             if not out and consumed == 0:
                 return
             member = b"".join(out)
@@ -386,7 +513,13 @@ def iter_warc_records_range(f, start: int, end: int, *,
                     headers[k.strip().lower()] = v.strip()
                 length = int(headers.get("content-length", "0"))
             except ValueError:
-                return
+                # framing failure mid-split (non-numeric Content-Length):
+                # resync at the next VALIDATED record marker instead of
+                # silently dropping the split's remaining records —
+                # mirroring iter_warc_records' tolerance
+                if not _resync_plain(rr, 5):
+                    return
+                continue
             total = head_end + 4 + length
             if not rr.ensure(total):
                 return
@@ -441,7 +574,14 @@ def read_warcs_split(spark: SparkSession, path_glob: str, *,
     file is planned into ~``target_split_mb`` ranges (one tiny driver-side
     listing — #files rows), one task per range. Equivalent rows to
     :func:`read_warcs`, but a multi-GB archive neither hits the 2 GB
-    binaryFile row limit nor funnels into a single task."""
+    binaryFile row limit nor funnels into a single task.
+
+    ``.gz`` parallelism assumes the Common-Crawl per-record-member
+    convention. A spec-legal WHOLE-FILE-gzip archive stays correct but
+    serial: split 0 owns the single member and parses it as a bounded
+    stream (never inflating the archive in one buffer — see
+    ``max_member_bytes``), while the other planned splits stop at their
+    first boundary probe without finding an interior member."""
     import math
 
     meta = (spark.read.format("binaryFile").load(path_glob)

@@ -1479,6 +1479,108 @@ def test_warc_range_reader_every_cut_point():
             assert got == want, (compress, cut)
 
 
+def test_warc_range_reader_marker_in_body():
+    """A page body containing the literal '\\r\\nWARC/...' marker must not
+    false-sync a split: boundary candidates are validated by fully parsing
+    the header block, so every cut point still yields exactly the
+    archive's records."""
+    import io
+
+    from fortissimo_spark.warc import (
+        build_warc, iter_warc_records, iter_warc_records_range,
+    )
+    traps = [
+        b"<p>\r\nWARC/1.0\r\nContent-Length: NaN\r\n\r\n fake</p>",
+        b"<p>\r\nWARC/1.0\r\nno terminator here</p>",
+        b"<p>\r\nWARC/x.y\r\nContent-Length: 3\r\n\r\n</p>",
+        b"<pre>\r\nWARC/1.0\r\nWARC-Type: response\r\n</pre>",
+    ]
+    payload = build_warc(
+        [{"url": f"http://trap.example/{i}",
+          "date": "2024-01-01T00:00:00Z",
+          "body": traps[i % len(traps)] + f"<i>{i}</i>".encode()}
+         for i in range(5)])
+    want = [h.get("warc-target-uri") for h, _ in iter_warc_records(payload)]
+    assert len(want) == 6  # warcinfo + 5 responses
+    step = 37  # every cut point is O(n^2) on this bigger payload
+    for cut in list(range(0, len(payload) + 1, step)) + [len(payload)]:
+        got = []
+        for s, e in ((0, cut), (cut, len(payload))):
+            got += [h.get("warc-target-uri")
+                    for h, _ in iter_warc_records_range(
+                        io.BytesIO(payload), s, e, compressed=False)]
+        assert got == want, cut
+
+
+def test_warc_range_reader_resyncs_after_bad_record():
+    """A mid-split framing failure (non-numeric Content-Length) resyncs to
+    the next validated record instead of dropping the split's remainder."""
+    import io
+
+    from fortissimo_spark.warc import build_warc, iter_warc_records_range
+    good = build_warc(
+        [{"url": f"http://r.example/{i}", "date": "2024-01-01T00:00:00Z",
+          "body": f"<p>{i}</p>".encode()} for i in range(2)],
+        warcinfo=False)
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: NaN\r\n\r\njunk body\r\n\r\n")
+    # bad record between the two good ones
+    first_len = len(build_warc(
+        [{"url": "http://r.example/0", "date": "2024-01-01T00:00:00Z",
+          "body": b"<p>0</p>"}], warcinfo=False))
+    payload = good[:first_len] + bad + good[first_len:]
+    got = [h.get("warc-target-uri")
+           for h, _ in iter_warc_records_range(
+               io.BytesIO(payload), 0, len(payload), compressed=False)]
+    assert got == ["http://r.example/0", "http://r.example/1"]
+
+
+def test_warc_whole_file_gzip(spark, tmp_path_factory):
+    """A spec-legal whole-file-gzip WARC: read_warcs_split still returns
+    exactly read_warcs' rows (split 0 owns the single member; later splits
+    find no interior member and stop at their boundary probe), and an
+    over-cap member is parsed as a stream rather than materialized."""
+    import gzip
+    import io
+
+    from fortissimo_spark.warc import (
+        build_warc, iter_warc_records, iter_warc_records_range, read_warcs,
+        read_warcs_split,
+    )
+    import hashlib
+    n = 400
+
+    def body(i):  # incompressible so the .gz really spans several splits
+        return (b"<p>" + b"".join(
+            hashlib.sha256(f"{i}:{j}".encode()).digest()
+            for j in range(128)) + b"</p>")
+
+    plain = build_warc(
+        [{"url": f"http://whole.example/{i}",
+          "date": "2024-01-01T00:00:00Z", "body": body(i)}
+         for i in range(n)])
+    gz = gzip.compress(plain, mtime=0)
+    assert len(gz) > (1 << 20)  # really spans multiple 1 MB splits
+
+    # unit level: streaming kicks in under a tiny member cap and yields
+    # the identical record sequence
+    want = [h.get("warc-target-uri") for h, _ in iter_warc_records(plain)]
+    got = [h.get("warc-target-uri")
+           for h, _ in iter_warc_records_range(
+               io.BytesIO(gz), 0, len(gz), compressed=True,
+               max_member_bytes=1 << 16)]
+    assert got == want
+
+    base = tmp_path_factory.mktemp("warc_whole")
+    (base / "whole.warc.gz").write_bytes(gz)
+    whole = {r.url for r in read_warcs(spark, str(base))
+             .select("url").collect()}
+    split = [r.url for r in read_warcs_split(spark, str(base),
+                                             target_split_mb=1)
+             .select("url").collect()]
+    assert len(split) == n and set(split) == whole
+
+
 def test_warc_split_read_large_archive(spark, tmp_path_factory):
     """read_warcs_split on a large synthetic .warc.gz + a plain .warc:
     byte-identical page set to read_warcs, with genuinely many byte-range
@@ -1762,6 +1864,37 @@ def test_incremental_new_pages(spark):
     assert got == {("u2", b"BBB"): "changed", ("u3", b"c3"): "changed",
                    ("u9", b"zzz"): "new"}
     assert set(out.columns) == {"doc_id", "url", "html", "change"}
+
+
+def test_incremental_new_pages_null_content(spark):
+    """NULL content must not vanish through three-valued logic: NULL at a
+    previously-real-content url is 'changed', NULL at a never-seen url is
+    'new', NULL where the previous crawl was also NULL is unchanged."""
+    from fortissimo_spark.corpus import incremental_new_pages
+    prev = spark.createDataFrame(
+        [(1, "u1", b"aaa"), (2, "u2", None), (3, "u3", b"ccc")],
+        "doc_id long, url string, html binary")
+    cur = spark.createDataFrame(
+        [(1, "u1", None),         # real -> NULL: changed
+         (2, "u2", None),         # NULL -> NULL: unchanged, drop
+         (3, "u3", b"ccc"),       # unchanged, drop
+         (2, "u2", b"now"),       # NULL -> real: changed
+         (9, "u9", None)],        # new url with NULL content: new
+        "doc_id long, url string, html binary")
+    got = {(r.url, r.html if r.html is None else bytes(r.html)): r.change
+           for r in incremental_new_pages(cur, prev).collect()}
+    assert got == {("u1", None): "changed", ("u2", b"now"): "changed",
+                   ("u9", None): "new"}
+
+
+def test_stratified_sample_empty_quotas(spark):
+    """An empty quota map is an empty whitelist: empty result, same
+    schema, no schema-inference crash."""
+    from fortissimo_spark.corpus import stratified_sample
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "de")], ["doc_id", "lang"])
+    out = stratified_sample(docs, {}, "lang")
+    assert out.columns == docs.columns and out.count() == 0
 
 
 def test_semantic_dedup_planted(spark):
