@@ -404,7 +404,10 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", *, k: int = 50,
                     min_count: int = 2,
-                    materialize_grams: bool = False) -> DataFrame:
+                    materialize_grams: bool = False,
+                    prefilter: str | None = "auto",
+                    broadcast_dup_limit: int = 4_000_000,
+                    bloom_dup_limit: int = 64_000_000) -> DataFrame:
     """Substring-level exact dedup, finder half (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better",
     arXiv:2107.06499, the ExactSubstr setting): every maximal token-index
@@ -439,6 +442,33 @@ def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
     ``materialize_grams=True`` pins the gram table once
     (``localCheckpoint``) for when compute dominates storage (expensive
     upstream transforms, small-to-mid corpora).
+
+    **Join-back pre-filter** (``prefilter="auto"``, the default): the
+    count exchange is irreducible (exact global ``min_count`` needs one
+    row per distinct gram to meet its peers), but it only carries
+    ``(long, long)`` rows after map-side partial aggregation. The
+    EXPENSIVE exchange is the join back — ``(doc_id, pos, gh)`` for
+    every corpus token position, shuffled for a sort-merge join even
+    though at crawl-like duplication rates ~90% of positions hold
+    singleton grams that cannot match. ``"auto"`` therefore pins the
+    duplicate-hash set once (eager ``localCheckpoint`` — the count
+    aggregation runs at call time), counts it, and picks by size:
+
+    * ``n_dup <= broadcast_dup_limit`` (~32 MB of longs): broadcast-hash
+      semi-filter — the gram side of the join back never shuffles AT
+      ALL; flagged positions flow map-side into the per-doc window.
+    * ``n_dup <= bloom_dup_limit``: a bit-packed Bloom filter (one hash
+      probe, ``8 * n_dup`` bits packed into ``(block, bits64)`` rows —
+      ~2 bytes/dup vs 8 for the exact set) broadcast-joins on the block
+      id and drops ~87% of singleton positions BEFORE the exact
+      shuffled join; false positives (~n/W = 12.5%) just ride through
+      the exact join and drop there, so results are bit-identical.
+    * larger: the plain shuffled join (the honest linear cost — no
+      sub-linear structure can decide count>=2 at that cardinality).
+
+    ``prefilter=None`` keeps the fully-lazy single-plan shape.
+    ``duplicate_spans.last_strategy`` records the decision (no silent
+    tier changes). Results are identical under every tier.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = (docs
@@ -455,7 +485,42 @@ def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
     dup_hashes = (grams.groupBy("gh").agg(F.count("*").alias("_n"))
                   .filter(F.col("_n") >= min_count)
                   .select("gh"))
-    flagged = grams.join(dup_hashes, "gh").select("doc_id", "pos")
+    if prefilter == "auto":
+        dup_hashes = dup_hashes.localCheckpoint(eager=True)
+        n_dup = dup_hashes.count()
+        if n_dup <= broadcast_dup_limit:
+            duplicate_spans.last_strategy = {
+                "strategy": "broadcast", "n_dup": n_dup}
+            flagged = (grams.join(F.broadcast(dup_hashes), "gh")
+                       .select("doc_id", "pos"))
+        elif n_dup <= bloom_dup_limit:
+            nbits = max(1 << 13, 1 << (8 * n_dup - 1).bit_length())
+            blocks = (dup_hashes
+                      .select(F.shiftrightunsigned(
+                          F.col("gh").bitwiseAND(nbits - 1), 6)
+                          .alias("_blk"),
+                          F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                                 f"CAST(gh & {nbits - 1} AS INT) & 63)")
+                          .alias("_m"))
+                      .groupBy("_blk").agg(F.bit_or("_m").alias("_bits")))
+            duplicate_spans.last_strategy = {
+                "strategy": "bloom", "n_dup": n_dup, "bloom_bits": nbits}
+            cand = (grams
+                    .withColumn("_blk", F.shiftrightunsigned(
+                        F.col("gh").bitwiseAND(nbits - 1), 6))
+                    .join(F.broadcast(blocks), "_blk")
+                    .filter(F.expr(
+                        f"(_bits & shiftleft(CAST(1 AS BIGINT), "
+                        f"CAST(gh & {nbits - 1} AS INT) & 63)) != 0"))
+                    .select("doc_id", "pos", "gh"))
+            flagged = cand.join(dup_hashes, "gh").select("doc_id", "pos")
+        else:
+            duplicate_spans.last_strategy = {
+                "strategy": "shuffle", "n_dup": n_dup}
+            flagged = grams.join(dup_hashes, "gh").select("doc_id", "pos")
+    else:
+        duplicate_spans.last_strategy = {"strategy": "lazy", "n_dup": None}
+        flagged = grams.join(dup_hashes, "gh").select("doc_id", "pos")
 
     w = Window.partitionBy("doc_id").orderBy("pos")
     # windows [prev, prev+k) and [pos, pos+k) overlap or touch iff
@@ -474,7 +539,8 @@ def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
 def remove_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", *, k: int = 50,
                            min_count: int = 2,
-                           out_col: str = "text_clean") -> DataFrame:
+                           out_col: str = "text_clean",
+                           prefilter: str | None = "auto") -> DataFrame:
     """Substring-level exact dedup, rewriter half: drop every token inside
     a :func:`duplicate_spans` span and rejoin the survivors with single
     spaces. Like Lee et al.'s ExactSubstr remover this operates on the
@@ -487,7 +553,7 @@ def remove_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
     whole-stage codegen — no Python, no second corpus scan.
     """
     spans = duplicate_spans(docs, id_col, text_col, k=k,
-                            min_count=min_count)
+                            min_count=min_count, prefilter=prefilter)
     span_arr = (spans.groupBy("doc_id")
                 .agg(F.array_sort(F.collect_list(F.struct("s", "e")))
                      .alias("_spans")))

@@ -780,6 +780,26 @@ def test_duplicate_spans_planted(spark):
     assert clean[5] == ("tiny doc", 0)
     assert clean[6] == ("", 10) and clean[7] == ("", 10)
 
+    # every pre-filter tier returns bit-identical spans: broadcast
+    # (default here), bloom (forced via a tiny broadcast limit), plain
+    # shuffle (both limits tiny), and the fully-lazy plan
+    want = spans
+    for kwargs, strategy in [
+            (dict(broadcast_dup_limit=0), "bloom"),
+            (dict(broadcast_dup_limit=0, bloom_dup_limit=0), "shuffle"),
+            (dict(prefilter=None), "lazy")]:
+        got = {(r.doc_id, r.s, r.e)
+               for r in duplicate_spans(docs, k=8, **kwargs).collect()}
+        assert got == want, strategy
+        assert duplicate_spans.last_strategy["strategy"] == strategy
+    # default tier on this corpus is broadcast, and the broadcast plan has
+    # NO exchange between the gram explode and the flagged positions (the
+    # only exchange left is the per-doc islands window)
+    plan = duplicate_spans(docs, k=8)
+    assert duplicate_spans.last_strategy["strategy"] == "broadcast"
+    phys = plan._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys
+
 
 def test_normalize_url(spark):
     from fortissimo_spark.urls import normalize_url

@@ -6,6 +6,7 @@ bench/explain_audit.txt. Run: python tools/explain_audit.py [sf_dir]"""
 import contextlib
 import io
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -189,13 +190,34 @@ def main():
     #    map-side (a 10^9-copy boilerplate gram collapses before the
     #    exchange); span merge windows on doc_id; everything JVM-side
     from fortissimo_spark.dedup import duplicate_spans
-    sp = duplicate_spans(docs, k=8)
+    sp = duplicate_spans(docs, k=8, prefilter=None)
     p = plan_of(sp)
-    sections.append(("duplicate_spans (substring dedup)", p, [
+    sections.append(("duplicate_spans (substring dedup, lazy plan)", p, [
         ("gram-count exchange keyed on the gram hash",
          "hashpartitioning(gh" in p),
         ("map-side partial aggregation on gram counts",
          "partial_count" in p),
+        ("island merge windows on doc_id", "hashpartitioning(doc_id" in p),
+        ("no Python stage anywhere", "Python" not in p
+         and "MapInPandas" not in p),
+    ]))
+
+    # 8b. r5 join-back pre-filter: with the duplicate-hash set pinned and
+    #     broadcast, the gram explode feeds the flagged-position filter
+    #     with NO exchange — the only shuffles left are the (irreducible)
+    #     count exchange, already spent building the checkpoint, and the
+    #     per-doc islands window
+    sp = duplicate_spans(docs, k=8)  # prefilter="auto" -> broadcast tier
+    assert duplicate_spans.last_strategy["strategy"] == "broadcast", \
+        duplicate_spans.last_strategy
+    p = plan_of(sp)
+    sections.append(("duplicate_spans (broadcast pre-filter tier)", p, [
+        ("flagged positions via broadcast-hash join",
+         "BroadcastHashJoin" in p),
+        ("no sort-merge join of the gram explode",
+         "SortMergeJoin" not in p),
+        ("single exchange in the residual plan (islands window only)",
+         len(re.findall(r"^\(\d+\) Exchange$", p, re.M)) == 1),
         ("island merge windows on doc_id", "hashpartitioning(doc_id" in p),
         ("no Python stage anywhere", "Python" not in p
          and "MapInPandas" not in p),
