@@ -25,7 +25,8 @@ from fortissimo_spark.dedup import (  # noqa: E402
     near_duplicate_pairs, remove_duplicate_spans, simhash64,
 )
 from fortissimo_spark.bpe import (  # noqa: E402
-    train_merges_from_counts, with_bpe_token_counts,
+    byte_symbols, train_merges_from_counts, with_bpe_byte_token_counts,
+    with_bpe_token_counts,
 )
 from fortissimo_spark.corpus import (  # noqa: E402
     chunk_documents, deterministic_sample, pack_shards,
@@ -765,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "remove_dup_spans": _q_remove_dup_spans,
         "bpe_token_stats": _q_bpe_token_stats,
+        "bpe_bytes_token_stats": _q_bpe_bytes_token_stats,
         "ngram_perplexity": _q_ngram_perplexity,
         "semantic_dedup": _q_semantic_dedup,
         "curate_corpus": _q_curate_corpus,
@@ -928,6 +930,49 @@ def _q_bpe_token_stats(spark, sf_dir):
                                      "doc_id long, text string")
     return (with_bpe_token_counts(docs.union(fixtures), _BPE_MERGES)
             .select("doc_id", "n_tokens_bpe"))
+
+
+# Byte-level tokenizer for the oracle query: merges trained ONCE from a
+# deterministic seed PRE-TOKEN frequency table (leading-space forms
+# included — the GPT-2 convention folds the word separator into the
+# token) by the same pure-Python trainer bpe_train_bytes delegates to,
+# over per-byte hex symbols. Seeds mix corpus-frequent words with
+# contractions, punctuation runs, and a multi-byte UTF-8 word so merge,
+# partial-merge, and byte-fallback paths all fire.
+_BPE_BYTES_SEED_COUNTS = [
+    (" the", 100), ("the", 20), (" a", 95), (" join", 90), (" hash", 85),
+    (" row", 80), (" batch", 75), (" scan", 70), (" customer", 65),
+    (" column", 60), (" filter", 55), (" merge", 50), (" order", 45),
+    (" vector", 40), (" stream", 35), (" window", 30), (" streaming", 12),
+    (" ordering", 10), ("'s", 25), ("'ll", 9), (",", 40), (".", 38),
+    ("!!", 7), (" café", 8), (" 123", 6),
+]
+_BPE_BYTES_MERGES = train_merges_from_counts(
+    _BPE_BYTES_SEED_COUNTS, 160, symbolize=byte_symbols)
+_BPE_BYTES_FIXTURES = [
+    # contractions, double spaces (the \s+(?!\S) branch), punctuation
+    # splits, multi-byte UTF-8 (merged café vs unseen тест), tabs/newlines
+    (9410001, "the customer's stream  isn't here!! café тест 3.14"),
+    (9410002, ""),
+    (9410003, "  join   merge\tordering  "),
+    (9410004, "they'll scan, then re-scan... windows&batches; 'quoted'"),
+]
+
+
+def _q_bpe_bytes_token_stats(spark, sf_dir):
+    """BYTE-level BPE token counts (the GPT-2 recipe: contraction /
+    letter-run / number-run / punct-run / whitespace pre-tokenizer, then
+    merges over each pre-token's UTF-8 bytes) under the fixed seed-trained
+    tokenizer. The DuckDB oracle reproduces pre-tokenization with RE2 (a
+    marker-split makes the one lookahead branch expressible), splits
+    pre-tokens to per-byte hex symbols via hex(encode(tok)), and replays
+    the merge list as the marker-wrapped replace-chain."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fixtures = spark.createDataFrame(_BPE_BYTES_FIXTURES,
+                                     "doc_id long, text string")
+    return (with_bpe_byte_token_counts(docs.union(fixtures),
+                                       _BPE_BYTES_MERGES)
+            .select("doc_id", "n_tokens_bpe_bytes"))
 
 
 _SENT_FIXTURES = [
@@ -1457,6 +1502,56 @@ def _remove_dup_spans_oracle_sql() -> str:
         FROM toks t LEFT JOIN rebuilt r USING (doc_id)"""
 
 
+def _bpe_bytes_oracle_sql() -> str:
+    """DuckDB replay of the byte-level tokenizer. Pre-tokenization: the
+    GPT-2 regex's one lookahead branch (``\\s+(?!\\S)``) is made
+    RE2-expressible by first inserting a chr(1) marker before the LAST
+    whitespace char of every run that precedes non-space — every marker
+    lands exactly on a token boundary of the exact grammar, so matching
+    the lookahead-free alternation per segment yields the identical
+    token stream (corpus text is assumed chr(1)-free). Each pre-token
+    then splits to per-byte hex symbols via
+    ``regexp_extract_all(hex(encode(tok)), '..')`` — exactly
+    :func:`fortissimo_spark.bpe.byte_symbols` — and the merge list
+    replays as the marker-wrapped replace-chain (same
+    single-sweep-per-merge argument as ``_bpe_oracle_sql``)."""
+    pat = ("''(?:s|t|re|ve|m|ll|d)| ?\\pL+| ?\\pN+"
+           "| ?[^\\s\\pL\\pN]+|\\s+")
+    expr = ("chr(2) || array_to_string(regexp_extract_all("
+            "hex(encode(tok)), '..'), chr(3) || chr(2)) || chr(3)")
+    for x, y in _BPE_BYTES_MERGES:
+        pat_xy = (f"chr(2) || '{x}' || chr(3) || "
+                  f"chr(2) || '{y}' || chr(3)")
+        expr = (f"replace({expr},\n              {pat_xy}, "
+                f"chr(2) || '{x + y}' || chr(3))")
+    vals = ",\n            ".join(
+        "({}, '{}')".format(i, t.replace("'", "''"))
+        for i, t in _BPE_BYTES_FIXTURES)
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            {vals}
+          ) AS f(doc_id, text)),
+        marked AS (SELECT doc_id,
+                          regexp_replace(text, '(\\s)(\\S)',
+                                         chr(1) || '\\1\\2', 'g') AS m
+                   FROM corpus),
+        segs AS (SELECT doc_id, unnest(string_split(m, chr(1))) AS seg
+                 FROM marked),
+        toks AS (SELECT doc_id,
+                        unnest(regexp_extract_all(seg, '{pat}')) AS tok
+                 FROM segs),
+        enc AS (SELECT doc_id, {expr} AS s FROM toks),
+        agg AS (SELECT doc_id,
+                       CAST(sum(length(s) - length(replace(s, chr(2), '')))
+                            AS INTEGER) AS n
+                FROM enc GROUP BY doc_id)
+        SELECT c.doc_id, COALESCE(a.n, 0) AS n_tokens_bpe_bytes
+        FROM corpus c LEFT JOIN agg a USING (doc_id)"""
+
+
 def _bpe_oracle_sql() -> str:
     """DuckDB replay of the fixed BPE tokenizer: each word is wrapped as
     chr(2)||sym||chr(3) per symbol, then the merge list is applied IN RANK
@@ -1685,6 +1780,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _dup_spans_oracle_sql(),
         "remove_dup_spans": _remove_dup_spans_oracle_sql(),
         "bpe_token_stats": _bpe_oracle_sql(),
+        "bpe_bytes_token_stats": _bpe_bytes_oracle_sql(),
         "ngram_perplexity": _ppl_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "stratified_sample": """

@@ -34,25 +34,35 @@ merges, so rank order is a valid processing order. The rank-greedy loop in
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator
+import unicodedata
+from typing import Callable, Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import IntegerType, StructField, StructType
 
 __all__ = ["bpe_train", "train_merges_from_counts", "encode_word",
-           "with_bpe_token_counts", "bpe_vocab"]
+           "encode_symbols", "with_bpe_token_counts", "bpe_vocab",
+           "gpt2_pretokenize", "byte_symbols", "bpe_train_bytes",
+           "with_bpe_byte_token_counts"]
 
 
 def train_merges_from_counts(word_counts: Iterable[tuple[str, int]],
-                             num_merges: int) -> list[tuple[str, str]]:
+                             num_merges: int,
+                             symbolize: Callable[[str], list[str]] | None
+                             = None) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from (word, count) pairs.
 
     Deterministic: the winning pair each round is max count with
-    lexicographically-smallest-pair tie-break. Characters are the initial
-    symbols (no end-of-word marker — word-internal merges only, so a
-    word's token count is independent of its neighbors)."""
-    vocab: list[list] = [[list(w), int(c)] for w, c in word_counts if w]
+    lexicographically-smallest-pair tie-break. ``symbolize`` maps a word
+    to its initial symbol sequence — characters by default (no
+    end-of-word marker — word-internal merges only, so a word's token
+    count is independent of its neighbors), :func:`byte_symbols` for the
+    byte-level variant."""
+    if symbolize is None:
+        symbolize = list
+    vocab: list[list] = [[symbolize(w), int(c)] for w, c in word_counts
+                         if w]
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         pair_counts: dict[tuple[str, str], int] = {}
@@ -83,7 +93,14 @@ def train_merges_from_counts(word_counts: Iterable[tuple[str, int]],
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Apply merges to one word, GPT-2 rank-greedy style: repeatedly merge
     every occurrence (leftmost-first) of the lowest-rank adjacent pair."""
-    syms = list(word)
+    return encode_symbols(list(word), ranks)
+
+
+def encode_symbols(syms: list[str],
+                   ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Rank-greedy merge application over an explicit initial symbol
+    sequence (characters for :func:`encode_word`, per-byte hex pairs for
+    the byte-level tokenizer)."""
     while len(syms) > 1:
         best_rank, best_pair = None, None
         for i in range(len(syms) - 1):
@@ -166,6 +183,164 @@ def with_bpe_token_counts(docs: DataFrame,
                 if n is None:
                     n = len(encode_word(w, ranks))
                     memo[w] = n
+                total += n
+            return total
+
+        for pdf in batches:
+            if len(memo) > memo_limit:
+                memo.clear()
+            out = pdf[cols].copy()
+            out[out_col] = (pdf[text_col].map(n_tokens).astype("int32"))
+            yield out
+
+    return docs.mapInPandas(kernel, schema)
+
+
+# --- byte-level BPE with GPT-2-style pre-tokenization --------------------
+# The whitespace tokenizer above fuses punctuation into word tokens, so
+# its counts drift from production tokenizers. The byte-level variant
+# follows the public GPT-2 recipe (Radford et al. 2019; the released
+# regex in openai/gpt-2 encoder.py): pre-tokenize with the contraction /
+# letter-run / number-run / punct-run / whitespace alternation, then BPE
+# over each pre-token's UTF-8 BYTES, so any input — emoji, CJK, mojibake
+# — tokenizes without an OOV path. Symbols are represented as uppercase
+# hex pairs ("74", "68", merged "7468"): a per-byte bijection the DuckDB
+# oracle can reproduce exactly via hex(encode(tok)), sidestepping GPT-2's
+# cosmetic byte<->unicode display table (which only renames symbols and
+# cannot change token counts).
+
+# RE2's \s, exactly (ASCII, no \v) — the oracle engine's class; Python's
+# unicode-wide \s would disagree on U+00A0 etc.
+_WS = frozenset(" \t\n\f\r")
+_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+def gpt2_pretokenize(text: str) -> list[str]:
+    """The GPT-2 pre-tokenizer as an explicit scanner: the ordered
+    alternation ``'s|'t|'re|'ve|'m|'ll|'d| ?\\pL+| ?\\pN+|
+    ?[^\\s\\pL\\pN]+|\\s+(?!\\S)|\\s+`` with Unicode L*/N* categories
+    (via unicodedata) and RE2's ASCII ``\\s``. A scanner instead of a
+    regex because stdlib ``re`` has no ``\\p{L}`` and the lookahead is
+    exactly one branch — and it pins the semantics independently of any
+    regex engine's quirks. ``''.join(result) == text`` always."""
+    toks: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            matched = False
+            for s in _CONTRACTIONS:
+                if text.startswith(s, i):
+                    toks.append(s)
+                    i += len(s)
+                    matched = True
+                    break
+            if matched:
+                continue
+        j = i + 1 if (c == " " and i + 1 < n) else i
+        cj = text[j] if j < n else ""
+        if cj and cj not in _WS:
+            cat = unicodedata.category(cj)[0]
+            if cat == "L":
+                e = j + 1
+                while e < n and unicodedata.category(text[e])[0] == "L":
+                    e += 1
+                toks.append(text[i:e])
+                i = e
+                continue
+            if cat == "N":
+                e = j + 1
+                while e < n and unicodedata.category(text[e])[0] == "N":
+                    e += 1
+                toks.append(text[i:e])
+                i = e
+                continue
+            e = j
+            while e < n and text[e] not in _WS and \
+                    unicodedata.category(text[e])[0] not in ("L", "N"):
+                e += 1
+            toks.append(text[i:e])
+            i = e
+            continue
+        # whitespace run: \s+(?!\S) leaves the run's last char for the
+        # following " ?X+" alternative; at end-of-string the lookahead
+        # succeeds and the run matches whole; a single ws char before
+        # non-space falls through to plain \s+
+        e = i
+        while e < n and text[e] in _WS:
+            e += 1
+        if e < n and e - i > 1:
+            e -= 1
+        toks.append(text[i:e])
+        i = e
+    return toks
+
+
+def byte_symbols(pretoken: str) -> list[str]:
+    """Initial byte-level symbols: one uppercase hex pair per UTF-8 byte
+    — DuckDB's ``regexp_extract_all(hex(encode(tok)), '..')`` exactly."""
+    return [f"{b:02X}" for b in pretoken.encode("utf-8")]
+
+
+def bpe_train_bytes(docs: DataFrame, text_col: str = "text", *,
+                    num_merges: int = 200,
+                    top_pretokens: int = 30_000) -> list[tuple[str, str]]:
+    """Train byte-level BPE merges: distributed pre-token counting (the
+    kernel pre-aggregates per Arrow batch, so the exchange carries
+    (pretoken, partial count) rows, not one row per occurrence), bounded
+    top-``top_pretokens`` collect, driver merge loop over hex-pair
+    symbols. Same (count desc, token asc) determinism as
+    :func:`bpe_train`."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+        for pdf in batches:
+            counts: Counter = Counter()
+            for text in pdf[text_col]:
+                if text:
+                    counts.update(gpt2_pretokenize(text))
+            if counts:
+                yield pd.DataFrame({"tok": list(counts.keys()),
+                                    "c": list(counts.values())})
+
+    counts = (docs.select(text_col)
+              .mapInPandas(kernel, "tok string, c long")
+              .groupBy("tok").agg(F.sum("c").alias("c"))
+              .orderBy(F.desc("c"), F.asc("tok"))
+              .limit(top_pretokens)
+              .collect())
+    return train_merges_from_counts(((r["tok"], r["c"]) for r in counts),
+                                    num_merges, symbolize=byte_symbols)
+
+
+def with_bpe_byte_token_counts(docs: DataFrame,
+                               merges: list[tuple[str, str]],
+                               text_col: str = "text",
+                               out_col: str = "n_tokens_bpe_bytes",
+                               ) -> DataFrame:
+    """All input columns plus ``out_col``: the document's byte-level BPE
+    token count under the trained merges — sum over GPT-2 pre-tokens of
+    their merged-symbol counts. Same kernel discipline as
+    :func:`with_bpe_token_counts`: bounded pre-token memo, mapInPandas,
+    no shuffle."""
+    memo_limit = 1 << 20
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    schema = StructType(list(docs.schema.fields)
+                        + [StructField(out_col, IntegerType(), False)])
+    cols = [f.name for f in docs.schema.fields]
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+
+        def n_tokens(text) -> int:
+            if text is None:
+                return 0
+            total = 0
+            for t in gpt2_pretokenize(text):
+                n = memo.get(t)
+                if n is None:
+                    n = len(encode_symbols(byte_symbols(t), ranks))
+                    memo[t] = n
                 total += n
             return total
 

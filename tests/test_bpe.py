@@ -96,3 +96,84 @@ def test_entry_seed_tokenizer_pinned():
     # every encode round-trips its surface form
     for w in ("streaming", "windows", "batching", "тест", "café"):
         assert "".join(encode_word(w, ranks)) == w
+
+
+# --- byte-level GPT-2-style tokenizer ------------------------------------
+
+def test_gpt2_pretokenize_hand_fixture():
+    """The pre-tokenizer against a hand-derived GPT-2-regex walkthrough:
+    contractions split mid-word, a single literal space attaches to the
+    following letter/number/punct run, multi-space runs keep their last
+    space for the next token (the \\s+(?!\\S) branch), non-space
+    whitespace never attaches, and ''.join always round-trips."""
+    from fortissimo_spark.bpe import gpt2_pretokenize
+    cases = [
+        ("Hello world's test  123 café!!",
+         ["Hello", " world", "'s", " test", " ", " 123", " café", "!!"]),
+        ("", []),
+        # only a LITERAL space attaches: \n stays its own token
+        ("a\n\nb", ["a", "\n", "\n", "b"]),
+        ("a\tb", ["a", "\t", "b"]),
+        ("  lead", [" ", " lead"]),
+        ("trail  ", ["trail", "  "]),
+        ("x'll y't", ["x", "'ll", " y", "'t"]),
+        ("don't", ["don", "'t"]),
+        ("can't'", ["can", "'t", "'"]),
+        ("'", ["'"]),
+        ("日本語 text", ["日本語", " text"]),
+        ("3.14", ["3", ".", "14"]),
+        ("a   b", ["a", "  ", " b"]),
+        ("price: $5", ["price", ":", " $", "5"]),
+        # U+00A0 is not RE2 \s -> it lands in the punct-run class
+        ("A B", ["A", " ", "B"]),
+        ("it's isn't they're we've I'm you'll he'd",
+         ["it", "'s", " isn", "'t", " they", "'re", " we", "'ve",
+          " I", "'m", " you", "'ll", " he", "'d"]),
+    ]
+    for text, want in cases:
+        got = gpt2_pretokenize(text)
+        assert got == want, (text, got)
+        assert "".join(got) == text
+
+
+def test_byte_merges_hand_computed():
+    """Byte-level training on a 2-word table, every round checked by
+    hand: pair counts, the lexicographic tie-break, and rank-greedy
+    apply over hex-pair symbols."""
+    from fortissimo_spark.bpe import (
+        byte_symbols, encode_symbols, train_merges_from_counts,
+    )
+    # " the"x5 = [20 74 68 65], "the"x3 = [74 68 65]
+    # round 1: (74,68)=8 (68,65)=8 tie -> ("68","65") wins lexicographically
+    # round 2: (74,6865)=8 beats (20,74)=5; round 3: (20,746865)=5
+    merges = train_merges_from_counts([(" the", 5), ("the", 3)], 3,
+                                      symbolize=byte_symbols)
+    assert merges == [("68", "65"), ("74", "6865"), ("20", "746865")]
+    ranks = {m: i for i, m in enumerate(merges)}
+    assert encode_symbols(byte_symbols(" the"), ranks) == ["20746865"]
+    assert encode_symbols(byte_symbols("the"), ranks) == ["746865"]
+    assert encode_symbols(byte_symbols("thx"), ranks) == ["74", "68", "78"]
+    # multi-byte utf-8 falls back to per-byte symbols cleanly
+    assert encode_symbols(byte_symbols("é"), ranks) == ["C3", "A9"]
+
+
+def test_entry_bytes_seed_tokenizer_pinned():
+    """The byte-level oracle tokenizer is stable and its merges behave:
+    high-mass seed pre-tokens collapse to one token, unseen bytes fall
+    back, contractions are single tokens."""
+    import __spark_entry__ as entry
+    from fortissimo_spark.bpe import (
+        byte_symbols, encode_symbols, train_merges_from_counts,
+    )
+    again = train_merges_from_counts(entry._BPE_BYTES_SEED_COUNTS, 160,
+                                     symbolize=byte_symbols)
+    assert again == entry._BPE_BYTES_MERGES
+    ranks = {m: i for i, m in enumerate(entry._BPE_BYTES_MERGES)}
+
+    def n_toks(t):
+        return len(encode_symbols(byte_symbols(t), ranks))
+
+    assert n_toks(" the") == 1
+    assert n_toks("'s") == 1
+    assert n_toks(" café") == 1  # seed word: fully merged
+    assert n_toks("zzqq") >= 2   # unseen: byte fallback, never errors

@@ -1180,6 +1180,39 @@ def test_bpe_train_distributed_matches_local(spark):
         train_merges_from_counts(ordered[:10], 30)
 
 
+def test_bpe_bytes_distributed_matches_local(spark):
+    """Byte-level BPE: the distributed trainer (pre-token partial counts
+    in the kernel -> groupBy sum -> bounded top-N collect) equals a
+    driver-side recount + the same pure-Python merge loop, and the
+    distributed apply kernel equals driver-side encoding doc by doc."""
+    from collections import Counter
+
+    from fortissimo_spark.bpe import (
+        bpe_train_bytes, byte_symbols, encode_symbols, gpt2_pretokenize,
+        train_merges_from_counts, with_bpe_byte_token_counts,
+    )
+    docs = load_table(spark, SF_DIR, "documents") \
+        .select("doc_id", "text").limit(300)
+    rows = docs.collect()
+    counts = Counter()
+    for r in rows:
+        counts.update(gpt2_pretokenize(r.text or ""))
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    merges = bpe_train_bytes(docs, num_merges=40)
+    assert merges == train_merges_from_counts(ordered, 40,
+                                              symbolize=byte_symbols)
+    assert bpe_train_bytes(docs, num_merges=40, top_pretokens=15) == \
+        train_merges_from_counts(ordered[:15], 40, symbolize=byte_symbols)
+
+    ranks = {m: i for i, m in enumerate(merges)}
+    want = {r.doc_id: sum(len(encode_symbols(byte_symbols(t), ranks))
+                          for t in gpt2_pretokenize(r.text or ""))
+            for r in rows}
+    got = {r.doc_id: r.n_tokens_bpe_bytes
+           for r in with_bpe_byte_token_counts(docs, merges).collect()}
+    assert got == want
+
+
 def test_pack_shards_bpe_denominator_parity(spark):
     """pack_shards budgets in real BPE tokens when handed a
     token_count_col: shard assignment equals the naive global cumsum over
