@@ -768,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "bpe_bytes_token_stats": _q_bpe_bytes_token_stats,
         "ngram_perplexity": _q_ngram_perplexity,
+        "trigram_perplexity": _q_trigram_perplexity,
         "semantic_dedup": _q_semantic_dedup,
         "curate_corpus": _q_curate_corpus,
         "stratified_sample": _q_stratified_sample,
@@ -1128,6 +1129,25 @@ def _q_ngram_perplexity(spark, sf_dir):
     fixtures = spark.createDataFrame(_PPL_FIXTURES,
                                      "doc_id long, text string")
     return with_perplexity(docs.union(fixtures), lm)
+
+
+_PPL3_FIXTURES = _PPL_FIXTURES + [
+    # exactly two tokens: bigrams exist but NO trigram -> NULL ppl3
+    (9500004, "two words"),
+]
+
+
+def _q_trigram_perplexity(spark, sf_dir):
+    """Trigram stupid-backoff perplexity (the CCNet gate one order
+    higher): trained on the corpus with a third bounded top-V table,
+    scored through the trigram -> bigram -> unigram backoff chain.
+    Fixtures add the <3-token degenerate on top of the bigram set."""
+    from fortissimo_spark.lm import train_trigram_lm, with_perplexity_trigram
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = train_trigram_lm(docs, top_v=_PPL_TOPV)
+    fixtures = spark.createDataFrame(_PPL3_FIXTURES,
+                                     "doc_id long, text string")
+    return with_perplexity_trigram(docs.union(fixtures), lm)
 
 
 _SPAN_SHARED = ("breaking news update follow share like comment subscribe")
@@ -1684,6 +1704,63 @@ def _ppl_ctes(score_corpus_cte: str) -> str:
                     FROM lm_scored GROUP BY doc_id)"""
 
 
+def _ppl3_ctes(score_corpus_cte: str) -> str:
+    """Trigram extension of :func:`_ppl_ctes`: the same shared training
+    CTEs plus a top-V trigram table and the trigram -> bigram -> unigram
+    stupid-backoff chain into ``per_doc3`` (doc_id, n_trigrams, ppl3)."""
+    return f"""
+        {_ppl_ctes(score_corpus_cte)},
+        tri_all AS (SELECT w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3,
+                           count(*) AS c
+                    FROM toks_t, unnest(range(1, length(w) - 1)) AS t(i)
+                    GROUP BY w1, w2, w3),
+        tri AS (SELECT w1, w2, w3, c FROM (
+                  SELECT w1, w2, w3, c,
+                         row_number() OVER (ORDER BY c DESC, w1, w2, w3) rn
+                  FROM tri_all) WHERE rn <= {_PPL_TOPV}),
+        lm_trips AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2,
+                            w[i + 2] AS w3
+                     FROM toks_s, unnest(range(1, length(w) - 1)) AS t(i)),
+        lm3_scored AS (
+          SELECT p.doc_id,
+                 CASE WHEN t.c IS NOT NULL AND b12.c IS NOT NULL
+                      THEN CAST(t.c AS DOUBLE) / b12.c
+                      ELSE 0.4 * (
+                        CASE WHEN b23.c IS NOT NULL AND u2.c IS NOT NULL
+                             THEN CAST(b23.c AS DOUBLE) / u2.c
+                             ELSE 0.4 * CAST(coalesce(u3.c, 1) AS DOUBLE)
+                                  / (SELECT n FROM n_total) END) END
+                   AS score
+          FROM lm_trips p
+          LEFT JOIN tri t ON t.w1 = p.w1 AND t.w2 = p.w2 AND t.w3 = p.w3
+          LEFT JOIN bi b12 ON b12.w1 = p.w1 AND b12.w2 = p.w2
+          LEFT JOIN bi b23 ON b23.w1 = p.w2 AND b23.w2 = p.w3
+          LEFT JOIN uni u2 ON u2.w = p.w2
+          LEFT JOIN uni u3 ON u3.w = p.w3),
+        per_doc3 AS (SELECT doc_id,
+                            CAST(count(*) AS INTEGER) AS n_trigrams,
+                            round(power(10, -avg(log10(score))), 6) AS ppl3
+                     FROM lm3_scored GROUP BY doc_id)"""
+
+
+def _ppl3_oracle_sql() -> str:
+    vals = ",\n            ".join(
+        "({}, '{}')".format(i, t.replace("'", "''"))
+        for i, t in _PPL3_FIXTURES)
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            {vals}
+          ) AS f(doc_id, text)),
+        {_ppl3_ctes("corpus")}
+        SELECT c.doc_id,
+               coalesce(d.n_trigrams, 0) AS n_trigrams,
+               d.ppl3
+        FROM corpus c LEFT JOIN per_doc3 d USING (doc_id)"""
+
+
 def _ppl_oracle_sql() -> str:
     vals = ",\n            ".join(
         "({}, '{}')".format(i, t.replace("'", "''"))
@@ -1782,6 +1859,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats": _bpe_oracle_sql(),
         "bpe_bytes_token_stats": _bpe_bytes_oracle_sql(),
         "ngram_perplexity": _ppl_oracle_sql(),
+        "trigram_perplexity": _ppl3_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "stratified_sample": """
             WITH q(lang, quota) AS (VALUES

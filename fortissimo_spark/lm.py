@@ -26,7 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["train_bigram_lm", "with_perplexity", "BigramLM"]
+__all__ = ["train_bigram_lm", "with_perplexity", "BigramLM",
+           "TrigramLM", "train_trigram_lm", "with_perplexity_trigram"]
 
 _ALPHA = 0.4  # stupid-backoff weight (Brants et al. 2007)
 
@@ -109,3 +110,105 @@ def with_perplexity(docs: DataFrame, lm: BigramLM,
             .select(F.col("doc_id").alias(id_col),
                     F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
                     "ppl"))
+
+
+# --- trigram upgrade -----------------------------------------------------
+# CCNet's KenLM is a 5-gram; bigram perplexity is a weak gibberish gate
+# for near-English spam ("the the the of of"). The trigram chain is the
+# same bounded-broadcast shape with ONE more top-V table:
+#
+#   S(w3 | w1 w2) = c(w1 w2 w3) / c(w1 w2)   if trigram AND context kept
+#                 = alpha * S(w2->w3)         else (back off to bigram)
+#   S(w2 -> w3)   = c(w2 w3) / c(w2)          if bigram AND w2 kept
+#                 = alpha * c(w3) / N          else (coalesce OOV -> 1)
+#
+# Scoring stays one wide exchange (the per-doc regroup); the five count
+# joins are all broadcast.
+
+
+def _trigram_structs(toks):
+    n2 = F.greatest(F.size(toks) - 2, F.lit(0))
+    return F.zip_with(
+        F.zip_with(F.slice(toks, 1, n2), F.slice(toks, 2, n2),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+        F.slice(toks, 3, n2),
+        lambda p, c: F.struct(p["w1"].alias("w1"), p["w2"].alias("w2"),
+                              c.alias("w3")))
+
+
+class TrigramLM(BigramLM):
+    """Bounded trigram stupid-backoff model: the bigram tables plus one
+    top-V trigram count table, all broadcast at scoring time."""
+
+    def __init__(self, unigrams: DataFrame, bigrams: DataFrame,
+                 trigrams: DataFrame, total_tokens: int,
+                 alpha: float = _ALPHA):
+        super().__init__(unigrams, bigrams, total_tokens, alpha)
+        self.trigrams = trigrams
+
+
+def train_trigram_lm(docs: DataFrame, text_col: str = "text", *,
+                     top_v: int = 100_000,
+                     alpha: float = _ALPHA) -> TrigramLM:
+    """Count unigrams, bigrams and trigrams corpus-wide (three
+    partial-aggregated passes), keep the deterministic top ``top_v`` of
+    each ((count desc, gram asc) order), and record N."""
+    base = train_bigram_lm(docs, text_col, top_v=top_v, alpha=alpha)
+    toks = _clean_tokens(text_col)
+    tri = (docs.select(F.explode(_trigram_structs(toks)).alias("t"))
+           .select("t.w1", "t.w2", "t.w3")
+           .groupBy("w1", "w2", "w3").agg(F.count("*").alias("c"))
+           .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"), F.asc("w3"))
+           .limit(top_v))
+    return TrigramLM(base.unigrams, base.bigrams, tri,
+                     base.total_tokens, alpha)
+
+
+def with_perplexity_trigram(docs: DataFrame, lm: TrigramLM,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """(id_col, n_trigrams, ppl3) — trigram stupid-backoff perplexity per
+    document, rounded to 6dp; docs with fewer than three tokens score
+    NULL with n_trigrams 0. All five count joins are broadcast; the only
+    wide exchange is the per-doc regroup."""
+    toks = _clean_tokens(text_col)
+    trips = (docs.select(F.col(id_col).alias("doc_id"),
+                         F.explode(_trigram_structs(toks)).alias("t"))
+             .select("doc_id", "t.w1", "t.w2", "t.w3"))
+    tri = F.broadcast(lm.trigrams.select(
+        "w1", "w2", "w3", F.col("c").alias("c_tri")))
+    bi12 = F.broadcast(lm.bigrams.select(
+        "w1", "w2", F.col("c").alias("c_b12")))
+    bi23 = F.broadcast(lm.bigrams.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+        F.col("c").alias("c_b23")))
+    uni2 = F.broadcast(lm.unigrams.select(
+        F.col("w").alias("w2"), F.col("c").alias("c_w2")))
+    uni3 = F.broadcast(lm.unigrams.select(
+        F.col("w").alias("w3"), F.col("c").alias("c_w3")))
+    n = float(lm.total_tokens)
+    a = F.lit(lm.alpha)
+    backoff = F.when(
+        F.col("c_b23").isNotNull() & F.col("c_w2").isNotNull(),
+        F.col("c_b23").cast("double") / F.col("c_w2")
+    ).otherwise(
+        a * F.coalesce(F.col("c_w3"), F.lit(1)).cast("double") / F.lit(n))
+    score = F.when(
+        F.col("c_tri").isNotNull() & F.col("c_b12").isNotNull(),
+        F.col("c_tri").cast("double") / F.col("c_b12")
+    ).otherwise(a * backoff)
+    scored = (trips
+              .join(tri, ["w1", "w2", "w3"], "left")
+              .join(bi12, ["w1", "w2"], "left")
+              .join(bi23, ["w2", "w3"], "left")
+              .join(uni2, ["w2"], "left")
+              .join(uni3, ["w3"], "left")
+              .groupBy("doc_id")
+              .agg(F.count("*").cast("int").alias("n_trigrams"),
+                   F.round(F.pow(F.lit(10.0),
+                                 -F.avg(F.log10(score))), 6).alias("ppl3")))
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (base.join(scored, "doc_id", "left")
+            .select(F.col("doc_id").alias(id_col),
+                    F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+                    "ppl3"))

@@ -2030,3 +2030,33 @@ def test_redact_pii(spark):
     assert out[2].text_redacted == "server at <IP> and <IP> rebooted"
     assert out[2].n_ipv4 == 2
     assert out[3].text_redacted == rows[2][1] and out[4].n_phone == 0
+
+
+def test_trigram_perplexity_hand_computed(spark):
+    """Trigram stupid backoff against hand-derived scores on a 3-doc
+    corpus: kept-trigram ratio, backoff-to-bigram (alpha), double-backoff
+    OOV floor (alpha^2 / N), and the <3-token NULL degenerate."""
+    from fortissimo_spark.lm import train_trigram_lm, with_perplexity_trigram
+    train = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b d")],
+        "doc_id long, text string")
+    lm = train_trigram_lm(train, top_v=100)
+    assert lm.total_tokens == 9
+    probe = spark.createDataFrame(
+        [(10, "a b c"),   # tri (a,b,c)=2 / bi (a,b)=3 -> 2/3, ppl 1.5
+         (11, "a b d"),   # 1/3 -> ppl 3.0
+         (12, "c a b"),   # tri miss -> a * bi(a,b)/uni(a) = 0.4 -> 2.5
+         (13, "z z z"),   # full miss -> a * a * 1/9 -> ppl 56.25
+         (14, "a b"),     # no trigram -> NULL, n=0
+         (15, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_trigrams, r.ppl3)
+           for r in with_perplexity_trigram(probe, lm).collect()}
+    assert got[10] == (1, 1.5)
+    assert got[11] == (1, 3.0)
+    assert got[12] == (1, 2.5)
+    assert got[13] == (1, 56.25)
+    assert got[14] == (0, None) and got[15] == (0, None)
+    # backoff hierarchy: a doc of kept trigrams scores better than one
+    # that backs off, which beats the OOV floor
+    assert got[10][1] < got[12][1] < got[13][1]

@@ -236,6 +236,18 @@ def main():
         ("no Python stage", "Python" not in p and "MapInPandas" not in p),
     ]))
 
+    # 9b. trigram LM scoring: same bounded-broadcast discipline, one
+    #     order higher — all five count joins broadcast, one regroup
+    from fortissimo_spark.lm import train_trigram_lm, with_perplexity_trigram
+    lm3 = train_trigram_lm(docs.limit(200))
+    p = plan_of(with_perplexity_trigram(docs, lm3))
+    sections.append(("trigram perplexity scoring", p, [
+        ("all five count-table joins broadcast",
+         p.count("BroadcastHashJoin") >= 5),
+        ("no SortMergeJoin", "SortMergeJoin" not in p),
+        ("no Python stage", "Python" not in p and "MapInPandas" not in p),
+    ]))
+
     # 10. per-host cap: row_number<=N takes the WindowGroupLimit rewrite
     #     (map tasks pre-prune a mega-host before the exchange)
     from fortissimo_spark.urls import cap_per_host
