@@ -770,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_perplexity": _q_ngram_perplexity,
         "trigram_perplexity": _q_trigram_perplexity,
         "semantic_dedup": _q_semantic_dedup,
+        "semantic_dedup_split": _q_semantic_dedup_split,
         "curate_corpus": _q_curate_corpus,
         "stratified_sample": _q_stratified_sample,
         "incremental_new_pages": _q_incremental_new_pages,
@@ -1080,6 +1081,28 @@ def _q_semantic_dedup(spark, sf_dir):
     cents = ivf_centroids(64, 8, 7)
     return (semantic_dedup(emb.union(copies), 0.95, cents=cents,
                            max_cell_size=0)
+            .orderBy("vec_id"))
+
+
+def _q_semantic_dedup_split(spark, sf_dir):
+    """SemDedup with hot-cell re-quantization EXERCISED: a small
+    max_cell_size makes every sf-corpus cell hot, so each splits against
+    the second-level quantizer before the residual cap; planted scaled
+    copies still lose to their originals (identical direction -> same
+    cell AND same subcell by construction)."""
+    from fortissimo_spark.similarity import default_subcents, semantic_dedup
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>")
+                   .alias("embedding")))
+    copies = (emb.filter(F.col("vec_id") < 6)
+              .select((F.col("vec_id") + 9600000).alias("vec_id"),
+                      F.transform("embedding", lambda x: x * 1.5)
+                      .alias("embedding")))
+    return (semantic_dedup(emb.union(copies), 0.95,
+                           cents=ivf_centroids(64, 8, 7),
+                           max_cell_size=60,
+                           subcents=default_subcents(64))
             .orderBy("vec_id"))
 
 
@@ -1704,6 +1727,73 @@ def _ppl_ctes(score_corpus_cte: str) -> str:
                     FROM lm_scored GROUP BY doc_id)"""
 
 
+def _semantic_dedup_split_oracle_sql() -> str:
+    """DuckDB recompute of SemDedup WITH hot-cell re-quantization: same
+    first-level centroid literals and tie-break, per-cell counts, the
+    second-level subcell for members of over-cap cells (same (dot desc,
+    cid asc) tie-break against the subcentroid literals, -1 elsewhere),
+    the residual per-(cell, sub) id-ordered cap, within-block cosine
+    pairs, recursive-CTE connected components."""
+    from fortissimo_spark.similarity import default_subcents
+    max_cell = 60
+
+    def lits(cs):
+        return ",\n                   ".join(
+            "({}, [{}]::DOUBLE[])".format(
+                i, ", ".join(repr(x) for x in c))
+            for i, c in enumerate(cs))
+
+    return f"""
+        WITH RECURSIVE cents(cid, c) AS (VALUES {lits(ivf_centroids(64, 8, 7))}),
+        cents2(cid, c) AS (VALUES {lits(default_subcents(64))}),
+        base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          UNION ALL
+          SELECT vec_id + 9600000,
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+          FROM embeddings WHERE vec_id < 6),
+        assign AS (
+          SELECT b.vec_id, b.v, c.cid,
+                 row_number() OVER (PARTITION BY b.vec_id
+                    ORDER BY list_dot_product(b.v, c.c) DESC, c.cid) AS rn
+          FROM base b CROSS JOIN cents c),
+        cells AS (SELECT vec_id, v, cid AS cell FROM assign WHERE rn = 1),
+        counts AS (SELECT cell, count(*) AS n FROM cells GROUP BY cell),
+        assign2 AS (
+          SELECT b.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY b.vec_id
+                    ORDER BY list_dot_product(b.v, c.c) DESC, c.cid) AS rn
+          FROM cells b CROSS JOIN cents2 c),
+        subs AS (SELECT vec_id, cid AS sub FROM assign2 WHERE rn = 1),
+        blocked AS (
+          SELECT c.vec_id, c.v, c.cell,
+                 CASE WHEN n.n > {max_cell} THEN s.sub ELSE -1 END AS sub
+          FROM cells c JOIN counts n USING (cell)
+          JOIN subs s USING (vec_id)),
+        capped AS (SELECT vec_id, v, cell, sub FROM (
+                     SELECT b.*, row_number() OVER (
+                       PARTITION BY cell, sub ORDER BY vec_id) AS rn
+                     FROM blocked b) WHERE rn <= {max_cell}),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM capped a JOIN capped b
+            ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.v, b.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL
+                  SELECT id_b AS a, id_a AS b FROM pairs),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        walk(id, lab) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.a, w.lab FROM edges e JOIN walk w ON e.b = w.id),
+        comp AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id)
+        SELECT id AS vec_id, cluster_id AS canonical_id
+        FROM comp WHERE id <> cluster_id"""
+
+
 def _ppl3_ctes(score_corpus_cte: str) -> str:
     """Trigram extension of :func:`_ppl_ctes`: the same shared training
     CTEs plus a top-V trigram table and the trigram -> bigram -> unigram
@@ -1861,6 +1951,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_perplexity": _ppl_oracle_sql(),
         "trigram_perplexity": _ppl3_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "semantic_dedup_split": _semantic_dedup_split_oracle_sql(),
         "stratified_sample": """
             WITH q(lang, quota) AS (VALUES
               ('en', 100), ('es', 40), ('de', 40), ('zh', 25)),

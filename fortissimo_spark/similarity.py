@@ -22,7 +22,8 @@ __all__ = ["cosine_topk", "hyperplane_signature", "cosine_near_pairs",
            "normalize_col", "ivf_centroids", "ivf_fit_centroids",
            "ivf_assign", "ivf_topk",
            "write_ivf_partitioned", "ivf_topk_partitioned",
-           "semantic_near_pairs", "semantic_cell_stats", "semantic_dedup"]
+           "semantic_near_pairs", "semantic_cell_stats", "semantic_dedup",
+           "default_subcents"]
 
 
 def _planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
@@ -147,11 +148,17 @@ def ivf_assign(embeddings: DataFrame, cents: list[list[float]],
     multiplies by n_centroids)."""
     base = embeddings.select(F.col(id_col).alias("vec_id"),
                              F.col(emb_col).cast("array<double>").alias("v"))
+    return base.withColumn("cell", _argmax_cell(F.col("v"), cents))
+
+
+def _argmax_cell(vcol, cents: list[list[float]]):
+    """Argmax-dot cell id as a single JVM expression ((dot desc, cid asc)
+    tie-break, no explode): greatest() over per-centroid structs."""
     best = F.greatest(*[
-        F.struct(_dot(F.col("v"), F.array(*[F.lit(x) for x in c])).alias("s"),
+        F.struct(_dot(vcol, F.array(*[F.lit(x) for x in c])).alias("s"),
                  F.lit(-i).alias("negcid"))
         for i, c in enumerate(cents)])
-    return base.withColumn("cell", (-best["negcid"]).cast("int"))
+    return (-best["negcid"]).cast("int")
 
 
 def ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10, *,
@@ -326,6 +333,8 @@ def hyperplane_bucket_stats(embeddings: DataFrame, num_planes: int = 12,
 def semantic_near_pairs(embeddings: DataFrame, threshold: float = 0.95, *,
                         cents: list[list[float]],
                         max_cell_size: int = 10_000,
+                        split_hot_cells: bool = True,
+                        subcents: list[list[float]] | None = None,
                         id_col: str = "vec_id",
                         emb_col: str = "embedding") -> DataFrame:
     """(id_a, id_b, cos_sim) — embedding near-dup pairs found WITHIN
@@ -336,45 +345,100 @@ def semantic_near_pairs(embeddings: DataFrame, threshold: float = 0.95, *,
     in the same cell when they are truly near (the documented SemDedup
     recall trade-off for pairs that straddle a cell boundary).
 
-    Hot cells are capped deterministically (row_number by id, taking the
-    WindowGroupLimit map-side pre-prune) at ``max_cell_size`` members;
-    :func:`semantic_cell_stats` surfaces any cell the cap bit — the same
-    no-silent-caps contract as the LSH operators."""
-    assigned = ivf_assign(embeddings, cents, id_col, emb_col)
+    Hot cells are RE-QUANTIZED before any cap bites
+    (``split_hot_cells``, default on): members of a cell larger than
+    ``max_cell_size`` get a second-level assignment against
+    ``subcents`` (deterministic finer centroids; per-cell counts are a
+    tiny broadcast — at most ``len(cents)`` rows), so a mega-cell's
+    within-cell self-join cost drops from Θ(cell²) toward
+    Θ(Σ subcell²) while near-identical vectors — which land in the same
+    subcell by construction — keep their pairs, instead of the tail of
+    the cell being truncated away. The recall trade-off moves from
+    "members past the cap are invisible" to the much weaker "pairs
+    straddling a SUBcell boundary inside a hot cell are missed" (the
+    same boundary trade-off SemDedup already accepts at level one).
+    Cells at/below the cap never split, so results off the hot path are
+    unchanged.
+
+    Any (cell, subcell) STILL over the cap after splitting is capped
+    deterministically (row_number by id, taking the WindowGroupLimit
+    map-side pre-prune); :func:`semantic_cell_stats` surfaces any block
+    the residual cap bit — the same no-silent-caps contract as the LSH
+    operators."""
+    assigned = _blocked_cells(embeddings, cents, max_cell_size,
+                              split_hot_cells, subcents, id_col, emb_col)
     if max_cell_size:
         from pyspark.sql import Window
-        w = Window.partitionBy("cell").orderBy("vec_id")
+        w = Window.partitionBy("cell", "sub").orderBy("vec_id")
         assigned = (assigned.withColumn("_rn", F.row_number().over(w))
                     .filter(F.col("_rn") <= max_cell_size).drop("_rn"))
     a = assigned.select(F.col("vec_id").alias("id_a"),
-                        F.col("v").alias("va"), "cell")
+                        F.col("v").alias("va"), "cell", "sub")
     b = assigned.select(F.col("vec_id").alias("id_b"),
-                        F.col("v").alias("vb"), "cell")
+                        F.col("v").alias("vb"), "cell", "sub")
     sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va"))
                                             * _norm(F.col("vb")))
-    return (a.join(b, "cell")
+    return (a.join(b, ["cell", "sub"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
 
 
+def default_subcents(dim: int, n_subcells: int = 8) -> list[list[float]]:
+    """The deterministic second-level quantizer hot-cell splitting uses
+    when the caller passes none (seed fixed so Spark and the DuckDB
+    oracle derive identical literals)."""
+    return ivf_centroids(dim, n_subcells, seed=9001)
+
+
+def _blocked_cells(embeddings: DataFrame, cents: list[list[float]],
+                   max_cell_size: int, split_hot_cells: bool,
+                   subcents: list[list[float]] | None,
+                   id_col: str, emb_col: str) -> DataFrame:
+    """(vec_id, v, cell, sub): first-level assignment plus the hot-cell
+    second-level subcell (-1 for members of cells at/below the cap, and
+    everywhere when splitting is off)."""
+    assigned = ivf_assign(embeddings, cents, id_col, emb_col)
+    if not (max_cell_size and split_hot_cells):
+        return assigned.withColumn("sub", F.lit(-1))
+    if subcents is None:
+        subcents = default_subcents(len(cents[0]))
+    counts = assigned.groupBy("cell").agg(F.count("*").alias("_n"))
+    return (assigned.join(F.broadcast(counts), "cell")
+            .withColumn("sub",
+                        F.when(F.col("_n") > max_cell_size,
+                               _argmax_cell(F.col("v"), subcents))
+                        .otherwise(F.lit(-1)))
+            .drop("_n"))
+
+
 def semantic_cell_stats(embeddings: DataFrame, *,
                         cents: list[list[float]],
                         max_cell_size: int = 10_000,
+                        split_hot_cells: bool = True,
+                        subcents: list[list[float]] | None = None,
                         id_col: str = "vec_id",
                         emb_col: str = "embedding") -> DataFrame:
-    """One row per cell larger than ``max_cell_size`` (members + dropped)
-    — the cap observability companion to :func:`semantic_near_pairs`."""
-    return (ivf_assign(embeddings, cents, id_col, emb_col)
-            .groupBy("cell").agg(F.count("*").alias("n_members"))
+    """One row per (cell, sub) block larger than ``max_cell_size`` AFTER
+    hot-cell splitting (members + dropped) — the cap observability
+    companion to :func:`semantic_near_pairs`, under the identical
+    blocking. With splitting on, a row here means a subcell of a hot
+    cell is itself over the cap (finer ``subcents`` needed); with
+    ``split_hot_cells=False`` it reports over-cap cells directly
+    (``sub`` = -1)."""
+    return (_blocked_cells(embeddings, cents, max_cell_size,
+                           split_hot_cells, subcents, id_col, emb_col)
+            .groupBy("cell", "sub").agg(F.count("*").alias("n_members"))
             .filter(F.col("n_members") > max_cell_size)
-            .select("cell", "n_members",
+            .select("cell", "sub", "n_members",
                     (F.col("n_members") - max_cell_size).alias("n_dropped")))
 
 
 def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95, *,
                    cents: list[list[float]],
                    max_cell_size: int = 10_000,
+                   split_hot_cells: bool = True,
+                   subcents: list[list[float]] | None = None,
                    id_col: str = "vec_id",
                    emb_col: str = "embedding") -> DataFrame:
     """(vec_id, canonical_id) for every vector that LOSES to a
@@ -384,6 +448,8 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95, *,
     from .dedup import duplicate_clusters
     pairs = semantic_near_pairs(embeddings, threshold, cents=cents,
                                 max_cell_size=max_cell_size,
+                                split_hot_cells=split_hot_cells,
+                                subcents=subcents,
                                 id_col=id_col, emb_col=emb_col)
     clusters = duplicate_clusters(pairs.select("id_a", "id_b"))
     return (clusters.filter(F.col("id") != F.col("cluster_id"))

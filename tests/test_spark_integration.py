@@ -2060,3 +2060,61 @@ def test_trigram_perplexity_hand_computed(spark):
     # backoff hierarchy: a doc of kept trigrams scores better than one
     # that backs off, which beats the OOV floor
     assert got[10][1] < got[12][1] < got[13][1]
+
+
+def test_semantic_dedup_hot_cell_split_preserves_recall(spark):
+    """A planted near-dup whose copy carries a LARGE id inside a hot
+    cell: the id-ordered cap alone truncates the copy away (pair missed),
+    hot-cell re-quantization keeps it — identical vectors land in the
+    same subcell by construction — while still bounding every block."""
+    from fortissimo_spark.similarity import (
+        ivf_centroids, semantic_cell_stats, semantic_dedup,
+    )
+    dim = 8
+    cents = ivf_centroids(dim, 4, 7)
+    # a DIVERSE hot cell (the realistic mega-cell): deterministic LCG
+    # vectors, keeping only those the coarse quantizer maps to cell 0
+    from fortissimo_spark.similarity import _argmax_cell, ivf_assign
+
+    def lcg_vecs(n, seed=11):
+        s = seed
+        out = []
+        while len(out) < n:
+            v = []
+            for _ in range(dim):
+                s = (s * 6364136223846793005 + 1442695040888963407) \
+                    & 0xFFFFFFFFFFFFFFFF
+                v.append((s >> 11) / float(1 << 53) * 2.0 - 1.0)
+            out.append(v)
+        return out
+
+    pool = lcg_vecs(400)
+    import math
+
+    def cell_of(v):
+        dots = [sum(a * b for a, b in zip(v, c)) for c in cents]
+        return max(range(len(cents)), key=lambda i: (dots[i], -i))
+
+    members = [v for v in pool if cell_of(v) == 0][:30]
+    assert len(members) == 30
+    rows = [(i, v) for i, v in enumerate(members)]
+    rows.append((999, [x * 1.5 for x in members[0]]))  # copy of id 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert (ivf_assign(emb, cents).select("cell").distinct().count() == 1)
+
+    subcents = ivf_centroids(dim, 16, 9001)  # finer second level
+    unsplit = {r.vec_id: r.canonical_id
+               for r in semantic_dedup(emb, 0.99, cents=cents,
+                                       max_cell_size=6,
+                                       split_hot_cells=False).collect()}
+    assert 999 not in unsplit  # the old cap loses the true near-dup
+    split = {r.vec_id: r.canonical_id
+             for r in semantic_dedup(emb, 0.99, cents=cents,
+                                     max_cell_size=6,
+                                     subcents=subcents).collect()}
+    assert split.get(999) == 0  # re-quantization keeps it
+    # observability: blocks still over the cap after splitting (if any)
+    # report per (cell, sub); the unsplit view reports the hot cell itself
+    hot = semantic_cell_stats(emb, cents=cents, max_cell_size=6,
+                              split_hot_cells=False).collect()
+    assert len(hot) == 1 and hot[0].n_members == 31 and hot[0].sub == -1
