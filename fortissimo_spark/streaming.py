@@ -27,7 +27,8 @@ from .pipeline import extract_df
 from .schema import PAGES_SCHEMA
 
 __all__ = ["read_pages_stream", "streaming_extract", "start_streaming_job",
-           "streaming_host_stats", "streaming_crawl_rates"]
+           "streaming_host_stats", "streaming_crawl_rates",
+           "streaming_curate", "DOCS_STREAM_SCHEMA"]
 
 
 def read_pages_stream(spark: SparkSession, input_path: str,
@@ -123,6 +124,68 @@ def start_streaming_job(spark: SparkSession, input_path: str, output_path: str,
          .parquet(os.path.join(output_path, f"batch_id={batch_id}")))
 
     return (extracted.writeStream
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start())
+
+
+DOCS_STREAM_SCHEMA = ("doc_id long, lang string, text string, "
+                      "crawl_ts timestamp")
+
+
+def streaming_curate(spark: SparkSession, input_path: str, output_path: str,
+                     checkpoint_path: str, *, lm=None,
+                     ppl_cutoff: float = 100.0, watermark: str = "1 hour",
+                     max_files_per_trigger: int = 1,
+                     trigger_seconds: int = 10):
+    """``pipeline.curate_corpus``'s dedup + LM-gate stages as an
+    INCREMENTAL job — the continuous-crawl shape of the composed recipe.
+
+    * **exact dedup** streams as ``dropDuplicatesWithinWatermark`` on
+      ``sha256(text)``: the first-seen copy of each byte-identical text
+      wins (equal to the batch recipe's min-id winner whenever ids
+      arrive in crawl order), and content-hash state is EVICTED once the
+      watermark passes its event time — bounded by crawl rate x horizon,
+      never by corpus size (the same argument as
+      :func:`streaming_extract`; recrawls older than the horizon are the
+      batch dedup window's job at read time).
+    * **LM quality gate** runs inside ``foreachBatch``: the bounded
+      count tables broadcast into each micro-batch exactly as in the
+      batch plan — the gate is stateless, so batch and stream scores are
+      identical by construction.
+    * **mixture quotas stay batch-side**: a quota is a corpus-level
+      publication decision (which K of ALL candidates), not a per-row
+      predicate — applying it per micro-batch would admit the first K
+      of each batch instead. Run ``corpus.stratified_sample`` over the
+      accumulated output at publication time.
+
+    Each batch writes ``batch_id=N`` with overwrite (the
+    :func:`start_streaming_job` at-least-once idempotency contract).
+    Returns the StreamingQuery handle."""
+    from .lm import with_perplexity
+
+    stream = (spark.readStream.schema(DOCS_STREAM_SCHEMA)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(input_path))
+    deduped = (stream
+               .withColumn("_th", F.sha2(F.col("text"), 256))
+               .withWatermark("crawl_ts", watermark)
+               .dropDuplicatesWithinWatermark(["_th"])
+               .drop("_th"))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df
+        if lm is not None:
+            ppl = with_perplexity(out, lm, "doc_id", "text")
+            out = (out.join(ppl, "doc_id")
+                   .filter(F.col("ppl").isNotNull()
+                           & (F.col("ppl") <= ppl_cutoff)))
+        cols = ["doc_id", "lang"] + (["ppl"] if lm is not None else [])
+        (out.select(*cols).write.mode("overwrite")
+         .parquet(os.path.join(output_path, f"batch_id={batch_id}")))
+
+    return (deduped.writeStream
             .foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint_path)
             .trigger(processingTime=f"{trigger_seconds} seconds")

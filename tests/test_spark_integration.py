@@ -2118,3 +2118,90 @@ def test_semantic_dedup_hot_cell_split_preserves_recall(spark):
     hot = semantic_cell_stats(emb, cents=cents, max_cell_size=6,
                               split_hot_cells=False).collect()
     assert len(hot) == 1 and hot[0].n_members == 31 and hot[0].sub == -1
+
+
+def test_streaming_curate_matches_batch_and_bounds_state(spark,
+                                                         tmp_path_factory):
+    """The composed curation recipe runs incrementally: streaming
+    dedup+gate over ordered micro-batches produces exactly the batch
+    curate_corpus rows on the same corpus (first-seen == min-id winner
+    because drops arrive in crawl order), and the content-hash dedup
+    state EVICTS once the watermark passes — bounded by rate x horizon."""
+    import datetime
+    import time as _time
+
+    from fortissimo_spark.lm import train_bigram_lm
+    from fortissimo_spark.pipeline import curate_corpus
+    from fortissimo_spark.streaming import streaming_curate
+
+    base = tmp_path_factory.mktemp("stream_curate")
+    in_dir = str(base / "in")
+    out_dir = str(base / "out")
+    ckpt = str(base / "ckpt")
+    os.makedirs(in_dir)
+
+    good = ["the quick brown fox jumps over the lazy dog again",
+            "a stream of pages flows through the filter stack",
+            "join merge filter order window batch scan vector"]
+    drops = {
+        # d1: the min-id copy of every dup group + a gibberish doc
+        "d1": [(1, "en", good[0], 1), (2, "en", good[1], 1),
+               (3, "de", good[2], 1), (4, "en", "zzq wqx qqv zxo vvq", 1)],
+        # d2 (same day, later file): dups of 1 and 2 + a fresh doc
+        "d2": [(101, "en", good[0], 1), (102, "en", good[1], 1),
+               (5, "es", good[2] + " extended here", 1)],
+        # d3: ten days later -> watermark passes d1/d2 state
+        "d3": [(6, "en", good[1] + " fresh content now", 11)],
+    }
+
+    def write_drop(name):
+        rows = [(i, lang, text,
+                 datetime.datetime(2024, 3, day, 12, 0, 0))
+                for i, lang, text, day in drops[name]]
+        spark.createDataFrame(
+            rows, "doc_id long, lang string, text string, "
+                  "crawl_ts timestamp").coalesce(1) \
+            .write.mode("overwrite").parquet(os.path.join(in_dir, name))
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    all_rows = [r for name in ("d1", "d2", "d3") for r in drops[name]]
+    train = spark.createDataFrame([(r[0], r[2]) for r in all_rows],
+                                  "doc_id long, text string")
+    lm = train_bigram_lm(train, top_v=500)
+
+    write_drop("d1")
+    write_drop("d2")
+    q = streaming_curate(spark, in_dir + "/*", out_dir, ckpt, lm=lm,
+                         ppl_cutoff=50.0, watermark="1 hour")
+    try:
+        q.processAllAvailable()
+        s1 = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        assert s1 >= 5  # d1+d2 distinct texts held in state
+
+        batch_docs = spark.createDataFrame(
+            [(r[0], r[1], r[2]) for n in ("d1", "d2") for r in drops[n]],
+            "doc_id long, lang string, text string")
+        want = {(r.doc_id, r.lang, r.ppl)
+                for r in curate_corpus(batch_docs, lm,
+                                       ppl_cutoff=50.0).collect()}
+        got = {(r.doc_id, r.lang, r.ppl)
+               for r in spark.read.parquet(out_dir + "/batch_id=*")
+               .collect()}
+        assert got == want and len(want) >= 3
+        assert not any(d in {x[0] for x in got} for d in (101, 102))
+
+        # day-11 drop pushes the watermark past d1/d2: their hash state
+        # must evict (two drops so the advanced watermark gets applied)
+        write_drop("d3")
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(7, "en", "one more doc to tick the watermark forward",
+              datetime.datetime(2024, 3, 11, 13, 0, 0))],
+            "doc_id long, lang string, text string, crawl_ts timestamp") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(in_dir, "d4"))
+        q.processAllAvailable()
+        s2 = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        assert s2 < s1
+    finally:
+        q.stop()
