@@ -353,9 +353,11 @@ def decode_image(payload: bytes, *, deterministic_fake: bool = False):
     REAL pure-Python decoders cover JPEG — baseline AND progressive
     (jpeg.py: huffman + IDCT, subsampling, restarts, spectral selection +
     successive approximation) — PNG (8-bit gray/gray+alpha/RGB/RGBA,
-    non-interlaced), BMP (uncompressed 24/32-bit) and PPM (P6/P3) — no
-    imaging library needed. Remaining formats (WebP, ...) raise unless
-    ``deterministic_fake=True``, which substitutes a seeded,
+    non-interlaced), lossless WebP (vp8l.py: full VP8L bitstream —
+    prefix codes, LZ77 + color cache, meta groups, all four transforms),
+    BMP (uncompressed 24/32-bit) and PPM (P6/P3) — no imaging library
+    needed. Remaining formats (lossy-VP8 WebP, GIF, AVIF pixels) raise
+    unless ``deterministic_fake=True``, which substitutes a seeded,
     content-derived stand-in so the distributed plumbing stays testable.
     """
     raw = payload or b""
@@ -371,6 +373,19 @@ def decode_image(payload: bytes, *, deterministic_fake: bool = False):
             return decode_bmp(raw)
         if raw[:2] in (b"P6", b"P3"):
             return decode_ppm(raw)
+        if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP" \
+                and b"VP8L" in raw[12:min(len(raw), 64)]:
+            # lossless WebP: REAL pixel decode (vp8l.py); lossy VP8 /
+            # animated flavors fall through to the header sniff below
+            from .vp8l import decode_vp8l
+            w, h, argb = decode_vp8l(raw)
+
+            def luma(x, y):
+                p = argb[y * w + x]
+                return ((p >> 16 & 0xFF) * 299 + (p >> 8 & 0xFF) * 587
+                        + (p & 0xFF) * 114) // 1000
+
+            return w, h, _gray_grid(w, h, luma)
         # header-sniffable codec formats: REAL dimensions from the
         # container header, digest stand-in for the pixel summary (the
         # bitstream still needs a codec library)
@@ -384,11 +399,11 @@ def decode_image(payload: bytes, *, deterministic_fake: bool = False):
         unrecognized = False
     if unrecognized and not deterministic_fake:
         raise NotImplementedError(
-            "only baseline-JPEG/PNG/BMP/PPM have in-container PIXEL "
-            "decoders (WebP/GIF/AVIF headers sniff real dimensions with a "
-            "digest pixel summary); other formats need an imaging library "
-            "— pass deterministic_fake=True for the content-derived "
-            "stand-in")
+            "only JPEG/PNG/lossless-WebP/BMP/PPM have in-container PIXEL "
+            "decoders (lossy-WebP/GIF/AVIF headers sniff real dimensions "
+            "with a digest pixel summary); other formats need an imaging "
+            "library — pass deterministic_fake=True for the "
+            "content-derived stand-in")
     # stand-in: unrecognized format, or corrupt payload with fake enabled —
     # a kernel row must never kill the Spark task
     digest = hashlib.sha256(raw).digest()
