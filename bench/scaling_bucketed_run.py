@@ -67,8 +67,10 @@ def main():
         for _ in range(8):
             arr.sum()
         return time.perf_counter() - t0
-    noise = round(max(min(cpu() for _ in range(3)) / 0.137,
-                      min(membw() for _ in range(3)) / 0.098), 3)
+    from bench import CONTROL_MEMBW_REF_SEC, CONTROL_REF_SEC
+    noise = round(max(min(cpu() for _ in range(3)) / CONTROL_REF_SEC,
+                      min(membw() for _ in range(3))
+                      / CONTROL_MEMBW_REF_SEC), 3)
     # loadavg catches what single-thread controls cannot: a co-tenant
     # burning whole cores steadily (controls read ~1.00 while loadavg
     # shows ~3) — that regime degrades the 8-core side of the pair most
