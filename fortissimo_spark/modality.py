@@ -4,15 +4,17 @@ The Spark-side contract — schemas, Arrow batch shapes, ``mapInPandas``
 signatures, partitioning — is real and tested, and so is the decode step
 for the formats decodable without external codecs: baseline JPEG (full
 huffman + IDCT pipeline, jpeg.py), PNG (stdlib zlib + filter
-reconstruction, 8-bit gray/gray+alpha/RGB/RGBA, non-interlaced), BMP
-(uncompressed 24/32-bit) and PPM (P6/P3) images produce real dimensions
-and a pixel-derived 4x4 grayscale feature grid; WAV PCM audio produces
-real sample rate / channels / duration and a 16-window RMS loudness
-profile. Codec formats get header-only sniffing (``sniff_media``): WebP
-(VP8/VP8L/VP8X), GIF and AVIF yield real dimensions, mp3 yields real
-sample rate / channels / CBR duration — so the typed metadata columns
-populate without a codec library, while the pixel/sample summaries for
-those formats remain digest stand-ins. Fully-unrecognized formats (video
+reconstruction, 8-bit gray/gray+alpha/RGB/RGBA, non-interlaced),
+lossless WebP (full VP8L bitstream, vp8l.py), GIF (full LZW +
+interlacing + color tables, first frame), BMP (uncompressed 24/32-bit)
+and PPM (P6/P3) images produce real dimensions and a pixel-derived 4x4
+grayscale feature grid; WAV PCM audio produces real sample rate /
+channels / duration and a 16-window RMS loudness profile. The remaining
+codec formats get header-only sniffing (``sniff_media``): WebP
+VP8/VP8X and AVIF yield real dimensions, mp3 yields real sample rate /
+channels / CBR duration — so the typed metadata columns populate
+without a codec library, while the pixel/sample summaries for those
+formats remain digest stand-ins. Fully-unrecognized formats (video
 codecs, ogg, ...) raise ``NotImplementedError``/``ValueError`` unless
 ``deterministic_fake=True``, which substitutes a seeded content-derived
 stand-in so downstream plumbing stays exercisable end-to-end.
@@ -32,7 +34,8 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["MEDIA_SCHEMA", "IMAGE_FEATURES_SCHEMA", "AUDIO_FEATURES_SCHEMA",
-           "decode_image", "decode_bmp", "decode_ppm", "decode_png", "decode_wav",
+           "decode_image", "decode_bmp", "decode_ppm", "decode_png", "decode_gif",
+           "decode_wav",
            "decode_audio", "make_image_feature_kernel",
            "make_audio_feature_kernel", "image_features", "audio_features",
            "sample_frames", "sniff_media", "sniff_webp", "sniff_gif",
@@ -274,6 +277,160 @@ def sniff_gif(raw: bytes):
             int.from_bytes(raw[8:10], "little"))
 
 
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytes:
+    """GIF-flavor LZW (variable code width, LSB-first packing, clear/end
+    codes, 12-bit dictionary cap) -> palette indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # dictionary as (prefix_code, last_byte); roots are -1-prefixed
+    prefix: list[int] = []
+    suffix: list[int] = []
+
+    def reset():
+        nonlocal width, next_code, prev
+        prefix[:] = [-1] * clear + [-1, -1]
+        suffix[:] = list(range(clear)) + [0, 0]
+        width = min_code_size + 1
+        next_code = end + 1
+        prev = -1
+
+    width = next_code = 0
+    prev = -1
+    reset()
+    acc = nbits = 0
+
+    def first_byte(code: int) -> int:
+        while prefix[code] != -1:
+            code = prefix[code]
+        return suffix[code]
+
+    def expand(code: int) -> bytes:
+        chunk = bytearray()
+        while code != -1:
+            chunk.append(suffix[code])
+            code = prefix[code]
+        chunk.reverse()
+        return chunk
+
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                continue
+            if code == end:
+                return bytes(out)
+            if code < next_code:
+                out += expand(code)
+                if prev != -1 and next_code < 4096:
+                    prefix.append(prev)
+                    suffix.append(first_byte(code))
+                    next_code += 1
+            elif code == next_code and prev != -1:
+                # the KwKwK case: new entry = prev + first byte of prev
+                fb = first_byte(prev)
+                prefix.append(prev)
+                suffix.append(fb)
+                next_code += 1
+                out += expand(code)
+            else:
+                raise ValueError("bad LZW code")
+            prev = code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= max_pixels:
+                return bytes(out)
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes):
+    """Pure-Python GIF decode -> (width, height, 4x4 grayscale grid) for
+    the FIRST image (animated GIFs summarize their first frame — the
+    header-sniff columns carry the container dims). Full GIF87a/89a
+    LZW (variable code width, clear/end, the KwKwK case), global + local
+    color tables, interlacing, frames positioned inside the logical
+    screen (uncovered area = background index)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    bg = payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    if not sw or not sh:
+        raise ValueError("bad GIF dimensions")
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            left = int.from_bytes(payload[pos + 1:pos + 3], "little")
+            top = int.from_bytes(payload[pos + 3:pos + 5], "little")
+            iw = int.from_bytes(payload[pos + 5:pos + 7], "little")
+            ih = int.from_bytes(payload[pos + 7:pos + 9], "little")
+            ip = payload[pos + 9]
+            pos += 10
+            table = gct
+            if ip & 0x80:
+                n = 2 << (ip & 7)
+                table = payload[pos:pos + 3 * n]
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF image without a color table")
+            mcs = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                lzw += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(lzw), mcs, iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError("truncated GIF image data")
+            if ip & 0x40:  # interlaced: 4-pass row order
+                rows = []
+                for start, step in _GIF_INTERLACE:
+                    rows.extend(range(start, ih, step))
+                de = bytearray(iw * ih)
+                for src_row, dst_row in enumerate(rows):
+                    de[dst_row * iw:(dst_row + 1) * iw] = \
+                        idx[src_row * iw:(src_row + 1) * iw]
+                idx = bytes(de)
+
+            def gray_at(x: int, y: int) -> int:
+                fx, fy = x - left, y - top
+                i = idx[fy * iw + fx] if (0 <= fx < iw and 0 <= fy < ih) \
+                    else bg
+                p = 3 * i
+                if p + 3 > len(table):
+                    return 0
+                return (table[p] * 299 + table[p + 1] * 587
+                        + table[p + 2] * 114) // 1000
+
+            return sw, sh, _gray_grid(sw, sh, gray_at)
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    raise ValueError("GIF with no image data")
+
+
 def sniff_avif(raw: bytes):
     """(width, height) from an AVIF's ispe property box, else None."""
     if raw[4:8] != b"ftyp" or b"avif" not in raw[8:32]:
@@ -355,8 +512,9 @@ def decode_image(payload: bytes, *, deterministic_fake: bool = False):
     successive approximation) — PNG (8-bit gray/gray+alpha/RGB/RGBA,
     non-interlaced), lossless WebP (vp8l.py: full VP8L bitstream —
     prefix codes, LZ77 + color cache, meta groups, all four transforms),
-    BMP (uncompressed 24/32-bit) and PPM (P6/P3) — no imaging library
-    needed. Remaining formats (lossy-VP8 WebP, GIF, AVIF pixels) raise
+    GIF (full LZW incl. interlacing/local tables, first frame), BMP
+    (uncompressed 24/32-bit) and PPM (P6/P3) — no imaging library
+    needed. Remaining formats (lossy-VP8 WebP, AVIF pixels) raise
     unless ``deterministic_fake=True``, which substitutes a seeded,
     content-derived stand-in so the distributed plumbing stays testable.
     """
@@ -373,6 +531,8 @@ def decode_image(payload: bytes, *, deterministic_fake: bool = False):
             return decode_bmp(raw)
         if raw[:2] in (b"P6", b"P3"):
             return decode_ppm(raw)
+        if raw[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif(raw)
         if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP" \
                 and b"VP8L" in raw[12:min(len(raw), 64)]:
             # lossless WebP: REAL pixel decode (vp8l.py); lossy VP8 /
@@ -399,10 +559,10 @@ def decode_image(payload: bytes, *, deterministic_fake: bool = False):
         unrecognized = False
     if unrecognized and not deterministic_fake:
         raise NotImplementedError(
-            "only JPEG/PNG/lossless-WebP/BMP/PPM have in-container PIXEL "
-            "decoders (lossy-WebP/GIF/AVIF headers sniff real dimensions "
-            "with a digest pixel summary); other formats need an imaging "
-            "library — pass deterministic_fake=True for the "
+            "only JPEG/PNG/lossless-WebP/GIF/BMP/PPM have in-container "
+            "PIXEL decoders (lossy-WebP/AVIF headers sniff real "
+            "dimensions with a digest pixel summary); other formats need "
+            "an imaging library — pass deterministic_fake=True for the "
             "content-derived stand-in")
     # stand-in: unrecognized format, or corrupt payload with fake enabled —
     # a kernel row must never kill the Spark task

@@ -294,3 +294,50 @@ def test_decode_image_webp_lossless_pixels():
                 + (p & 0xFF) * 114) // 1000
 
     assert decode_image(data) == (w, h, _gray_grid(w, h, luma))
+
+
+def test_roundtrip_randomized_fuzz():
+    """Deterministic fuzz: 40 random images through random feature
+    combinations (dims, palette-like content, cache bits, subtract-green,
+    LZ77 self-copies) must round-trip pixel-exact."""
+    rs = 12345
+
+    def rnd(n):
+        nonlocal rs
+        rs = (rs * 6364136223846793005 + 1442695040888963407) & (2**64 - 1)
+        return (rs >> 17) % n
+
+    for case in range(40):
+        w, h = 1 + rnd(23), 1 + rnd(17)
+        n = w * h
+        style = rnd(3)
+        if style == 0:  # diverse pixels
+            px = lcg_pixels(n, seed=case + 1)
+        elif style == 1:  # tiny palette -> repeats, cache-friendly
+            pal = lcg_pixels(1 + rnd(5), seed=case + 100)
+            px = [pal[rnd(len(pal))] for _ in range(n)]
+        else:  # rows repeat -> LZ77 copies
+            row = lcg_pixels(w, seed=case + 200)
+            px = (row * h)[:n]
+        cache_bits = (1 + rnd(8)) if rnd(2) else 0
+        copies = []
+        if style == 2 and h >= 3 and n > 2 * w:
+            copies = [(w, min(w, n - w), w)]
+        toks = tokenize(px, cache_bits=cache_bits, copies=copies)
+        toks = [("copy", t[1], stream_dist(t[2], w)) if t[0] == "copy"
+                else t for t in toks]
+        sub_green = rnd(2) == 1
+        if sub_green:
+            stored_px = []
+            for p in px:
+                g = (p >> 8) & 0xFF
+                r = (((p >> 16) & 0xFF) - g) & 0xFF
+                b = ((p & 0xFF) - g) & 0xFF
+                stored_px.append((p & 0xFF00FF00) | (r << 16) | b)
+            toks = tokenize(stored_px, cache_bits=cache_bits)
+            data = encode_vp8l(w, h, toks, cache_bits=cache_bits,
+                               transforms=[(2, lambda bw: None)])
+        else:
+            data = encode_vp8l(w, h, toks, cache_bits=cache_bits)
+        assert decode_vp8l(data) == (w, h, px), (case, w, h, style,
+                                                 cache_bits, sub_green)
