@@ -147,22 +147,73 @@ def decode_ppm(payload: bytes):
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+def _png_unfilter(raw: bytes, pos: int, height: int, stride: int,
+                  fu: int) -> tuple[bytearray, int]:
+    """Reconstruct one (sub-)image's filtered scanlines (types 0 None /
+    1 Sub / 2 Up / 3 Average / 4 Paeth per the PNG spec). ``fu`` is the
+    filter unit in bytes (ceil(bits-per-pixel / 8), min 1 — sub-byte
+    depths filter with a 1-byte unit). Returns (raster, new_pos)."""
+    recon = bytearray(height * stride)
+    prev = bytearray(stride)
+    for y in range(height):
+        if pos >= len(raw):
+            raise ValueError("truncated PNG raster")
+        ftype = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos:pos + stride])
+        if len(row) < stride:
+            raise ValueError("truncated PNG raster")
+        pos += stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(fu, stride):
+                row[x] = (row[x] + row[x - fu]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = row[x - fu] if x >= fu else 0
+                row[x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - fu] if x >= fu else 0
+                b = prev[x]
+                c = prev[x - fu] if x >= fu else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        recon[y * stride:(y + 1) * stride] = row
+        prev = row
+    return recon, pos
+
+
+# Adam7: (xstart, ystart, xstep, ystep) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
 def decode_png(payload: bytes):
     """Pure-Python PNG decode → (width, height, 4x4 grayscale grid).
 
     Dependency-free (stdlib zlib), same honest pattern as pdf.py's
-    FlateDecode: chunk walk, IDAT inflate, full filter reconstruction
-    (types 0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth per the PNG spec),
-    for 8-bit non-interlaced grayscale (0), RGB (2), gray+alpha (4) and
-    RGBA (6). Palette, 16-bit, and Adam7 interlacing raise ``ValueError``
-    (decode_image degrades per its contract). The unfilter loop is
-    per-byte Python — fine for thumbnail-scale crawl images inside an
-    Arrow-batched kernel; a numpy path would only help filters 0/2 (Sub/
-    Average/Paeth carry a sequential dependency along the scanline)."""
+    FlateDecode: chunk walk, IDAT inflate, full filter reconstruction,
+    every legal IHDR combination — color types 0 (gray, depths
+    1/2/4/8/16), 2 (RGB 8/16), 3 (palette, depths 1/2/4/8 + PLTE),
+    4 (gray+alpha 8/16), 6 (RGBA 8/16) — and Adam7 interlacing. The
+    unfilter loop is per-byte Python — fine for thumbnail-scale crawl
+    images inside an Arrow-batched kernel; a numpy path would only help
+    filters 0/2 (Sub/Average/Paeth carry a sequential dependency along
+    the scanline)."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     width = height = None
     bit_depth = color_type = interlace = None
+    plte = b""
     idat: list[bytes] = []
     i = 8
     while i + 8 <= len(payload):
@@ -175,61 +226,86 @@ def decode_png(payload: bytes):
             width = int.from_bytes(data[0:4], "big")
             height = int.from_bytes(data[4:8], "big")
             bit_depth, color_type, _comp, _filt, interlace = data[8:13]
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
             break
         i += 12 + length  # length + type + data + crc32
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if not width or not height or width <= 0 or height <= 0:
         raise ValueError("bad PNG dimensions")
-    if channels is None or bit_depth != 8 or interlace != 0:
+    legal_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}
+    if channels is None or bit_depth not in legal_depths[color_type] \
+            or interlace not in (0, 1):
         raise ValueError(
-            f"unsupported PNG (bit_depth={bit_depth}, color_type={color_type}, "
-            f"interlace={interlace}) — 8-bit non-interlaced only")
+            f"unsupported PNG (bit_depth={bit_depth}, "
+            f"color_type={color_type}, interlace={interlace})")
+    if color_type == 3 and (not plte or len(plte) % 3):
+        raise ValueError("palette PNG without a valid PLTE chunk")
     raw = zlib.decompress(b"".join(idat))
-    stride = width * channels
-    if len(raw) < height * (stride + 1):
-        raise ValueError("truncated PNG raster")
-    recon = bytearray(height * stride)
-    prev = bytearray(stride)
-    pos = 0
-    for y in range(height):
-        ftype = raw[pos]
-        pos += 1
-        row = bytearray(raw[pos:pos + stride])
-        pos += stride
-        if ftype == 0:
-            pass
-        elif ftype == 1:  # Sub
-            for x in range(channels, stride):
-                row[x] = (row[x] + row[x - channels]) & 0xFF
-        elif ftype == 2:  # Up
-            for x in range(stride):
-                row[x] = (row[x] + prev[x]) & 0xFF
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                a = row[x - channels] if x >= channels else 0
-                row[x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                a = row[x - channels] if x >= channels else 0
-                b = prev[x]
-                c = prev[x - channels] if x >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[x] = (row[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        recon[y * stride:(y + 1) * stride] = row
-        prev = row
+    bpp = channels * bit_depth  # bits per pixel
+    fu = max(1, bpp // 8)
+
+    def stride_of(w: int) -> int:
+        return (w * bpp + 7) // 8
+
+    # samples[y*width + x] = first 1-3 channel values (palette: the index)
+    if interlace == 0:
+        recon, _ = _png_unfilter(raw, 0, height, stride_of(width), fu)
+        passes = [((0, 0, 1, 1), width, height, recon)]
+    else:
+        passes = []
+        pos = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            recon, pos = _png_unfilter(raw, pos, ph, stride_of(pw), fu)
+            passes.append(((x0, y0, dx, dy), pw, ph, recon))
+
+    maxval = (1 << bit_depth) - 1
+    nsamp = min(channels, 3)
+    samples = [0] * (width * height * nsamp)
+    for (x0, y0, dx, dy), pw, ph, recon in passes:
+        stride = stride_of(pw)
+        for py in range(ph):
+            oy = y0 + py * dy
+            base = py * stride
+            for px_i in range(pw):
+                ox = x0 + px_i * dx
+                out = (oy * width + ox) * nsamp
+                if bit_depth == 8:
+                    p = base + px_i * channels
+                    for c in range(nsamp):
+                        samples[out + c] = recon[p + c]
+                elif bit_depth == 16:
+                    p = base + px_i * channels * 2
+                    for c in range(nsamp):
+                        samples[out + c] = recon[p + c * 2]  # high byte
+                else:  # 1/2/4-bit gray or palette index
+                    bitpos = px_i * bpp
+                    byte = recon[base + (bitpos >> 3)]
+                    shift = 8 - bit_depth - (bitpos & 7)
+                    samples[out] = (byte >> shift) & maxval
 
     def gray_at(x: int, y: int) -> int:
-        p = y * stride + x * channels
-        if channels >= 3:
-            return (recon[p] * 299 + recon[p + 1] * 587 + recon[p + 2] * 114) // 1000
-        return recon[p]  # gray / gray+alpha: first channel IS the luma
+        p = (y * width + x) * nsamp
+        if color_type == 3:
+            q = samples[p] * 3
+            if q + 3 > len(plte):
+                return 0
+            return (plte[q] * 299 + plte[q + 1] * 587
+                    + plte[q + 2] * 114) // 1000
+        if nsamp == 3:
+            return (samples[p] * 299 + samples[p + 1] * 587
+                    + samples[p + 2] * 114) // 1000
+        v = samples[p]  # gray / gray+alpha: first channel IS the luma
+        # sub-byte depths scale to 0..255; 16-bit stored its high byte
+        return v * 255 // maxval if bit_depth < 8 else v
 
     return width, height, _gray_grid(width, height, gray_at)
 

@@ -2205,3 +2205,139 @@ def test_streaming_curate_matches_batch_and_bounds_state(spark,
         assert s2 < s1
     finally:
         q.stop()
+
+
+def _make_png_ex(width, height, *, color_type, bit_depth, sample_at,
+                 palette=None, interlace=0):
+    """Extended test-side PNG builder: palette / sub-byte depths / 16-bit
+    / Adam7, filter 0 scanlines (filter reconstruction is pinned by
+    test_png_real_decode). ``sample_at(x, y)`` returns the channel tuple
+    (palette: the index; 16-bit: 16-bit values)."""
+    import struct
+    import zlib as _z
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = channels * bit_depth
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", _z.crc32(ctype + data)))
+
+    def pass_bytes(x0, y0, dx, dy):
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            return b""
+        out = bytearray()
+        for py in range(ph):
+            out.append(0)  # filter: None
+            if bit_depth >= 8:
+                for px_i in range(pw):
+                    for v in sample_at(x0 + px_i * dx, y0 + py * dy)[:channels]:
+                        if bit_depth == 16:
+                            out += bytes([(v >> 8) & 0xFF, v & 0xFF])
+                        else:
+                            out.append(v & 0xFF)
+            else:
+                acc = nb = 0
+                for px_i in range(pw):
+                    v = sample_at(x0 + px_i * dx, y0 + py * dy)[0]
+                    acc = (acc << bit_depth) | (v & ((1 << bit_depth) - 1))
+                    nb += bit_depth
+                    if nb == 8:
+                        out.append(acc)
+                        acc = nb = 0
+                if nb:
+                    out.append(acc << (8 - nb))
+        return bytes(out)
+
+    if interlace:
+        raw = b"".join(pass_bytes(x0, y0, dx, dy)
+                       for (x0, y0, dx, dy) in
+                       ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                        (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                        (0, 1, 1, 2)))
+    else:
+        raw = pass_bytes(0, 0, 1, 1)
+    ihdr = (struct.pack(">II", width, height)
+            + bytes([bit_depth, color_type, 0, 0, interlace]))
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", b"".join(bytes(c) for c in palette))
+    return out + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_palette_depths(spark):
+    """Palette PNGs (the dominant web icon/thumbnail shape) at index
+    depths 8/4/2/1, including sub-byte packing with ragged row ends."""
+    from fortissimo_spark.modality import _gray_grid, decode_png
+    pal = [(i * 29 % 256, i * 83 % 256, i * 131 % 256) for i in range(16)]
+
+    def luma(i):
+        c = pal[i]
+        return (c[0] * 299 + c[1] * 587 + c[2] * 114) // 1000
+
+    for depth, k in ((8, 16), (4, 16), (2, 4), (1, 2)):
+        w, h = 11, 6  # 11 not divisible by pixels-per-byte
+        idx = [(x * 3 + y * 7) % k for y in range(h) for x in range(w)]
+        png = _make_png_ex(w, h, color_type=3, bit_depth=depth,
+                           sample_at=lambda x, y: (idx[y * w + x],),
+                           palette=pal[:k] if depth > 1 else pal[:2])
+        want = _gray_grid(w, h, lambda x, y: luma(idx[y * w + x]))
+        assert decode_png(png) == (w, h, want), depth
+
+
+def test_png_gray_sub_byte_and_16bit(spark):
+    """1/2/4-bit grayscale scales to 0..255; 16-bit uses the high byte."""
+    from fortissimo_spark.modality import decode_png
+    # 1-bit checkerboard -> exact 0/255 cells
+    w = h = 8
+    png = _make_png_ex(w, h, color_type=0, bit_depth=1,
+                       sample_at=lambda x, y: ((x + y) & 1,))
+    wdec, hdec, grid = decode_png(png)
+    assert (wdec, hdec) == (8, 8) and all(c == 127 for c in grid)
+    # solid 2-bit value 2 -> 2*255//3 = 170
+    png = _make_png_ex(4, 4, color_type=0, bit_depth=2,
+                       sample_at=lambda x, y: (2,))
+    assert decode_png(png) == (4, 4, bytes([170] * 16))
+    # 4-bit gradient
+    png = _make_png_ex(16, 4, color_type=0, bit_depth=4,
+                       sample_at=lambda x, y: (x,))
+    w4, h4, g4 = decode_png(png)
+    assert g4[0] < g4[1] < g4[2] < g4[3]
+    # 16-bit RGB: high byte wins; low byte must not perturb
+    png = _make_png_ex(6, 6, color_type=2, bit_depth=16,
+                       sample_at=lambda x, y: ((0x40 << 8) | 0xFF,
+                                               (0x80 << 8) | 0x01,
+                                               (0xC0 << 8) | 0x77))
+    want_l = (0x40 * 299 + 0x80 * 587 + 0xC0 * 114) // 1000
+    assert decode_png(png) == (6, 6, bytes([want_l] * 16))
+    # 16-bit gray+alpha
+    png = _make_png_ex(5, 5, color_type=4, bit_depth=16,
+                       sample_at=lambda x, y: ((0x90 << 8) | 3, 0xFFFF))
+    assert decode_png(png) == (5, 5, bytes([0x90] * 16))
+
+
+def test_png_adam7_interlaced(spark):
+    """Adam7 deinterlacing reproduces the identical grid as the
+    non-interlaced encoding of the same pixels — including tiny images
+    where several passes are empty."""
+    from fortissimo_spark.modality import decode_png
+
+    def px(x, y):
+        return ((x * 37 + y * 11) % 256, (x * 5 + y * 93) % 256,
+                (x * 201 + y * 67) % 256)
+
+    for w, h in ((13, 9), (3, 3), (1, 1), (8, 2), (2, 8)):
+        plain = _make_png_ex(w, h, color_type=2, bit_depth=8, sample_at=px)
+        inter = _make_png_ex(w, h, color_type=2, bit_depth=8, sample_at=px,
+                             interlace=1)
+        assert decode_png(inter) == decode_png(plain), (w, h)
+    # interlaced palette at 4-bit: both axes of generality at once
+    pal = [(i * 17 % 256,) * 3 for i in range(16)]
+    idx = lambda x, y: ((x * 5 + y * 3) % 16,)  # noqa: E731
+    plain = _make_png_ex(10, 7, color_type=3, bit_depth=4, sample_at=idx,
+                         palette=pal)
+    inter = _make_png_ex(10, 7, color_type=3, bit_depth=4, sample_at=idx,
+                         palette=pal, interlace=1)
+    assert decode_png(inter) == decode_png(plain)
