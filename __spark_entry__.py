@@ -769,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_bytes_token_stats": _q_bpe_bytes_token_stats,
         "ngram_perplexity": _q_ngram_perplexity,
         "trigram_perplexity": _q_trigram_perplexity,
+        "fivegram_perplexity": _q_fivegram_perplexity,
         "semantic_dedup": _q_semantic_dedup,
         "semantic_dedup_split": _q_semantic_dedup_split,
         "curate_corpus": _q_curate_corpus,
@@ -1171,6 +1172,26 @@ def _q_trigram_perplexity(spark, sf_dir):
     fixtures = spark.createDataFrame(_PPL3_FIXTURES,
                                      "doc_id long, text string")
     return with_perplexity_trigram(docs.union(fixtures), lm)
+
+
+_PPL5_FIXTURES = _PPL3_FIXTURES + [
+    # four tokens: every order below five exists but no 5-gram -> NULL
+    (9500005, "only four words here"),
+]
+
+
+def _q_fivegram_perplexity(spark, sf_dir):
+    """Order-5 stupid-backoff perplexity — the CCNet KenLM shape. Five
+    bounded top-V tables (heavily truncated at sf0.01, exercising the
+    kept/backed-off boundary), 2n-1 broadcast joins, one per-doc
+    regroup; the oracle regenerates every table and replays the
+    recursive backoff chain."""
+    from fortissimo_spark.lm import train_ngram_lm, with_perplexity_ngram
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = train_ngram_lm(docs, order=5, top_v=_PPL_TOPV)
+    fixtures = spark.createDataFrame(_PPL5_FIXTURES,
+                                     "doc_id long, text string")
+    return with_perplexity_ngram(docs.union(fixtures), lm)
 
 
 _SPAN_SHARED = ("breaking news update follow share like comment subscribe")
@@ -1833,6 +1854,88 @@ def _ppl3_ctes(score_corpus_cte: str) -> str:
                      FROM lm3_scored GROUP BY doc_id)"""
 
 
+def _ppl5_oracle_sql(order: int = 5) -> str:
+    """DuckDB recompute of the order-n stupid-backoff chain: a top-V
+    count CTE per order k = 1..n (same (count desc, gram asc)
+    truncation as the trainer), the n-gram explode of the score corpus,
+    LEFT joins of every suffix/context table, and the nested-CASE
+    backoff replay down to the coalesced OOV floor."""
+    ctes = ["""
+        toks5 AS (
+          SELECT doc_id, list_filter(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   x -> x <> '') AS w
+          FROM documents)"""]
+    for k in range(1, order + 1):
+        cols = ", ".join(f"w[i + {j}] AS w{j + 1}" for j in range(k))
+        names = ", ".join(f"w{j + 1}" for j in range(k))
+        ctes.append(f"""
+        g{k}_all AS (SELECT {cols}, count(*) AS c
+                     FROM toks5, unnest(range(1, length(w) - {k} + 2))
+                       AS t(i)
+                     GROUP BY {names})""")
+        ctes.append(f"""
+        g{k} AS (SELECT {names}, c FROM (
+                   SELECT {names}, c,
+                          row_number() OVER (ORDER BY c DESC, {names}) rn
+                   FROM g{k}_all) WHERE rn <= {_PPL_TOPV})""")
+    ctes.append("""
+        n5_total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM g1_all)""")
+    ctes.append("""
+        toks5s AS (
+          SELECT doc_id, list_filter(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   x -> x <> '') AS w
+          FROM corpus)""")
+    n = order
+    gram_cols = ", ".join(f"w[i + {j}] AS w{j + 1}" for j in range(n))
+    ctes.append(f"""
+        lm5_grams AS (SELECT doc_id, {gram_cols}
+                      FROM toks5s, unnest(range(1, length(w) - {n} + 2))
+                        AS t(i))""")
+    joins = []
+    for k in range(1, n + 1):
+        sfx = [f"w{n - k + 1 + j}" for j in range(k)]
+        on = " AND ".join(f"s{k}.w{j + 1} = p.{c}"
+                          for j, c in enumerate(sfx))
+        joins.append(f"LEFT JOIN g{k} s{k} ON {on}")
+        if k < n:
+            ctx = [f"w{n - k + j}" for j in range(k)]
+            on = " AND ".join(f"x{k}.w{j + 1} = p.{c}"
+                              for j, c in enumerate(ctx))
+            joins.append(f"LEFT JOIN g{k} x{k} ON {on}")
+    # innermost term: the unigram OOV-coalesced floor; alphas accrue as
+    # each outer order backs off
+    score = "CAST(coalesce(s1.c, 1) AS DOUBLE) / (SELECT n FROM n5_total)"
+    for k in range(2, n + 1):
+        score = (f"CASE WHEN s{k}.c IS NOT NULL AND x{k - 1}.c IS NOT NULL"
+                 f" THEN CAST(s{k}.c AS DOUBLE) / x{k - 1}.c"
+                 f" ELSE 0.4 * ({score}) END")
+    vals = ",\n            ".join(
+        "({}, '{}')".format(i, t.replace("'", "''"))
+        for i, t in _PPL5_FIXTURES)
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            {vals}
+          ) AS f(doc_id, text)),
+        {','.join(ctes)},
+        lm5_scored AS (
+          SELECT p.doc_id, {score} AS score
+          FROM lm5_grams p
+          {' '.join(joins)}),
+        per_doc5 AS (SELECT doc_id,
+                            CAST(count(*) AS INTEGER) AS n_ngrams,
+                            round(power(10, -avg(log10(score))), 6) AS ppl
+                     FROM lm5_scored GROUP BY doc_id)
+        SELECT c.doc_id,
+               coalesce(d.n_ngrams, 0) AS n_ngrams,
+               d.ppl
+        FROM corpus c LEFT JOIN per_doc5 d USING (doc_id)"""
+
+
 def _ppl3_oracle_sql() -> str:
     vals = ",\n            ".join(
         "({}, '{}')".format(i, t.replace("'", "''"))
@@ -1950,6 +2053,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_bytes_token_stats": _bpe_bytes_oracle_sql(),
         "ngram_perplexity": _ppl_oracle_sql(),
         "trigram_perplexity": _ppl3_oracle_sql(),
+        "fivegram_perplexity": _ppl5_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "semantic_dedup_split": _semantic_dedup_split_oracle_sql(),
         "stratified_sample": """

@@ -27,7 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["train_bigram_lm", "with_perplexity", "BigramLM",
-           "TrigramLM", "train_trigram_lm", "with_perplexity_trigram"]
+           "TrigramLM", "train_trigram_lm", "with_perplexity_trigram",
+           "NgramLM", "train_ngram_lm", "with_perplexity_ngram"]
 
 _ALPHA = 0.4  # stupid-backoff weight (Brants et al. 2007)
 
@@ -212,3 +213,115 @@ def with_perplexity_trigram(docs: DataFrame, lm: TrigramLM,
             .select(F.col("doc_id").alias(id_col),
                     F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
                     "ppl3"))
+
+
+# --- general order-n upgrade ---------------------------------------------
+# CCNet's production gate is a 5-gram KenLM. The generalization keeps the
+# exact bounded-broadcast shape: one top-V count table per order k = 1..n
+# (each a partial-aggregated groupBy + deterministic truncation), scoring
+# via the recursive stupid-backoff chain
+#
+#   S_k(gram) = c_k(suffix_k) / c_{k-1}(context of suffix_k)   if both kept
+#             = alpha * S_{k-1}(gram)                           else
+#   S_1(w)    = coalesce(c_1(w), 1) / N
+#
+# which reduces to the bigram/trigram models above at n=2/3. Scoring joins
+# 2n-1 broadcast tables (suffix + context per order, one shared base) and
+# regroups once per doc — the n=5 CCNet shape is five small broadcasts and
+# ONE wide exchange.
+
+
+def _gram_structs_n(toks, k: int):
+    """Array of w1..wk structs for every k-gram of the token array (JVM
+    expression, no explode until the caller's posexplode/explode)."""
+    n = F.size(toks) - (k - 1)
+    return F.when(n < 1, F.array().cast(
+        f"array<struct<{','.join(f'w{j + 1}:string' for j in range(k))}>>")
+    ).otherwise(F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(*[F.element_at(toks, i + j).alias(f"w{j + 1}")
+                             for j in range(k)])))
+
+
+class NgramLM:
+    """Order-n stupid-backoff model: ``tables[k-1]`` is the top-V k-gram
+    count DataFrame (columns w1..wk, c), all broadcast at scoring time."""
+
+    def __init__(self, tables: list[DataFrame], total_tokens: int,
+                 alpha: float = _ALPHA):
+        self.tables = tables
+        self.order = len(tables)
+        self.total_tokens = total_tokens
+        self.alpha = alpha
+
+
+def train_ngram_lm(docs: DataFrame, text_col: str = "text", *,
+                   order: int = 5, top_v: int = 100_000,
+                   alpha: float = _ALPHA) -> NgramLM:
+    """Count every order k = 1..``order`` corpus-wide (one
+    partial-aggregated pass each), keep the deterministic top ``top_v``
+    per order ((count desc, gram asc)), record N."""
+    if order < 1:
+        raise ValueError("order must be >= 1")
+    toks = _clean_tokens(text_col)
+    tables = []
+    total = 0
+    for k in range(1, order + 1):
+        cols = [f"w{j + 1}" for j in range(k)]
+        grams = (docs.select(F.explode(_gram_structs_n(toks, k)).alias("g"))
+                 .select(*[F.col(f"g.{c}") for c in cols]))
+        counts = grams.groupBy(*cols).agg(F.count("*").alias("c"))
+        if k == 1:
+            total = int(counts.agg(F.sum("c")).collect()[0][0] or 0)
+        tables.append(counts.orderBy(F.desc("c"),
+                                     *[F.asc(c) for c in cols])
+                      .limit(top_v))
+    return NgramLM(tables, total, alpha)
+
+
+def with_perplexity_ngram(docs: DataFrame, lm: NgramLM,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """(id_col, n_ngrams, ppl) — order-n stupid-backoff perplexity per
+    document, rounded to 6dp; docs with fewer than ``lm.order`` tokens
+    score NULL with n_ngrams 0. All 2n-1 count joins broadcast; the only
+    wide exchange is the per-doc regroup."""
+    n = lm.order
+    toks = _clean_tokens(text_col)
+    grams = (docs.select(F.col(id_col).alias("doc_id"),
+                         F.explode(_gram_structs_n(toks, n)).alias("g"))
+             .select("doc_id", *[F.col(f"g.w{j + 1}").alias(f"w{j + 1}")
+                                 for j in range(n)]))
+    scored = grams
+    # suffix_k of the n-gram = words n-k+1..n; its context = n-k+1..n-1
+    for k in range(1, n + 1):
+        sfx = [f"w{n - k + 1 + j}" for j in range(k)]
+        tbl = lm.tables[k - 1]
+        cols = [f"w{j + 1}" for j in range(k)]
+        sel = tbl.select(*[F.col(c).alias(s) for c, s in zip(cols, sfx)],
+                         F.col("c").alias(f"_c{k}s"))
+        scored = scored.join(F.broadcast(sel), sfx, "left")
+        if k < n:  # context table for order k+1's ratio
+            ctx = [f"w{n - k + 1 + j - 1}" for j in range(k)]
+            sel = tbl.select(*[F.col(c).alias(s)
+                               for c, s in zip(cols, ctx)],
+                             F.col("c").alias(f"_c{k}x"))
+            scored = scored.join(F.broadcast(sel), ctx, "left")
+    a = F.lit(lm.alpha)
+    score = (F.coalesce(F.col("_c1s"), F.lit(1)).cast("double")
+             / F.lit(float(lm.total_tokens)))
+    for k in range(2, n + 1):
+        score = F.when(
+            F.col(f"_c{k}s").isNotNull()
+            & F.col(f"_c{k - 1}x").isNotNull(),
+            F.col(f"_c{k}s").cast("double") / F.col(f"_c{k - 1}x")
+        ).otherwise(a * score)
+    scored = (scored.groupBy("doc_id")
+              .agg(F.count("*").cast("int").alias("n_ngrams"),
+                   F.round(F.pow(F.lit(10.0),
+                                 -F.avg(F.log10(score))), 6).alias("ppl")))
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (base.join(scored, "doc_id", "left")
+            .select(F.col("doc_id").alias(id_col),
+                    F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+                    "ppl"))

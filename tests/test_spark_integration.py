@@ -2341,3 +2341,47 @@ def test_png_adam7_interlaced(spark):
     inter = _make_png_ex(10, 7, color_type=3, bit_depth=4, sample_at=idx,
                          palette=pal, interlace=1)
     assert decode_png(inter) == decode_png(plain)
+
+
+def test_ngram_lm_generalizes_bigram_and_trigram(spark):
+    """The order-n chain reduces EXACTLY to the dedicated bigram and
+    trigram models at n=2/3 (same tables, same backoff, same rounding),
+    and the n=5 CCNet shape scores hand-derived values."""
+    from fortissimo_spark.lm import (
+        train_bigram_lm, train_ngram_lm, train_trigram_lm, with_perplexity,
+        with_perplexity_ngram, with_perplexity_trigram,
+    )
+    docs = load_table(spark, SF_DIR, "documents") \
+        .select("doc_id", "text").limit(120)
+    want2 = {r.doc_id: (r.n_bigrams, r.ppl)
+             for r in with_perplexity(
+                 docs, train_bigram_lm(docs, top_v=400)).collect()}
+    got2 = {r.doc_id: (r.n_ngrams, r.ppl)
+            for r in with_perplexity_ngram(
+                docs, train_ngram_lm(docs, order=2, top_v=400)).collect()}
+    assert got2 == want2
+    want3 = {r.doc_id: (r.n_trigrams, r.ppl3)
+             for r in with_perplexity_trigram(
+                 docs, train_trigram_lm(docs, top_v=400)).collect()}
+    got3 = {r.doc_id: (r.n_ngrams, r.ppl)
+            for r in with_perplexity_ngram(
+                docs, train_ngram_lm(docs, order=3, top_v=400)).collect()}
+    assert got3 == want3
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string")
+    lm5 = train_ngram_lm(train, order=5, top_v=100)
+    assert lm5.total_tokens == 10 and lm5.order == 5
+    probe = spark.createDataFrame(
+        [(10, "a b c d e"),   # kept 5-gram: 2/2 -> ppl 1.0
+         (11, "x b c d e"),   # back off once: alpha * c4(bcde)/c3(bcd)=0.4
+         (12, "a b c d"),     # < 5 tokens -> NULL
+         (13, "z z z z z")],  # full chain to the OOV floor
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_ngrams, r.ppl)
+           for r in with_perplexity_ngram(probe, lm5).collect()}
+    assert got[10] == (1, 1.0)
+    assert got[11] == (1, 2.5)          # 1 / 0.4
+    assert got[12] == (0, None)
+    # OOV floor: alpha^4 * 1/N = 0.4^4/10 -> ppl = 10/0.4^4 = 390.625
+    assert got[13] == (1, 390.625)

@@ -248,6 +248,18 @@ def main():
         ("no Python stage", "Python" not in p and "MapInPandas" not in p),
     ]))
 
+    # 9c. order-5 LM (the CCNet KenLM shape): 2n-1 = 9 broadcast joins,
+    #     still exactly one wide exchange (the per-doc regroup)
+    from fortissimo_spark.lm import train_ngram_lm, with_perplexity_ngram
+    lm5 = train_ngram_lm(docs.limit(200), order=5, top_v=500)
+    p = plan_of(with_perplexity_ngram(docs, lm5))
+    sections.append(("5-gram perplexity scoring", p, [
+        ("all nine count-table joins broadcast",
+         p.count("BroadcastHashJoin") >= 9),
+        ("no SortMergeJoin", "SortMergeJoin" not in p),
+        ("no Python stage", "Python" not in p and "MapInPandas" not in p),
+    ]))
+
     # 10. per-host cap: row_number<=N takes the WindowGroupLimit rewrite
     #     (map tasks pre-prune a mega-host before the exchange)
     from fortissimo_spark.urls import cap_per_host
