@@ -772,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fivegram_perplexity": _q_fivegram_perplexity,
         "semantic_dedup": _q_semantic_dedup,
         "semantic_dedup_split": _q_semantic_dedup_split,
+        "media_metadata": _q_media_metadata,
         "curate_corpus": _q_curate_corpus,
         "stratified_sample": _q_stratified_sample,
         "incremental_new_pages": _q_incremental_new_pages,
@@ -1105,6 +1106,36 @@ def _q_semantic_dedup_split(spark, sf_dir):
                            max_cell_size=60,
                            subcents=default_subcents(64))
             .orderBy("vec_id"))
+
+
+def _q_media_metadata(spark, sf_dir):
+    """Header-only media census (media_metadata): PPM payloads are
+    text-headed, so Spark can CONSTRUCT one per document with
+    doc-derived dimensions and the kernel must parse them back —
+    exercising the real distributed sniff path with an exactly
+    recomputable oracle. Non-media and empty payloads yield NULL-format
+    rows (observable, never dropped)."""
+    from fortissimo_spark.modality import media_metadata
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = (F.col("doc_id") % 300 + 1).cast("int")
+    h = (F.col("doc_id") % 200 + 1).cast("int")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.lit("image").alias("kind"),
+        F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" "),
+                 h.cast("string"), F.lit("\n255\n")).cast("binary")
+        .alias("payload"),
+        F.lit("image/x-ppm").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"))
+    junk = spark.createDataFrame(
+        [(9430001, "other", bytearray(b"just some text"), "text/plain",
+          None, None, None),
+         (9430002, "other", None, None, None, None, None)],
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int")
+    return (media_metadata(media.union(junk))
+            .select("media_id", "format", "width", "height"))
 
 
 def _q_domain_caps(spark, sf_dir):
@@ -2056,6 +2087,16 @@ def oracle_sql() -> dict[str, str]:
         "fivegram_perplexity": _ppl5_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "semantic_dedup_split": _semantic_dedup_split_oracle_sql(),
+        "media_metadata": """
+            SELECT doc_id AS media_id, 'ppm' AS format,
+                   CAST(doc_id % 300 + 1 AS INTEGER) AS width,
+                   CAST(doc_id % 200 + 1 AS INTEGER) AS height
+            FROM documents
+            UNION ALL
+            SELECT * FROM (VALUES
+              (9430001, NULL, NULL, NULL),
+              (9430002, NULL, NULL, NULL)
+            ) AS j(media_id, format, width, height)""",
         "stratified_sample": """
             WITH q(lang, quota) AS (VALUES
               ('en', 100), ('es', 40), ('de', 40), ('zh', 25)),

@@ -12,7 +12,8 @@ grayscale feature grid; WAV PCM audio produces real sample rate /
 channels / duration and a 16-window RMS loudness profile. The remaining
 codec formats get header-only sniffing (``sniff_media``): WebP
 VP8/VP8X and AVIF yield real dimensions, mp3 yields real sample rate /
-channels / CBR duration — so the typed metadata columns populate
+channels / CBR duration, mp4/ISO-BMFF yields real dimensions + mvhd
+duration — so the typed metadata columns populate
 without a codec library, while the pixel/sample summaries for those
 formats remain digest stand-ins. Fully-unrecognized formats (video
 codecs, ogg, ...) raise ``NotImplementedError``/``ValueError`` unless
@@ -39,7 +40,8 @@ __all__ = ["MEDIA_SCHEMA", "IMAGE_FEATURES_SCHEMA", "AUDIO_FEATURES_SCHEMA",
            "decode_audio", "make_image_feature_kernel",
            "make_audio_feature_kernel", "image_features", "audio_features",
            "sample_frames", "sniff_media", "sniff_webp", "sniff_gif",
-           "sniff_avif", "sniff_mp3"]
+           "sniff_avif", "sniff_mp3", "sniff_mp4",
+           "media_metadata", "MEDIA_METADATA_SCHEMA"]
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType()),
@@ -554,14 +556,142 @@ def sniff_mp3(raw: bytes):
     return None
 
 
+def sniff_mp4(raw: bytes):
+    """(width, height, duration_ms) from an ISO-BMFF (mp4/mov) moov box:
+    mvhd timescale+duration for the presentation length, the first tkhd
+    with nonzero 16.16-fixed dimensions for the visual track. Public
+    ISO/IEC 14496-12 layout; version-0 AND version-1 boxes."""
+    if len(raw) < 12 or raw[4:8] != b"ftyp":
+        return None
+    brand = raw[8:12]
+    if brand == b"avif":
+        return None  # image: sniff_avif's job
+
+    dur_ms = width = height = None
+
+    def walk(start: int, end: int, depth: int) -> None:
+        nonlocal dur_ms, width, height
+        i = start
+        while i + 8 <= end and depth < 8:
+            size = int.from_bytes(raw[i:i + 4], "big")
+            btype = raw[i + 4:i + 8]
+            body = i + 8
+            if size == 1:  # 64-bit largesize
+                if i + 16 > end:
+                    return
+                size = int.from_bytes(raw[i + 8:i + 16], "big")
+                body = i + 16
+            if size < 8:
+                return
+            stop = min(i + size, end)
+            if btype in (b"moov", b"trak"):
+                walk(body, stop, depth + 1)
+            elif btype == b"mvhd" and stop - body >= 20:
+                ver = raw[body]
+                if ver == 1 and stop - body >= 28:
+                    ts = int.from_bytes(raw[body + 20:body + 24], "big")
+                    dur = int.from_bytes(raw[body + 24:body + 32], "big")
+                else:
+                    ts = int.from_bytes(raw[body + 12:body + 16], "big")
+                    dur = int.from_bytes(raw[body + 16:body + 20], "big")
+                if ts:
+                    dur_ms = int(dur * 1000 // ts)
+            elif btype == b"tkhd":
+                ver = raw[body]
+                off = body + (88 if ver == 1 else 76)
+                if stop - off >= 8:
+                    w = int.from_bytes(raw[off:off + 4], "big") >> 16
+                    h = int.from_bytes(raw[off + 4:off + 8], "big") >> 16
+                    if w and h and width is None:
+                        width, height = w, h
+            i += size
+
+    walk(0, len(raw), 0)
+    if dur_ms is None and width is None:
+        raise ValueError("ISO-BMFF without a readable moov header")
+    return width, height, dur_ms
+
+
+def _sniff_jpeg_dims(raw: bytes):
+    """(width, height) from the first JPEG SOF marker, else None —
+    header walk only, no entropy decode."""
+    if raw[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(raw):
+        if raw[i] != 0xFF:
+            i += 1
+            continue
+        marker = raw[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seglen = int.from_bytes(raw[i + 2:i + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > len(raw):
+                break
+            h = int.from_bytes(raw[i + 5:i + 7], "big")
+            w = int.from_bytes(raw[i + 7:i + 9], "big")
+            return w, h
+        i += 2 + seglen
+    raise ValueError("JPEG without a SOF header")
+
+
+def _sniff_wav(raw: bytes):
+    """(sample_rate, n_channels, duration_ms) from the RIFF/WAVE fmt +
+    data chunk headers — no sample decode."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    i = 12
+    rate = nch = block = None
+    data_len = None
+    while i + 8 <= len(raw):
+        cid = raw[i:i + 4]
+        ln = int.from_bytes(raw[i + 4:i + 8], "little")
+        if cid == b"fmt " and ln >= 16:
+            nch = int.from_bytes(raw[i + 10:i + 12], "little")
+            rate = int.from_bytes(raw[i + 12:i + 16], "little")
+            block = int.from_bytes(raw[i + 20:i + 22], "little")
+        elif cid == b"data":
+            data_len = ln
+        i += 8 + ln + (ln & 1)
+    if not rate or not nch or data_len is None or not block:
+        raise ValueError("WAVE without readable fmt/data chunks")
+    return rate, nch, int(data_len // block * 1000 // rate)
+
+
 def sniff_media(payload: bytes) -> dict | None:
     """Typed-metadata dict for any sniffable container, else None:
     ``{format, width, height, sample_rate, n_channels, bitrate_kbps,
-    duration_ms}`` with inapplicable fields None."""
+    duration_ms}`` with inapplicable fields None. Header reads ONLY —
+    no entropy/pixel/sample decode anywhere, so this is the cheap
+    pass a 100 TB media census runs (``media_metadata``)."""
     raw = payload or b""
     base = {"format": None, "width": None, "height": None,
             "sample_rate": None, "n_channels": None,
             "bitrate_kbps": None, "duration_ms": None}
+    if raw[:8] == _PNG_SIG and len(raw) >= 24:
+        return {**base, "format": "png",
+                "width": int.from_bytes(raw[16:20], "big"),
+                "height": int.from_bytes(raw[20:24], "big")}
+    j = _sniff_jpeg_dims(raw)
+    if j:
+        return {**base, "format": "jpeg", "width": j[0], "height": j[1]}
+    if raw[:2] == b"BM" and len(raw) >= 26:
+        return {**base, "format": "bmp",
+                "width": abs(int.from_bytes(raw[18:22], "little",
+                                            signed=True)),
+                "height": abs(int.from_bytes(raw[22:26], "little",
+                                             signed=True))}
+    if raw[:2] in (b"P6", b"P3"):
+        fields = raw[2:200].split()
+        if len(fields) >= 2:
+            return {**base, "format": "ppm", "width": int(fields[0]),
+                    "height": int(fields[1])}
+    wav = _sniff_wav(raw)
+    if wav:
+        return {**base, "format": "wav", "sample_rate": wav[0],
+                "n_channels": wav[1], "duration_ms": wav[2]}
     wp = sniff_webp(raw)
     if wp:
         return {**base, "format": f"webp-{wp[2]}",
@@ -577,6 +707,10 @@ def sniff_media(payload: bytes) -> dict | None:
         return {**base, "format": "mp3", "sample_rate": m[0],
                 "n_channels": m[1], "bitrate_kbps": m[2],
                 "duration_ms": m[3]}
+    mp4 = sniff_mp4(raw)
+    if mp4:
+        return {**base, "format": "mp4", "width": mp4[0],
+                "height": mp4[1], "duration_ms": mp4[2]}
     return None
 
 
@@ -868,3 +1002,47 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return (vids.withColumn("frame_ms", F.explode(stamps))
             .select("media_id", "frame_ms",
                     F.xxhash64("payload", "frame_ms").alias("frame_token")))
+
+
+MEDIA_METADATA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("format", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("bitrate_kbps", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+])
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """One typed-metadata row per media row — the cheap census pass over
+    a 100 TB media corpus: HEADER reads only (PNG IHDR, JPEG SOF walk,
+    BMP/PPM headers, WAV fmt/data chunks, WebP/GIF/AVIF containers, mp3
+    frame header + CBR estimate, mp4 mvhd/tkhd), never an entropy or
+    pixel decode. Unrecognized or corrupt payloads yield ``format``
+    NULL with all fields NULL — observable, never dropped, never a task
+    failure. mapInPandas, no shuffle; composes with any layout."""
+    cols = ("media_id", "format", "width", "height", "sample_rate",
+            "n_channels", "bitrate_kbps", "duration_ms")
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    meta = sniff_media(bytes(payload or b""))
+                except Exception:  # noqa: BLE001 - malformed header
+                    meta = None
+                rows["media_id"].append(mid)
+                for k in cols[1:]:
+                    rows[k].append(meta[k] if meta else None)
+            if rows["media_id"]:
+                out = pd.DataFrame(rows, columns=cols)
+                for k in cols[2:]:
+                    out[k] = out[k].astype("Int32")
+                yield out
+
+    return media.select("media_id", "payload") \
+        .mapInPandas(kernel, MEDIA_METADATA_SCHEMA)

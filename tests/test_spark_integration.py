@@ -2385,3 +2385,117 @@ def test_ngram_lm_generalizes_bigram_and_trigram(spark):
     assert got[12] == (0, None)
     # OOV floor: alpha^4 * 1/N = 0.4^4/10 -> ppl = 10/0.4^4 = 390.625
     assert got[13] == (1, 390.625)
+
+
+def test_mp4_header_sniffing(spark):
+    """ISO-BMFF (mp4) metadata from a hand-built moov: mvhd
+    timescale/duration -> duration_ms, first nonzero tkhd 16.16 dims;
+    version-1 (64-bit) boxes too; avif brands stay sniff_avif's."""
+    from fortissimo_spark.modality import sniff_media, sniff_mp4
+
+    def box(btype, payload):
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    mvhd = box(b"mvhd", bytes([0, 0, 0, 0]) + b"\x00" * 8
+               + (600).to_bytes(4, "big")        # timescale
+               + (3000).to_bytes(4, "big"))      # duration -> 5000 ms
+    tkhd_audio = box(b"tkhd", bytes([0, 0, 0, 0]) + b"\x00" * 72
+                     + b"\x00" * 8)              # zero dims: skipped
+    tkhd_video = box(b"tkhd", bytes([0, 0, 0, 0]) + b"\x00" * 72
+                     + (640 << 16).to_bytes(4, "big")
+                     + (360 << 16).to_bytes(4, "big"))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd_audio)
+               + box(b"trak", tkhd_video))
+    mp4 = box(b"ftyp", b"isom\x00\x00\x00\x01isom") + moov \
+        + box(b"mdat", b"\x00" * 32)
+    assert sniff_mp4(mp4) == (640, 360, 5000)
+    s = sniff_media(mp4)
+    assert (s["format"], s["width"], s["height"], s["duration_ms"]) == \
+        ("mp4", 640, 360, 5000)
+
+    # version-1 mvhd: 64-bit times
+    mvhd1 = box(b"mvhd", bytes([1, 0, 0, 0]) + b"\x00" * 16
+                + (1000).to_bytes(4, "big")
+                + (2500).to_bytes(8, "big"))
+    mp4v1 = box(b"ftyp", b"mp42\x00\x00\x00\x00") \
+        + box(b"moov", mvhd1 + box(b"trak", tkhd_video))
+    assert sniff_mp4(mp4v1) == (640, 360, 2500)
+
+    # ftyp without a readable moov refuses instead of guessing
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sniff_mp4(box(b"ftyp", b"isom") + box(b"free", b"\x00" * 8))
+    # avif brand is not an mp4 for this sniffer
+    assert sniff_mp4(box(b"ftyp", b"avif" + b"\x00" * 8)) is None
+
+
+def test_gpt2_pretokenize_property(spark):
+    """Property fuzz (hypothesis): for ANY text, the pre-tokenizer
+    round-trips exactly (concatenation identity), yields no empty
+    tokens, and token boundaries are stable under re-tokenization of
+    the concatenation (idempotence)."""
+    from hypothesis import given, settings, strategies as st
+
+    from fortissimo_spark.bpe import gpt2_pretokenize
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=60))
+    def check(text):
+        toks = gpt2_pretokenize(text)
+        assert "".join(toks) == text
+        assert all(toks)
+        assert gpt2_pretokenize("".join(toks)) == toks
+
+    check()
+
+
+def test_media_metadata_operator(spark):
+    """media_metadata: one header-only census row per payload across
+    every sniffable family, NULL-format rows for unrecognized/corrupt
+    payloads (observable, never dropped, never a task failure)."""
+    import struct
+    import zlib as _z
+
+    from fortissimo_spark.modality import MEDIA_SCHEMA, media_metadata
+    from tests.test_gif import PAL8, build_gif, lcg_indices
+    png_ihdr = struct.pack(">II", 31, 17) + bytes([8, 2, 0, 0, 0])
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + png_ihdr + struct.pack(">I", _z.crc32(b"IHDR" + png_ihdr)))
+    jpeg = (b"\xff\xd8\xff\xe0\x00\x10JFIF" + b"\x00" * 10
+            + b"\xff\xc0\x00\x11\x08" + (77).to_bytes(2, "big")
+            + (55).to_bytes(2, "big") + b"\x03" + b"\x00" * 10)
+    bmp = (b"BM" + b"\x00" * 16 + (40).to_bytes(4, "little", signed=True)
+           + (30).to_bytes(4, "little", signed=True))
+    ppm = b"P6\n23 9\n255\n" + b"\x00" * 10
+    wav = (b"RIFF" + (100).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+           + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+           + b"data" + (16000).to_bytes(4, "little"))
+    gif = build_gif(12, 7, PAL8, lcg_indices(12 * 7, 8))
+    rows = [
+        (1, "image", bytearray(png), "image/png", None, None, None),
+        (2, "image", bytearray(jpeg), "image/jpeg", None, None, None),
+        (3, "image", bytearray(bmp), "image/bmp", None, None, None),
+        (4, "image", bytearray(ppm), "image/x-ppm", None, None, None),
+        (5, "audio", bytearray(wav), "audio/wav", None, None, None),
+        (6, "image", bytearray(gif), "image/gif", None, None, None),
+        (7, "other", bytearray(b"not a media file"), "text/plain",
+         None, None, None),
+        (8, "other", None, None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: (r.format, r.width, r.height, r.sample_rate,
+                        r.n_channels, r.duration_ms)
+           for r in media_metadata(media).collect()}
+    assert got[1] == ("png", 31, 17, None, None, None)
+    assert got[2] == ("jpeg", 55, 77, None, None, None)  # SOF: height first
+    assert got[3] == ("bmp", 40, 30, None, None, None)
+    assert got[4] == ("ppm", 23, 9, None, None, None)
+    # 16000 data bytes / 4-byte blocks = 4000 frames @ 8 kHz -> 500 ms
+    assert got[5] == ("wav", None, None, 8000, 2, 500)
+    assert got[6] == ("gif", 12, 7, None, None, None)
+    assert got[7] == (None, None, None, None, None, None)
+    assert got[8] == (None, None, None, None, None, None)
+    assert len(got) == 8
