@@ -531,9 +531,10 @@ _MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
 
 def sniff_mp3(raw: bytes):
     """(sample_rate, n_channels, bitrate_kbps, duration_ms) from the first
-    Layer-III frame header, else None. Duration is the CBR estimate over
-    the audio bytes after any ID3v2 tag — the standard header-only figure
-    (a VBR file needs a Xing/VBRI walk or full decode)."""
+    Layer-III frame header, else None. Duration: a VBR file's Xing/Info
+    header (frame count x 1152-or-576 samples / rate — the accurate
+    header-only figure) when present in the first frame, else the CBR
+    estimate over the audio bytes after any ID3v2 tag."""
     pos = 0
     if raw[:3] == b"ID3" and len(raw) >= 10:
         pos = 10 + int.from_bytes(
@@ -549,7 +550,22 @@ def sniff_mp3(raw: bytes):
                     and 0 < br_idx < 15 and sr_idx < 3):
                 kbps = _MP3_BITRATES[version][br_idx]
                 rate = _MP3_RATES[version][sr_idx]
-                nch = 1 if ((b3 >> 6) & 3) == 3 else 2
+                mono = ((b3 >> 6) & 3) == 3
+                nch = 1 if mono else 2
+                # Xing/Info header sits after the side info block (public
+                # LAME/Xing layout): MPEG1 32B stereo / 17B mono, MPEG2
+                # 17B / 9B, counted from after the 4-byte frame header
+                side = (17 if mono else 32) if version == 3 \
+                    else (9 if mono else 17)
+                x = pos + 4 + side
+                if raw[x:x + 4] in (b"Xing", b"Info") \
+                        and len(raw) >= x + 12:
+                    flags = int.from_bytes(raw[x + 4:x + 8], "big")
+                    if flags & 1:  # frame count present
+                        frames = int.from_bytes(raw[x + 8:x + 12], "big")
+                        spf = 1152 if version == 3 else 576
+                        dur = int(frames * spf * 1000 // rate)
+                        return rate, nch, kbps, dur
                 dur = int((len(raw) - pos) * 8 * 1000 / (kbps * 1000))
                 return rate, nch, kbps, dur
         pos += 1

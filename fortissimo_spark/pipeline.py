@@ -223,7 +223,9 @@ def curate_corpus(docs: DataFrame, lm=None, *,
        the hash);
     2. **LM quality gate**: stupid-backoff perplexity (``lm.py``) must be
        non-NULL and <= ``ppl_cutoff`` (drops OOV-gibberish and <2-token
-       stubs);
+       stubs); pass a :class:`fortissimo_spark.lm.NgramLM` for the
+       order-n chain (n=5 = the CCNet KenLM shape) — same broadcast
+       plan, one extra table per order;
     3. **mixture quotas** (optional): deterministic per-stratum caps
        (``corpus.stratified_sample``).
 
@@ -232,7 +234,7 @@ def curate_corpus(docs: DataFrame, lm=None, *,
     no new shuffle beyond each stage's own.
     """
     from .corpus import stratified_sample
-    from .lm import with_perplexity
+    from .lm import NgramLM, with_perplexity, with_perplexity_ngram
 
     h = F.sha2(F.col(text_col), 256)
     hashed = docs.withColumn("_th", h)
@@ -242,7 +244,10 @@ def curate_corpus(docs: DataFrame, lm=None, *,
                  .filter(F.col(id_col) == F.col("_win"))
                  .drop("_th", "_win"))
     if lm is not None:
-        ppl = with_perplexity(survivors, lm, id_col, text_col)
+        if isinstance(lm, NgramLM):  # order-n gate (n=5 = CCNet shape)
+            ppl = with_perplexity_ngram(survivors, lm, id_col, text_col)
+        else:
+            ppl = with_perplexity(survivors, lm, id_col, text_col)
         survivors = (survivors.join(ppl, id_col)
                      .filter(F.col("ppl").isNotNull()
                              & (F.col("ppl") <= ppl_cutoff)))

@@ -2499,3 +2499,42 @@ def test_media_metadata_operator(spark):
     assert got[7] == (None, None, None, None, None, None)
     assert got[8] == (None, None, None, None, None, None)
     assert len(got) == 8
+
+
+def test_curate_corpus_with_ngram_gate(spark):
+    """curate_corpus accepts the order-n LM: the 5-gram gate drops the
+    gibberish/short docs a fluent doc survives, and the bigram path is
+    unchanged."""
+    from fortissimo_spark.lm import train_ngram_lm
+    from fortissimo_spark.pipeline import curate_corpus
+    fluent = "the stream flows through the filter stack every day now"
+    docs = spark.createDataFrame(
+        [(1, "en", fluent), (2, "en", fluent),         # dup: min-id wins
+         (3, "en", "zxq wvv qqp zzk oiw mmx rrv ppq zzl oiu"),
+         (4, "en", "one")],
+        "doc_id long, lang string, text string")
+    lm5 = train_ngram_lm(docs.filter(F.col("doc_id") == 1),
+                         order=5, top_v=200)
+    kept = {r.doc_id: r.ppl
+            for r in curate_corpus(docs, lm5, ppl_cutoff=10.0).collect()}
+    assert set(kept) == {1}  # dup loser, gibberish, and stub all gone
+    assert kept[1] == 1.0    # trained on itself: every 5-gram kept
+
+
+def test_mp3_xing_vbr_duration(spark):
+    """A Xing/Info header in the first frame overrides the CBR estimate:
+    duration = frame count x samples-per-frame / rate (the accurate
+    header-only figure for VBR files)."""
+    from fortissimo_spark.modality import sniff_mp3
+    # MPEG1 Layer III header: 128 kbps idx=9, 44100 Hz idx=0, stereo
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    # stereo MPEG1: 32-byte side info, then Xing with the FRAMES flag
+    xing = (b"\x00" * 32 + b"Xing" + (1).to_bytes(4, "big")
+            + (1000).to_bytes(4, "big"))  # 1000 frames
+    mp3 = hdr + xing + b"\x00" * 4000
+    rate, nch, kbps, dur = sniff_mp3(mp3)
+    assert (rate, nch, kbps) == (44100, 2, 128)
+    assert dur == 1000 * 1152 * 1000 // 44100  # 26122 ms, not CBR ~250
+    # no Xing -> CBR estimate still works
+    plain = hdr + b"\x00" * 4000
+    assert sniff_mp3(plain)[3] == int(len(plain) * 8 * 1000 / 128000)
