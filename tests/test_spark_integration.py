@@ -2538,3 +2538,38 @@ def test_mp3_xing_vbr_duration(spark):
     # no Xing -> CBR estimate still works
     plain = hdr + b"\x00" * 4000
     assert sniff_mp3(plain)[3] == int(len(plain) * 8 * 1000 / 128000)
+
+
+def test_warc_range_reader_cut_points_with_corrupt_record():
+    """Exact split ownership SURVIVES a corrupt record (non-numeric
+    Content-Length) anywhere relative to the cut: for every byte cut
+    point, the two ranges together yield exactly the archive's good
+    records — the left split's resync never steals a record the right
+    split will claim, and never drops one it owns."""
+    import io
+
+    from fortissimo_spark.warc import (
+        build_warc, iter_warc_records, iter_warc_records_range,
+    )
+    good_a = build_warc(
+        [{"url": f"http://c.example/a{i}", "date": "2024-01-01T00:00:00Z",
+          "body": f"<p>a{i}</p>".encode()} for i in range(2)],
+        warcinfo=False)
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: NaN\r\n\r\njunk body bytes\r\n\r\n")
+    good_b = build_warc(
+        [{"url": f"http://c.example/b{i}", "date": "2024-01-01T00:00:00Z",
+          "body": f"<p>b{i}</p>".encode()} for i in range(2)],
+        warcinfo=False)
+    payload = good_a + bad + good_b
+    want = [h.get("warc-target-uri") for h, _ in iter_warc_records(payload)]
+    # full-archive parse already resyncs past the bad record
+    assert want == [f"http://c.example/{x}" for x in
+                    ("a0", "a1", "b0", "b1")]
+    for cut in range(len(payload) + 1):
+        got = []
+        for s, e in ((0, cut), (cut, len(payload))):
+            got += [h.get("warc-target-uri")
+                    for h, _ in iter_warc_records_range(
+                        io.BytesIO(payload), s, e, compressed=False)]
+        assert got == want, cut
