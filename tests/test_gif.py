@@ -191,3 +191,28 @@ def test_gif_87a_and_corrupt():
         decode_gif(b"GIF89a" + b"\x00" * 20)  # zero dims
     with pytest.raises(ValueError):
         decode_gif(data[:18])  # truncated
+
+
+def test_real_world_gifs_decode():
+    """Real encoder output (CPython's idlelib icons, shipped with the
+    running interpreter): every icon decodes through the full LZW path
+    with header-consistent dimensions and non-degenerate content — the
+    cross-check a self-made encoder can't provide."""
+    import glob
+    import os
+
+    idlelib = pytest.importorskip("idlelib")
+    icons = sorted(glob.glob(os.path.join(
+        os.path.dirname(idlelib.__file__), "Icons", "*.gif")))
+    if not icons:
+        pytest.skip("no idlelib icons in this build")
+    decoded = 0
+    for f in icons:
+        raw = open(f, "rb").read()
+        w, h, grid = decode_gif(raw)
+        assert w == int.from_bytes(raw[6:8], "little")
+        assert h == int.from_bytes(raw[8:10], "little")
+        assert len(grid) == 16
+        assert max(grid) > min(grid)  # real content, not a flat guess
+        decoded += 1
+    assert decoded >= 5
