@@ -341,3 +341,45 @@ def test_roundtrip_randomized_fuzz():
             data = encode_vp8l(w, h, toks, cache_bits=cache_bits)
         assert decode_vp8l(data) == (w, h, px), (case, w, h, style,
                                                  cache_bits, sub_green)
+
+
+def test_real_world_vp8l_alpha_stream():
+    """Real libwebp encoder output: a WebP ALPH chunk with compression
+    method 1 is a VP8L image stream (spec: the lossless format minus the
+    signature/dims header). CPython ships one in its test data — the
+    Python-logo alpha mask. Decoding it with _decode_image_stream
+    cross-checks the prefix-code machinery, bit packing, and image-
+    stream layout against a REAL producer, which the self-made test
+    encoder cannot do."""
+    import glob
+    import sys
+
+    from fortissimo_spark.vp8l import _BitReader, _decode_image_stream
+    candidates = glob.glob(
+        sys.prefix + "/lib/python*/test/imghdrdata/python.webp") + glob.glob(
+        sys.prefix + "/lib/python*/test/test_email/data/python.webp")
+    if not candidates:
+        pytest.skip("no CPython webp test file in this build")
+    raw = open(candidates[0], "rb").read()
+    alph = canvas = None
+    i = 12
+    while i + 8 <= len(raw):
+        cc, sz = raw[i:i + 4], int.from_bytes(raw[i + 4:i + 8], "little")
+        if cc == b"ALPH":
+            alph = raw[i + 8:i + 8 + sz]
+        if cc == b"VP8X":
+            d = raw[i + 8:i + 8 + sz]
+            canvas = (int.from_bytes(d[4:7], "little") + 1,
+                      int.from_bytes(d[7:10], "little") + 1)
+        i += 8 + sz + (sz & 1)
+    if alph is None or (alph[0] & 3) != 1:
+        pytest.skip("no lossless-compressed ALPH chunk")
+    w, h = canvas
+    px = _decode_image_stream(_BitReader(alph[1:]), w, h, level0=True)
+    alpha = [(p >> 8) & 0xFF for p in px]
+    assert len(alpha) == w * h
+    # the known shape of the 16x16 python-logo mask: opaque core,
+    # transparent border, anti-aliased edge values in between
+    assert alpha.count(255) > w * h // 3
+    assert alpha.count(0) > w * h // 8
+    assert any(0 < a < 255 for a in alpha)
