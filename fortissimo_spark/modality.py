@@ -346,13 +346,46 @@ def sniff_webp(raw: bytes):
 
 
 def sniff_gif(raw: bytes):
-    """(width, height) from the GIF logical screen descriptor, else None."""
+    """(width, height, duration_ms_or_None) from the GIF logical screen
+    descriptor, else None. Duration is the sum of Graphic Control
+    Extension frame delays (x10 ms) for ANIMATED GIFs via a header-only
+    block walk (color tables + image data skipped by length, no LZW
+    decode); a single frame with no delay reports None."""
     if raw[:6] not in (b"GIF87a", b"GIF89a"):
         return None
-    if len(raw) < 10:
+    if len(raw) < 13:
         raise ValueError("truncated GIF header")
-    return (int.from_bytes(raw[6:8], "little"),
-            int.from_bytes(raw[8:10], "little"))
+    w = int.from_bytes(raw[6:8], "little")
+    h = int.from_bytes(raw[8:10], "little")
+    pos = 13
+    if raw[10] & 0x80:
+        pos += 3 * (2 << (raw[10] & 7))
+    frames = 0
+    delay_cs = 0
+    while pos < len(raw):
+        b = raw[pos]
+        if b == 0x21:  # extension
+            if pos + 2 < len(raw) and raw[pos + 1] == 0xF9 \
+                    and raw[pos + 2] >= 4:
+                delay_cs += int.from_bytes(raw[pos + 4:pos + 6], "little")
+            pos += 2
+            while pos < len(raw) and raw[pos]:
+                pos += 1 + raw[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            frames += 1
+            ip = raw[pos + 9] if pos + 9 < len(raw) else 0
+            pos += 10
+            if ip & 0x80:
+                pos += 3 * (2 << (ip & 7))
+            pos += 1  # LZW min code size
+            while pos < len(raw) and raw[pos]:
+                pos += 1 + raw[pos]
+            pos += 1
+        else:  # trailer or junk: stop the walk
+            break
+    dur = delay_cs * 10 if frames > 1 and delay_cs else None
+    return w, h, dur
 
 
 def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytes:
@@ -714,7 +747,8 @@ def sniff_media(payload: bytes) -> dict | None:
                 "width": wp[0], "height": wp[1]}
     g = sniff_gif(raw)
     if g:
-        return {**base, "format": "gif", "width": g[0], "height": g[1]}
+        return {**base, "format": "gif", "width": g[0],
+                "height": g[1], "duration_ms": g[2]}
     av = sniff_avif(raw)
     if av:
         return {**base, "format": "avif", "width": av[0], "height": av[1]}

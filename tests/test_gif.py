@@ -216,3 +216,38 @@ def test_real_world_gifs_decode():
         assert max(grid) > min(grid)  # real content, not a flat guess
         decoded += 1
     assert decoded >= 5
+
+
+def test_gif_animated_duration_sniff():
+    """sniff_gif sums Graphic Control Extension delays (x10 ms) over an
+    animated GIF via a header-only walk; single-frame GIFs report None."""
+    from fortissimo_spark.modality import sniff_gif, sniff_media
+    pal = [(0, 0, 0), (255, 255, 255)]
+    one = build_gif(4, 4, pal, [0] * 16)
+    assert sniff_gif(one)[2] is None
+
+    # two frames with 50 cs + 25 cs delays = 750 ms
+    def frame(delay_cs, idx):
+        gce = (b"\x21\xf9\x04\x00" + delay_cs.to_bytes(2, "little")
+               + b"\x00\x00")
+        body = bytearray()
+        body += b"\x2c" + b"\x00" * 4
+        body += (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        body += b"\x00"  # no local table, no interlace
+        data = lzw_encode(idx, 2)
+        body += bytes([2])
+        body += bytes([len(data)]) + data + b"\x00"
+        return gce + bytes(body)
+
+    size_bits = 1  # 2 palette slots -> 6 table bytes
+    table = b"\x00\x00\x00\xff\xff\xff"
+    anim = (b"GIF89a" + (4).to_bytes(2, "little")
+            + (4).to_bytes(2, "little")
+            + bytes([0x80 | (size_bits - 1), 0, 0]) + table
+            + frame(50, [0] * 16) + frame(25, [1] * 16) + b"\x3b")
+    assert sniff_gif(anim) == (4, 4, 750)
+    s = sniff_media(anim)
+    assert (s["format"], s["duration_ms"]) == ("gif", 750)
+    # the pixel decoder still reads the FIRST frame of the animation
+    w, h, grid = decode_gif(anim)
+    assert (w, h) == (4, 4) and set(grid) == {0}
