@@ -11,12 +11,12 @@ and PPM (P6/P3) images produce real dimensions and a pixel-derived 4x4
 grayscale feature grid; WAV PCM audio produces real sample rate /
 channels / duration and a 16-window RMS loudness profile. The remaining
 codec formats get header-only sniffing (``sniff_media``): WebP
-VP8/VP8X and AVIF yield real dimensions, mp3 yields real sample rate /
-channels / CBR duration, mp4/ISO-BMFF yields real dimensions + mvhd
-duration — so the typed metadata columns populate
-without a codec library, while the pixel/sample summaries for those
-formats remain digest stand-ins. Fully-unrecognized formats (video
-codecs, ogg, ...) raise ``NotImplementedError``/``ValueError`` unless
+VP8/VP8X and AVIF yield real dimensions, mp3 (incl. Xing VBR), FLAC
+STREAMINFO and Ogg Vorbis/Opus yield real sample rate / channels /
+duration, mp4/ISO-BMFF yields real dimensions + mvhd duration — so the
+typed metadata columns populate without a codec library, while the
+pixel/sample summaries for those formats remain digest stand-ins.
+Fully-unrecognized formats (raw video codecs, ...) raise ``NotImplementedError``/``ValueError`` unless
 ``deterministic_fake=True``, which substitutes a seeded content-derived
 stand-in so downstream plumbing stays exercisable end-to-end.
 """
@@ -40,7 +40,8 @@ __all__ = ["MEDIA_SCHEMA", "IMAGE_FEATURES_SCHEMA", "AUDIO_FEATURES_SCHEMA",
            "decode_audio", "make_image_feature_kernel",
            "make_audio_feature_kernel", "image_features", "audio_features",
            "sample_frames", "sniff_media", "sniff_webp", "sniff_gif",
-           "sniff_avif", "sniff_mp3", "sniff_mp4",
+           "sniff_avif", "sniff_mp3", "sniff_mp4", "sniff_flac",
+           "sniff_ogg",
            "media_metadata", "MEDIA_METADATA_SCHEMA"]
 
 MEDIA_SCHEMA = StructType([
@@ -605,6 +606,65 @@ def sniff_mp3(raw: bytes):
     return None
 
 
+def sniff_flac(raw: bytes):
+    """(sample_rate, n_channels, duration_ms) from a FLAC STREAMINFO
+    block (public format: 'fLaC' + metadata blocks; STREAMINFO packs
+    rate/channels/total-samples into 8 bytes), else None."""
+    if raw[:4] != b"fLaC":
+        return None
+    i = 4
+    while i + 4 <= len(raw):
+        hdr = raw[i]
+        length = int.from_bytes(raw[i + 1:i + 4], "big")
+        if (hdr & 0x7F) == 0:  # STREAMINFO
+            if length < 18 or i + 4 + 18 > len(raw):
+                break
+            packed = int.from_bytes(raw[i + 14:i + 22], "big")
+            rate = packed >> 44
+            nch = ((packed >> 41) & 0x7) + 1
+            total = packed & ((1 << 36) - 1)
+            if not rate:
+                break
+            return rate, nch, int(total * 1000 // rate) if total else None
+        if hdr & 0x80:  # last-metadata-block flag
+            break
+        i += 4 + length
+    raise ValueError("FLAC without a readable STREAMINFO block")
+
+
+def sniff_ogg(raw: bytes):
+    """(codec, sample_rate, n_channels, duration_ms) from an Ogg
+    container: the id header of the first page names the codec (Vorbis /
+    Opus per their public specs), the LAST page's granule position gives
+    the duration (PCM samples for Vorbis; 48 kHz units minus pre-skip
+    for Opus). Returns None for non-Ogg bytes."""
+    if raw[:4] != b"OggS":
+        return None
+    nseg = raw[26] if len(raw) > 26 else 0
+    body = 27 + nseg
+    first = raw[body:body + 64]
+    if first[:7] == b"\x01vorbis" and len(first) >= 16:
+        codec = "vorbis"
+        nch = first[11]
+        rate = int.from_bytes(first[12:16], "little")
+    elif first[:8] == b"OpusHead" and len(first) >= 19:
+        codec = "opus"
+        nch = first[9]
+        preskip = int.from_bytes(first[10:12], "little")
+        rate = 48000  # Opus always decodes at 48 kHz
+    else:
+        raise ValueError("Ogg with an unrecognized codec id header")
+    last = raw.rfind(b"OggS")
+    dur = None
+    if last > 0 and len(raw) >= last + 14:
+        granule = int.from_bytes(raw[last + 6:last + 14], "little")
+        if granule and granule < (1 << 62):
+            if codec == "opus":
+                granule = max(0, granule - preskip)
+            dur = int(granule * 1000 // rate)
+    return codec, rate, nch, dur
+
+
 def sniff_mp4(raw: bytes):
     """(width, height, duration_ms) from an ISO-BMFF (mp4/mov) moov box:
     mvhd timescale+duration for the presentation length, the first tkhd
@@ -757,6 +817,14 @@ def sniff_media(payload: bytes) -> dict | None:
         return {**base, "format": "mp3", "sample_rate": m[0],
                 "n_channels": m[1], "bitrate_kbps": m[2],
                 "duration_ms": m[3]}
+    fl = sniff_flac(raw)
+    if fl:
+        return {**base, "format": "flac", "sample_rate": fl[0],
+                "n_channels": fl[1], "duration_ms": fl[2]}
+    og = sniff_ogg(raw)
+    if og:
+        return {**base, "format": f"ogg-{og[0]}", "sample_rate": og[1],
+                "n_channels": og[2], "duration_ms": og[3]}
     mp4 = sniff_mp4(raw)
     if mp4:
         return {**base, "format": "mp4", "width": mp4[0],

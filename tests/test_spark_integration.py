@@ -2573,3 +2573,43 @@ def test_warc_range_reader_cut_points_with_corrupt_record():
                     for h, _ in iter_warc_records_range(
                         io.BytesIO(payload), s, e, compressed=False)]
         assert got == want, cut
+
+
+def test_flac_and_ogg_sniffing(spark):
+    """FLAC STREAMINFO and Ogg Vorbis/Opus id headers on hand-built
+    spec fixtures: exact rates/channels/durations, corrupt refusal."""
+    from fortissimo_spark.modality import sniff_flac, sniff_media, sniff_ogg
+    # FLAC: 44100 Hz, 2ch, 441000 samples -> 10 s
+    packed = (44100 << 44) | (1 << 41) | 441000
+    streaminfo = (b"\x80" + (34).to_bytes(3, "big") + b"\x00" * 10
+                  + packed.to_bytes(8, "big") + b"\x00" * 16)
+    flac = b"fLaC" + streaminfo
+    assert sniff_flac(flac) == (44100, 2, 10000)
+    s = sniff_media(flac)
+    assert (s["format"], s["sample_rate"], s["n_channels"],
+            s["duration_ms"]) == ("flac", 44100, 2, 10000)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sniff_flac(b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + b"\x00")
+
+    def ogg_page(body, granule=0, seq=0):
+        # spec layout: OggS ver type granule(8) serial(4) seq(4) crc(4)
+        # nseg(1) segtable body
+        return (b"OggS\x00\x02" + granule.to_bytes(8, "little")
+                + b"\x00" * 4 + seq.to_bytes(4, "little")
+                + b"\x00" * 4 + bytes([1, len(body)]) + body)
+
+    vorbis_id = (b"\x01vorbis" + b"\x00" * 4 + bytes([2])
+                 + (48000).to_bytes(4, "little") + b"\x00" * 16)
+    ogg = ogg_page(vorbis_id) + ogg_page(b"\x00" * 10,
+                                         granule=96000, seq=1)
+    assert sniff_ogg(ogg) == ("vorbis", 48000, 2, 2000)
+    opus_id = (b"OpusHead\x01" + bytes([1])
+               + (312).to_bytes(2, "little")
+               + (16000).to_bytes(4, "little") + b"\x00" * 3)
+    ogg2 = ogg_page(opus_id) + ogg_page(b"\x00" * 10,
+                                        granule=48000 + 312, seq=1)
+    assert sniff_ogg(ogg2) == ("opus", 48000, 1, 1000)
+    assert sniff_media(ogg2)["format"] == "ogg-opus"
+    with _pt.raises(ValueError):
+        sniff_ogg(ogg_page(b"\x7fFLAC..."))  # unknown codec id
