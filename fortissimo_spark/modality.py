@@ -769,6 +769,22 @@ def _sniff_wav(raw: bytes):
     return rate, nch, int(data_len // block * 1000 // rate)
 
 
+def _has_vp8l_chunk(raw: bytes) -> bool:
+    """Exact RIFF chunk walk for a VP8L image chunk — unlike a byte
+    search this can't false-positive on compressed VP8 data, and it
+    finds lossless chunks behind ICCP/EXIF/XMP in a VP8X wrapper."""
+    i = 12
+    while i + 8 <= len(raw):
+        fourcc = raw[i:i + 4]
+        if fourcc == b"VP8L":
+            return True
+        if fourcc in (b"VP8 ", b"ANMF"):
+            return False  # lossy / animated: sniff path
+        size = int.from_bytes(raw[i + 4:i + 8], "little")
+        i += 8 + size + (size & 1)
+    return False
+
+
 def sniff_media(payload: bytes) -> dict | None:
     """Typed-metadata dict for any sniffable container, else None:
     ``{format, width, height, sample_rate, n_channels, bitrate_kbps,
@@ -862,7 +878,7 @@ def decode_image(payload: bytes, *, deterministic_fake: bool = False):
         if raw[:6] in (b"GIF87a", b"GIF89a"):
             return decode_gif(raw)
         if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP" \
-                and b"VP8L" in raw[12:min(len(raw), 64)]:
+                and _has_vp8l_chunk(raw):
             # lossless WebP: REAL pixel decode (vp8l.py); lossy VP8 /
             # animated flavors fall through to the header sniff below
             from .vp8l import decode_vp8l

@@ -383,3 +383,43 @@ def test_real_world_vp8l_alpha_stream():
     assert alpha.count(255) > w * h // 3
     assert alpha.count(0) > w * h // 8
     assert any(0 < a < 255 for a in alpha)
+
+
+def test_decode_image_vp8x_wrapped_lossless():
+    """A VP8X-extended container with an ICCP chunk BEFORE the VP8L
+    image still takes the real pixel-decode path (exact chunk walk, not
+    a fixed-window byte search); a lossy VP8 container with 'VP8L' as
+    literal bytes inside its compressed data does NOT."""
+    from fortissimo_spark.modality import _gray_grid, decode_image
+    w, h = 8, 6
+    px = lcg_pixels(w * h, seed=99)
+    plain = encode_vp8l(w, h, tokenize(px))
+    vp8l_chunk = plain[20 - 8:]  # the VP8L chunk incl. its header
+
+    def chunk(cc, data):
+        return cc + len(data).to_bytes(4, "little") + data \
+            + (b"\x00" if len(data) & 1 else b"")
+
+    vp8x = chunk(b"VP8X", b"\x20\x00\x00\x00"  # ICC flag
+                 + (w - 1).to_bytes(3, "little")
+                 + (h - 1).to_bytes(3, "little"))
+    iccp = chunk(b"ICCP", b"\x00" * 97)  # odd size: exercises padding
+    body = b"WEBP" + vp8x + iccp + vp8l_chunk
+    wrapped = b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    def luma(x, y):
+        p = px[y * w + x]
+        return ((p >> 16 & 0xFF) * 299 + (p >> 8 & 0xFF) * 587
+                + (p & 0xFF) * 114) // 1000
+
+    assert decode_image(wrapped) == (w, h, _gray_grid(w, h, luma))
+
+    # lossy VP8 whose payload contains the literal 'VP8L' bytes: the
+    # chunk walk must not take the lossless path (sniff dims instead)
+    lossy_body = (b"\x00\x00\x00\x9d\x01\x2a"
+                  + (320).to_bytes(2, "little")
+                  + (240).to_bytes(2, "little") + b"VP8L" + b"\x00" * 20)
+    lossy = b"RIFF" + (4 + 8 + len(lossy_body)).to_bytes(4, "little") \
+        + b"WEBP" + chunk(b"VP8 ", lossy_body)
+    got = decode_image(lossy)
+    assert (got[0], got[1]) == (320, 240) and len(got[2]) == 32  # digest
