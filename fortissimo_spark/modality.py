@@ -1036,13 +1036,25 @@ def decode_audio(payload: bytes, *, deterministic_fake: bool = False):
     try:
         if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
             return decode_wav(raw)
-        # mp3: REAL rate/channels/CBR-duration from the frame header,
+        # codec formats: REAL rate/channels/duration from the headers
+        # (mp3 frame/Xing, FLAC STREAMINFO, Ogg id + last-page granule),
         # digest stand-in for the loudness profile (samples need a codec)
+        meta = None
         m = sniff_mp3(raw)
         if m:
+            meta = (m[0], m[1], m[3])
+        else:
+            fl = sniff_flac(raw)
+            if fl:
+                meta = fl
+            else:
+                og = sniff_ogg(raw)
+                if og:
+                    meta = (og[1], og[2], og[3])
+        if meta:
             digest = hashlib.sha256(raw).digest()
-            return m[0], m[1], m[3], [digest[i % 32] / 255.0
-                                      for i in range(16)]
+            return meta[0], meta[1], meta[2], [digest[i % 32] / 255.0
+                                               for i in range(16)]
         unrecognized = True
     except Exception as e:  # noqa: BLE001 - corrupt payloads must degrade
         if not deterministic_fake:
@@ -1050,9 +1062,9 @@ def decode_audio(payload: bytes, *, deterministic_fake: bool = False):
         unrecognized = False
     if unrecognized and not deterministic_fake:
         raise NotImplementedError(
-            "only WAV PCM has an in-container SAMPLE decoder (mp3 headers "
-            "sniff real rate/channels/duration with a digest loudness "
-            "stand-in); other audio formats need a codec — pass "
+            "only WAV PCM has an in-container SAMPLE decoder (mp3/FLAC/"
+            "Ogg headers sniff real rate/channels/duration with a digest "
+            "loudness stand-in); other audio formats need a codec — pass "
             "deterministic_fake=True for the stand-in")
     digest = hashlib.sha256(raw).digest()
     rate = 8000 * (1 + digest[0] % 6)

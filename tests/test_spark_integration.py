@@ -2613,3 +2613,14 @@ def test_flac_and_ogg_sniffing(spark):
     assert sniff_media(ogg2)["format"] == "ogg-opus"
     with _pt.raises(ValueError):
         sniff_ogg(ogg_page(b"\x7fFLAC..."))  # unknown codec id
+
+
+def test_decode_audio_flac_ogg_metadata(spark):
+    """decode_audio surfaces REAL rate/channels/duration for FLAC and
+    Ogg payloads (digest loudness stand-in) instead of raising."""
+    from fortissimo_spark.modality import decode_audio
+    packed = (22050 << 44) | (0 << 41) | 44100
+    flac = (b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + b"\x00" * 10
+            + packed.to_bytes(8, "big") + b"\x00" * 16)
+    rate, nch, dur, rms = decode_audio(flac)
+    assert (rate, nch, dur) == (22050, 1, 2000) and len(rms) == 16
