@@ -776,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "semantic_dedup_split": _q_semantic_dedup_split,
         "media_metadata": _q_media_metadata,
+        "cdxj_census": _q_cdxj_census,
         "curate_corpus": _q_curate_corpus,
         "stratified_sample": _q_stratified_sample,
         "incremental_new_pages": _q_incremental_new_pages,
@@ -1139,6 +1140,39 @@ def _q_media_metadata(spark, sf_dir):
         "width int, height int, duration_ms int")
     return (media_metadata(media.union(junk))
             .select("media_id", "format", "width", "height"))
+
+
+def _q_cdxj_census(spark, sf_dir):
+    """Crawl-index census: Spark CONSTRUCTS Common-Crawl-style CDXJ
+    lines (urlkey + 14-digit timestamp + json with string-typed
+    numerics) from doc-derived values, then the real parse path
+    (warc.parse_cdxj_lines — substring splits + from_json, no Python)
+    must recover every field; the oracle recomputes the expected
+    columns directly."""
+    from fortissimo_spark.warc import parse_cdxj_lines
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    ts = F.format_string("20240301%02d%02d%02d",
+                         (did % 24).cast("int"),
+                         F.expr("(doc_id div 60) % 60").cast("int"),
+                         (did % 60).cast("int"))
+    js = F.to_json(F.struct(
+        F.concat(F.lit("https://example.com/p/"),
+                 did.cast("string")).alias("url"),
+        F.when(did % 7 == 0, "application/pdf")
+        .otherwise("text/html").alias("mime"),
+        F.when(did % 13 == 0, "404").otherwise("200").alias("status"),
+        F.md5(did.cast("string")).alias("digest"),
+        (did % 9000 + 100).cast("string").alias("length"),
+        ((did * 977) % 1000000).cast("string").alias("offset"),
+        F.format_string("crawl-%02d.warc.gz",
+                        (did % 20).cast("int")).alias("filename")))
+    lines = d.select(F.concat_ws(
+        " ", F.concat(F.lit("com,example)/p/"), did.cast("string")),
+        ts, js).alias("value"))
+    return (parse_cdxj_lines(lines)
+            .select("urlkey", "capture_ts", "url", "mime", "status",
+                    "digest", "length", "offset", "filename"))
 
 
 def _q_domain_caps(spark, sf_dir):
@@ -2090,6 +2124,25 @@ def oracle_sql() -> dict[str, str]:
         "fivegram_perplexity": _ppl5_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "semantic_dedup_split": _semantic_dedup_split_oracle_sql(),
+        "cdxj_census": """
+            SELECT 'com,example)/p/' || CAST(doc_id AS VARCHAR) AS urlkey,
+                   strptime(printf('20240301%02d%02d%02d',
+                                   CAST(doc_id % 24 AS INTEGER),
+                                   CAST((doc_id // 60) % 60 AS INTEGER),
+                                   CAST(doc_id % 60 AS INTEGER)),
+                            '%Y%m%d%H%M%S') AS capture_ts,
+                   'https://example.com/p/' || CAST(doc_id AS VARCHAR)
+                     AS url,
+                   CASE WHEN doc_id % 7 = 0 THEN 'application/pdf'
+                        ELSE 'text/html' END AS mime,
+                   CAST(CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END
+                        AS INTEGER) AS status,
+                   md5(CAST(doc_id AS VARCHAR)) AS digest,
+                   CAST(doc_id % 9000 + 100 AS BIGINT) AS length,
+                   CAST((doc_id * 977) % 1000000 AS BIGINT) AS offset,
+                   printf('crawl-%02d.warc.gz',
+                          CAST(doc_id % 20 AS INTEGER)) AS filename
+            FROM documents""",
         "media_metadata": """
             SELECT doc_id AS media_id, 'ppm' AS format,
                    CAST(doc_id % 300 + 1 AS INTEGER) AS width,

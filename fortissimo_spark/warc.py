@@ -32,7 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from .schema import PAGES_SCHEMA
 
 __all__ = ["build_warc", "iter_warc_records", "parse_warc_pages",
-           "read_warcs", "read_warcs_split", "iter_warc_records_range"]
+           "read_warcs", "read_warcs_split", "iter_warc_records_range",
+           "read_cdxj", "parse_cdxj_lines", "cdxj_line", "CDXJ_FIELDS"]
 
 
 def build_warc(records: list[dict], *, compress: bool = False,
@@ -599,3 +600,64 @@ def read_warcs_split(spark: SparkSession, path_glob: str, *,
         splits, "path string, start long, end long, gz boolean")
     return (sdf.repartition(max(len(splits), 1))
             .mapInPandas(_split_kernel, PAGES_SCHEMA))
+
+
+# --- CDX(J) index ingest -------------------------------------------------
+# Common Crawl publishes a CDXJ index alongside its WARCs (public format:
+# one line per capture, "urlkey timestamp {json}" with the json carrying
+# url/status/mime/digest and the WARC byte range). Reading it is how a
+# fetch-planning pipeline selects records BEFORE touching any archive
+# bytes — the census leg in front of read_warcs_split.
+
+CDXJ_FIELDS = ("url", "mime", "status", "digest", "length", "offset",
+               "filename", "languages")
+
+
+def parse_cdxj_lines(lines: DataFrame,
+                     value_col: str = "value") -> DataFrame:
+    """Parse CDXJ lines (one string column) to (urlkey, capture_ts, url,
+    mime, status, digest, length, offset, filename, languages). The
+    json's numeric fields arrive as JSON STRINGS (the published CDXJ
+    convention), parsed as strings and cast. Entirely JVM-side — two
+    substring splits and one from_json; malformed lines yield NULL
+    parsed columns (observable, never dropped)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+    schema = StructType([StructField(c, StringType())
+                         for c in CDXJ_FIELDS])
+    v = F.col(value_col)
+    urlkey = F.substring_index(v, " ", 1)
+    ts = F.substring_index(F.expr(
+        f"substring({value_col}, length(substring_index({value_col},"
+        f" ' ', 1)) + 2)"), " ", 1)
+    js = F.expr(f"substring({value_col},"
+                f" length(substring_index({value_col}, ' ', 2)) + 2)")
+    parsed = F.from_json(js, schema)
+    out_cols = []
+    for c in CDXJ_FIELDS:
+        col = F.col(f"_j.{c}")
+        if c in ("length", "offset"):
+            col = col.cast("long")
+        elif c == "status":
+            col = col.cast("int")
+        out_cols.append(col.alias(c))
+    return (lines
+            .select(urlkey.alias("urlkey"),
+                    F.to_timestamp(ts, "yyyyMMddHHmmss")
+                    .alias("capture_ts"),
+                    parsed.alias("_j"))
+            .select("urlkey", "capture_ts", *out_cols))
+
+
+def read_cdxj(spark: SparkSession, path_glob: str) -> DataFrame:
+    """DataFrame over CDX(J) index files — the census leg in front of
+    ``read_warcs_split``: a text scan feeding
+    :func:`parse_cdxj_lines`, no Python and no shuffle, so a full-index
+    pass (10^10 lines per crawl) runs at text-source speed."""
+    return parse_cdxj_lines(spark.read.text(path_glob))
+
+
+def cdxj_line(urlkey: str, ts: str, fields: dict) -> str:
+    """One CDXJ line (fixture builder, the write-side inverse)."""
+    import json as _json
+    return f"{urlkey} {ts} {_json.dumps(fields, sort_keys=True)}"

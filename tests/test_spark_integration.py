@@ -2624,3 +2624,39 @@ def test_decode_audio_flac_ogg_metadata(spark):
             + packed.to_bytes(8, "big") + b"\x00" * 16)
     rate, nch, dur, rms = decode_audio(flac)
     assert (rate, nch, dur) == (22050, 1, 2000) and len(rms) == 16
+
+
+def test_cdxj_index_reader(spark, tmp_path_factory):
+    """read_cdxj parses Common-Crawl-style CDXJ index lines (urlkey +
+    14-digit timestamp + json with STRING-typed numerics) entirely
+    JVM-side; malformed lines yield NULL parsed columns, not drops."""
+    from fortissimo_spark.warc import cdxj_line, read_cdxj
+    base = tmp_path_factory.mktemp("cdxj")
+    lines = [
+        cdxj_line("com,example)/a", "20240301120000",
+                  {"url": "https://example.com/a", "mime": "text/html",
+                   "status": "200", "digest": "SHAAAA", "length": "5120",
+                   "offset": "1024", "filename": "crawl-00.warc.gz"}),
+        cdxj_line("com,example)/b", "20240301120133",
+                  {"url": "https://example.com/b", "mime": "text/html",
+                   "status": "404", "digest": "SHBBBB", "length": "900",
+                   "offset": "7000", "filename": "crawl-00.warc.gz",
+                   "languages": "eng"}),
+        "com,example)/broken 20240301120200 {not json",
+    ]
+    (base / "idx.cdxj").write_text("\n".join(lines) + "\n")
+    rows = {r.urlkey: r for r in read_cdxj(spark, str(base)).collect()}
+    assert len(rows) == 3
+    a = rows["com,example)/a"]
+    assert (a.url, a.status, a.length, a.offset, a.filename) == \
+        ("https://example.com/a", 200, 5120, 1024, "crawl-00.warc.gz")
+    assert a.capture_ts.strftime("%Y%m%d%H%M%S") == "20240301120000"
+    assert rows["com,example)/b"].languages == "eng"
+    broken = rows["com,example)/broken"]
+    assert broken.url is None and broken.capture_ts is not None
+    # census-typical selection stays JVM-only (no Python in the plan)
+    sel = read_cdxj(spark, str(base)).filter(
+        (F.col("status") == 200) & (F.col("mime") == "text/html"))
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert sel.count() == 1
