@@ -33,7 +33,8 @@ from .schema import PAGES_SCHEMA
 
 __all__ = ["build_warc", "iter_warc_records", "parse_warc_pages",
            "read_warcs", "read_warcs_split", "iter_warc_records_range",
-           "read_cdxj", "parse_cdxj_lines", "cdxj_line", "CDXJ_FIELDS"]
+           "read_cdxj", "parse_cdxj_lines", "cdxj_line", "CDXJ_FIELDS",
+           "read_warc_records_by_index"]
 
 
 def build_warc(records: list[dict], *, compress: bool = False,
@@ -661,3 +662,55 @@ def cdxj_line(urlkey: str, ts: str, fields: dict) -> str:
     """One CDXJ line (fixture builder, the write-side inverse)."""
     import json as _json
     return f"{urlkey} {ts} {_json.dumps(fields, sort_keys=True)}"
+
+
+def read_warc_records_by_index(spark: SparkSession, index: DataFrame,
+                               warc_dir: str, *,
+                               filename_col: str = "filename",
+                               offset_col: str = "offset",
+                               length_col: str = "length") -> DataFrame:
+    """pages rows for EXACTLY the index-selected records — the planned
+    fetch that pairs with :func:`read_cdxj`: Common Crawl's index rows
+    carry each record's (filename, byte offset, compressed length), so a
+    selection census turns into range reads of single gzip members with
+    no scan of unselected bytes (at web scale, HTTP range requests; here
+    the same seeks through ``_open_for_range``'s local/pyarrow-fs
+    streams).
+
+    Shape: the selection repartitions by filename so one task owns each
+    archive's reads, and reads are offset-sorted within the task
+    (monotone seeks). Memory bound = one record at a time. Rows whose
+    range fails to parse are skipped per-record, never killing a task."""
+    from pyspark.sql import functions as F
+    sel = (index.select(F.col(filename_col).alias("filename"),
+                        F.col(offset_col).cast("long").alias("offset"),
+                        F.col(length_col).cast("long").alias("length"))
+           .repartition(F.col("filename")))
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("url", "warc_ts", "html", "text", "lang")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for fname, grp in pdf.groupby("filename"):
+                try:
+                    f = _open_for_range(warc_dir.rstrip("/") + "/" + fname)
+                except Exception:  # noqa: BLE001 - missing archive
+                    continue
+                with f:
+                    for off, ln in sorted(zip(grp["offset"].tolist(),
+                                              grp["length"].tolist())):
+                        try:
+                            f.seek(int(off))
+                            payload = f.read(int(ln))
+                            for headers, block in iter_warc_records(
+                                    payload):
+                                page = _page_from_record(headers, block)
+                                if page is not None:
+                                    for k in cols:
+                                        rows[k].append(page[k])
+                        except Exception:  # noqa: BLE001 - bad range
+                            continue
+            if rows["url"]:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return sel.mapInPandas(kernel, PAGES_SCHEMA)

@@ -2660,3 +2660,42 @@ def test_cdxj_index_reader(spark, tmp_path_factory):
     plan = sel._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "MapInPandas" not in plan
     assert sel.count() == 1
+
+
+def test_warc_fetch_by_index(spark, tmp_path_factory):
+    """Planned fetch: per-record gzip members with TRACKED offsets across
+    two archives; an index selection must fetch exactly those records,
+    byte-identical html, and skip a bad range without losing its task."""
+    import gzip as _gz
+
+    from fortissimo_spark.warc import build_warc, read_warc_records_by_index
+    base = tmp_path_factory.mktemp("warc_idx")
+    index_rows = []
+    for fno in range(2):
+        members = []
+        offset = 0
+        for i in range(12):
+            one = build_warc(
+                [{"url": f"http://idx.example/f{fno}/r{i}",
+                  "date": "2024-01-01T00:00:00Z",
+                  "body": f"<p>doc {fno}/{i} body</p>".encode()}],
+                warcinfo=False)
+            gz = _gz.compress(one, mtime=0)
+            members.append(gz)
+            index_rows.append((f"c{fno}.warc.gz", offset, len(gz), fno, i))
+            offset += len(gz)
+        (base / f"c{fno}.warc.gz").write_bytes(b"".join(members))
+
+    # select every 3rd record of each file + one bogus range
+    sel = [(f, o, ln) for (f, o, ln, fno, i) in index_rows if i % 3 == 0]
+    sel.append(("c0.warc.gz", 10 ** 9, 100))       # out-of-range: skipped
+    sel.append(("missing.warc.gz", 0, 100))        # absent file: skipped
+    idx = spark.createDataFrame(sel, "filename string, offset long, "
+                                     "length long")
+    got = {r.url: bytes(r.html)
+           for r in read_warc_records_by_index(spark, idx,
+                                               str(base)).collect()}
+    want = {f"http://idx.example/f{fno}/r{i}"
+            for (f, o, ln, fno, i) in index_rows if i % 3 == 0}
+    assert set(got) == want and len(got) == 8
+    assert got["http://idx.example/f1/r3"].endswith(b"doc 1/3 body</p>")
