@@ -654,14 +654,28 @@ def sniff_ogg(raw: bytes):
         rate = 48000  # Opus always decodes at 48 kHz
     else:
         raise ValueError("Ogg with an unrecognized codec id header")
-    last = raw.rfind(b"OggS")
+    # Walk pages FORWARD from the first header — each page's segment
+    # table gives its exact length, so untrusted payload bytes that
+    # happen to contain "OggS" can never be mistaken for a page header
+    # (an rfind-based scan can be fooled into a garbage granule).
     dur = None
-    if last > 0 and len(raw) >= last + 14:
-        granule = int.from_bytes(raw[last + 6:last + 14], "little")
-        if granule and granule < (1 << 62):
-            if codec == "opus":
-                granule = max(0, granule - preskip)
-            dur = int(granule * 1000 // rate)
+    granule = None
+    pos = 0
+    while pos + 27 <= len(raw):
+        if raw[pos:pos + 4] != b"OggS" or raw[pos + 4] != 0:
+            break  # corrupt/truncated: keep the last VALID page's granule
+        nseg_p = raw[pos + 26]
+        table_end = pos + 27 + nseg_p
+        if table_end > len(raw):
+            break
+        g = int.from_bytes(raw[pos + 6:pos + 14], "little")
+        if g and g < (1 << 62):
+            granule = g
+        pos = table_end + sum(raw[pos + 27:table_end])
+    if granule is not None:
+        if codec == "opus":
+            granule = max(0, granule - preskip)
+        dur = int(granule * 1000 // rate)
     return codec, rate, nch, dur
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQueryListener
 
 from .io_tables import with_layout_columns
 from .pipeline import extract_df
@@ -28,7 +29,7 @@ from .schema import PAGES_SCHEMA
 
 __all__ = ["read_pages_stream", "streaming_extract", "start_streaming_job",
            "streaming_host_stats", "streaming_crawl_rates",
-           "streaming_curate", "DOCS_STREAM_SCHEMA"]
+           "streaming_curate", "curation_metrics", "DOCS_STREAM_SCHEMA"]
 
 
 def read_pages_stream(spark: SparkSession, input_path: str,
@@ -134,11 +135,61 @@ DOCS_STREAM_SCHEMA = ("doc_id long, lang string, text string, "
                       "crawl_ts timestamp")
 
 
+class _SourceCountListener(StreamingQueryListener):
+    """Driver-side progress listener that appends one JSON line
+    ``{"batch_id": N, "docs_in": rows}`` per completed micro-batch of ONE
+    query — the pre-dedup input count, which ``foreachBatch`` can never
+    see (the stateful dedup drops rows upstream of it). Plain file
+    appends only (no session use: listener callbacks run on an event
+    thread); ``curation_metrics`` reads the lines back with
+    ``spark.read.json``."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.query_id = None  # set right after query start
+
+    def onQueryStarted(self, event):  # noqa: N802 (Spark listener ABC)
+        pass
+
+    def onQueryProgress(self, event):  # noqa: N802
+        import json as _json
+        p = event.progress
+        if self.query_id is not None and str(p.id) != self.query_id:
+            return
+        with open(self.path, "a") as f:
+            f.write(_json.dumps({"batch_id": p.batchId,
+                                 "docs_in": p.numInputRows}) + "\n")
+
+    def onQueryIdle(self, event):  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event):  # noqa: N802
+        pass
+
+
+def curation_metrics(spark: SparkSession, metrics_path: str) -> DataFrame:
+    """Join the two metrics legs :func:`streaming_curate` writes into the
+    per-batch lineage shape: ``(batch_id, docs_in, dedup_dropped,
+    gate_dropped, docs_out, committed_at)`` — the streaming mirror of
+    ``pipeline.ExtractionJob``'s batch lineage table.
+    ``dedup_dropped = docs_in - dedup survivors`` (rows the watermark
+    dedup state swallowed before ``foreachBatch`` saw the batch)."""
+    batches = spark.read.parquet(os.path.join(metrics_path, "batches"))
+    src = spark.read.json(os.path.join(metrics_path, "source_counts.jsonl"))
+    return (batches.join(src, "batch_id", "left")
+            .withColumn("dedup_dropped",
+                        F.col("docs_in") - F.col("dedup_survivors"))
+            .select("batch_id", "docs_in", "dedup_dropped", "gate_dropped",
+                    "docs_out", "committed_at")
+            .orderBy("batch_id"))
+
+
 def streaming_curate(spark: SparkSession, input_path: str, output_path: str,
                      checkpoint_path: str, *, lm=None,
                      ppl_cutoff: float = 100.0, watermark: str = "1 hour",
                      max_files_per_trigger: int = 1,
-                     trigger_seconds: int = 10):
+                     trigger_seconds: int = 10,
+                     metrics_path: str | None = None):
     """``pipeline.curate_corpus``'s dedup + LM-gate stages as an
     INCREMENTAL job — the continuous-crawl shape of the composed recipe.
 
@@ -162,8 +213,19 @@ def streaming_curate(spark: SparkSession, input_path: str, output_path: str,
 
     Each batch writes ``batch_id=N`` with overwrite (the
     :func:`start_streaming_job` at-least-once idempotency contract).
+
+    With ``metrics_path`` set, every batch also lands a lineage/metrics
+    row — the streaming mirror of ``ExtractionJob``'s batch lineage
+    table: ``foreachBatch`` counts dedup survivors and gate drops via
+    ``Observation`` (piggybacking on the output write — no extra jobs),
+    and a query-scoped progress listener records the PRE-dedup input
+    count per batch (invisible to ``foreachBatch``: the stateful dedup
+    drops rows upstream of it). Read the joined
+    ``(batch_id, docs_in, dedup_dropped, gate_dropped, docs_out)`` view
+    with :func:`curation_metrics`.
+
     Returns the StreamingQuery handle."""
-    from .lm import with_perplexity
+    from .lm import NgramLM, with_perplexity, with_perplexity_ngram
 
     stream = (spark.readStream.schema(DOCS_STREAM_SCHEMA)
               .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -175,18 +237,56 @@ def streaming_curate(spark: SparkSession, input_path: str, output_path: str,
                .drop("_th"))
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = batch_df
+        from pyspark.sql import Observation
+        obs_in, obs_out = Observation(), Observation()
+        out = batch_df.observe(obs_in, F.count(F.lit(1)).alias("n"))
         if lm is not None:
-            ppl = with_perplexity(out, lm, "doc_id", "text")
+            # same dispatch as pipeline.curate_corpus: an NgramLM (the
+            # CCNet 5-gram gate) scores via the order-n path
+            if isinstance(lm, NgramLM):
+                ppl = with_perplexity_ngram(out, lm, "doc_id", "text")
+            else:
+                ppl = with_perplexity(out, lm, "doc_id", "text")
             out = (out.join(ppl, "doc_id")
                    .filter(F.col("ppl").isNotNull()
                            & (F.col("ppl") <= ppl_cutoff)))
         cols = ["doc_id", "lang"] + (["ppl"] if lm is not None else [])
-        (out.select(*cols).write.mode("overwrite")
+        out = out.select(*cols).observe(obs_out,
+                                        F.count(F.lit(1)).alias("n"))
+        (out.write.mode("overwrite")
          .parquet(os.path.join(output_path, f"batch_id={batch_id}")))
+        if metrics_path is not None:
+            # Observation counts piggyback on the write action above —
+            # the metrics leg adds ZERO extra jobs over the batch data.
+            n_in = obs_in.get["n"]
+            n_out = obs_out.get["n"]
+            # batch_id comes from the partition directory on read-back
+            (spark.createDataFrame(
+                [(n_in, n_in - n_out, n_out)],
+                "dedup_survivors long, gate_dropped long, docs_out long")
+             .withColumn("committed_at", F.current_timestamp())
+             .write.mode("overwrite")
+             .parquet(os.path.join(metrics_path, "batches",
+                                   f"batch_id={batch_id}")))
 
-    return (deduped.writeStream
-            .foreachBatch(write_batch)
-            .option("checkpointLocation", checkpoint_path)
-            .trigger(processingTime=f"{trigger_seconds} seconds")
-            .start())
+    listener = None
+    if metrics_path is not None:
+        os.makedirs(metrics_path, exist_ok=True)
+        listener = _SourceCountListener(
+            os.path.join(metrics_path, "source_counts.jsonl"))
+        spark.streams.addListener(listener)
+
+    q = (deduped.writeStream
+         .foreachBatch(write_batch)
+         .option("checkpointLocation", checkpoint_path)
+         .trigger(processingTime=f"{trigger_seconds} seconds")
+         .start())
+    if listener is not None:
+        # scope the listener to this query (progress events carry the
+        # query id; batch 0 cannot complete before .start() returns the
+        # handle, so no event is misattributed). The caller removes the
+        # listener via spark.streams.removeListener(q.metricsListener)
+        # when the job is torn down.
+        listener.query_id = str(q.id)
+        q.metricsListener = listener
+    return q

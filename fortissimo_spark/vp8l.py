@@ -189,7 +189,10 @@ def _plane_to_dist(code: int, xsize: int) -> int:
     if code > 120:
         return code - 120
     dx, dy = DIST_MAP[code - 1]
-    return max(1, dy * xsize - dx)
+    # libwebp PlaneCodeToDistance: dist = yoffset * xsize + xoffset with
+    # xoffset = 8 - (packed & 0xF); our dx already carries that sign, so
+    # the distance is dy*xsize + dx (clamped to >= 1), NOT - dx.
+    return max(1, dy * xsize + dx)
 
 
 # --- entropy-coded image -------------------------------------------------
@@ -312,7 +315,12 @@ def _clamp_add_sub_half(ave: int, c: int) -> int:
     out = 0
     for sh in (24, 16, 8, 0):
         av = (ave >> sh) & 0xFF
-        out |= _clamp(av + ((av - ((c >> sh) & 0xFF)) >> 1)) << sh
+        # libwebp uses C integer division (truncation toward zero), not
+        # an arithmetic shift (floor): for av < c with an odd delta the
+        # two differ by one.
+        d = av - ((c >> sh) & 0xFF)
+        half = -((-d) // 2) if d < 0 else d // 2
+        out |= _clamp(av + half) << sh
     return out
 
 

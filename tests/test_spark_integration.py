@@ -2207,6 +2207,88 @@ def test_streaming_curate_matches_batch_and_bounds_state(spark,
         q.stop()
 
 
+def test_streaming_curate_ngram_gate_and_metrics(spark, tmp_path_factory):
+    """streaming_curate with (a) an NgramLM gate — must dispatch to the
+    order-n scorer exactly as batch curate_corpus does, producing the
+    identical surviving rows — and (b) a metrics sink whose per-batch
+    lineage rows (docs_in / dedup_dropped / gate_dropped / docs_out)
+    reconcile with the batch recipe's counts on the same corpus."""
+    import datetime
+    import time as _time
+
+    from fortissimo_spark.lm import train_ngram_lm
+    from fortissimo_spark.pipeline import curate_corpus
+    from fortissimo_spark.streaming import curation_metrics, streaming_curate
+
+    base = tmp_path_factory.mktemp("stream_curate_ngram")
+    in_dir, out_dir = str(base / "in"), str(base / "out")
+    ckpt, metrics = str(base / "ckpt"), str(base / "metrics")
+    os.makedirs(in_dir)
+
+    good = ["the quick brown fox jumps over the lazy dog again and again",
+            "a stream of pages flows through the filter stack every hour",
+            "the filter stack scores every page the crawler finds daily"]
+    drops = {
+        "d1": [(1, "en", good[0]), (2, "en", good[1]),
+               (4, "en", "zzq wqx qqv zxo vvq")],   # gibberish -> gated
+        "d2": [(101, "en", good[0]), (3, "en", good[2]),  # 101 = dup of 1
+               (102, "en", good[1])],                      # 102 = dup of 2
+    }
+
+    def write_drop(name, day):
+        rows = [(i, lang, text, datetime.datetime(2024, 3, day, 12, 0))
+                for i, lang, text in drops[name]]
+        spark.createDataFrame(
+            rows, "doc_id long, lang string, text string, "
+                  "crawl_ts timestamp").coalesce(1) \
+            .write.mode("overwrite").parquet(os.path.join(in_dir, name))
+        _time.sleep(1.1)
+
+    all_rows = [r for n in ("d1", "d2") for r in drops[n]]
+    # train on the GOOD docs only so the gibberish doc is genuinely OOV
+    # (a tiny LM trained on everything scores its own grams ~1.0)
+    train = spark.createDataFrame([(i, t) for i, t in enumerate(good)],
+                                  "doc_id long, text string")
+    lm = train_ngram_lm(train, order=3, top_v=500)
+
+    write_drop("d1", 1)
+    write_drop("d2", 1)
+    q = streaming_curate(spark, in_dir + "/*", out_dir, ckpt, lm=lm,
+                         ppl_cutoff=50.0, watermark="1 hour",
+                         metrics_path=metrics)
+    try:
+        q.processAllAvailable()
+        # listener events are delivered async on the progress bus
+        src_path = os.path.join(metrics, "source_counts.jsonl")
+        for _ in range(50):
+            if (os.path.exists(src_path)
+                    and len(open(src_path).read().splitlines()) >= 2):
+                break
+            _time.sleep(0.2)
+
+        batch_docs = spark.createDataFrame(
+            [(r[0], r[1], r[2]) for r in all_rows],
+            "doc_id long, lang string, text string")
+        want = {(r.doc_id, r.lang, round(r.ppl, 6))
+                for r in curate_corpus(batch_docs, lm,
+                                       ppl_cutoff=50.0).collect()}
+        got = {(r.doc_id, r.lang, round(r.ppl, 6))
+               for r in spark.read.parquet(out_dir + "/batch_id=*")
+               .collect()}
+        assert got == want and len(want) == 3  # NgramLM path, same rows
+
+        m = {r.batch_id: r for r in curation_metrics(spark, metrics)
+             .collect()}
+        assert sum(r.docs_in for r in m.values()) == len(all_rows)
+        assert sum(r.dedup_dropped for r in m.values()) == 2  # 101, 102
+        assert sum(r.gate_dropped for r in m.values()) == 1   # doc 4
+        assert sum(r.docs_out for r in m.values()) == len(want)
+    finally:
+        q.stop()
+        if getattr(q, "metricsListener", None) is not None:
+            spark.streams.removeListener(q.metricsListener)
+
+
 def _make_png_ex(width, height, *, color_type, bit_depth, sample_at,
                  palette=None, interlace=0):
     """Extended test-side PNG builder: palette / sub-byte depths / 16-bit
@@ -2613,6 +2695,13 @@ def test_flac_and_ogg_sniffing(spark):
     assert sniff_media(ogg2)["format"] == "ogg-opus"
     with _pt.raises(ValueError):
         sniff_ogg(ogg_page(b"\x7fFLAC..."))  # unknown codec id
+
+    # adversarial payload: an "OggS" + huge fake granule INSIDE the last
+    # page's body must not be mistaken for a page header (an rfind-based
+    # last-page scan is fooled; the forward page walk is not)
+    poison = b"OggS\x00\x04" + (10 ** 15).to_bytes(8, "little") + b"\x00" * 12
+    ogg3 = ogg_page(vorbis_id) + ogg_page(poison, granule=96000, seq=1)
+    assert sniff_ogg(ogg3) == ("vorbis", 48000, 2, 2000)
 
 
 def test_decode_audio_flac_ogg_metadata(spark):

@@ -29,7 +29,7 @@ def stream_dist(d, w):
     """Scan distance -> 1-based stream distance code (plane-mapped when
     the neighborhood table has it, else direct)."""
     for i, (dx, dy) in enumerate(DIST_MAP):
-        if max(1, dy * w - dx) == d:
+        if max(1, dy * w + dx) == d:
             return i + 1
     return d + 120
 
@@ -68,6 +68,36 @@ def test_roundtrip_lz77_backrefs():
                                 (2 * w, 2 * w, w),    # rows 2-3 <- 1-2
                                 (11 * w, w, 10 * w)])  # row 11 <- row 1
     assert stream_dist(10 * w, w) > 120
+    toks = [("copy", t[1], stream_dist(t[2], w)) if t[0] == "copy" else t
+            for t in toks]
+    data = encode_vp8l(w, h, toks)
+    assert decode_vp8l(data) == (w, h, px)
+
+
+def test_roundtrip_plane_codes_nonzero_dx():
+    """Plane codes whose dx != 0 pin the sign in the code->distance
+    mapping (dist = dy*xsize + dx, libwebp PlaneCodeToDistance); a wrong
+    sign there is invisible to roundtrips that only use (0, dy) codes.
+    Exercises code 6 = (2, 0): same-row distance 2, and code 4 =
+    (-1, 1): anti-diagonal distance w-1."""
+    # code 6: period-2 pixels, one long scan-order copy at distance 2
+    w, h = 12, 3
+    a, b = 0xFF112233, 0xFF445566
+    px = ([a, b] * (w * h // 2 + 1))[:w * h]
+    assert stream_dist(2, w) == 6
+    toks = tokenize(px, copies=[(2, w * h - 2, 2)])
+    toks = [("copy", t[1], stream_dist(t[2], w)) if t[0] == "copy" else t
+            for t in toks]
+    data = encode_vp8l(w, h, toks)
+    assert decode_vp8l(data) == (w, h, px)
+
+    # code 4: pixels constant along anti-diagonals (period 4 | w-1),
+    # copied at scan distance w-1 = plane (-1, 1)
+    w, h = 9, 5
+    pal = lcg_pixels(4, seed=61)
+    px = [pal[(x + y) % 4] for y in range(h) for x in range(w)]
+    assert stream_dist(w - 1, w) == 4
+    toks = tokenize(px, copies=[(w - 1, w * h - (w - 1), w - 1)])
     toks = [("copy", t[1], stream_dist(t[2], w)) if t[0] == "copy" else t
             for t in toks]
     data = encode_vp8l(w, h, toks)
@@ -151,6 +181,16 @@ def test_predict_modes_hand_vectors():
     #   52+(52-20)/2=6b? 0x52-0x20=0x32>>1=0x19 -> 0x6B
     #   78+(78-70)/2=0x7C; 44+(44-30)/2=0x4E
     assert _predict(13, L, T, TL, TR) == 0xFF6B7C4E
+
+
+def test_predict_mode13_truncates_toward_zero():
+    """ClampAddSubtractHalf uses C integer division (truncation toward
+    zero), not a floor shift: for ave < TL with an odd delta the two
+    differ by one.  ave=avg(L,T)=0xFF203040 vs TL=0xFF215263:
+    R: d=-1 -> half 0 (floor would give -1), G: d=-34 -> -17,
+    B: d=-35 -> -17 (floor: -18)."""
+    L, T, TL = 0xFF102030, 0xFF304050, 0xFF215263
+    assert _predict(13, L, T, TL, 0) == 0xFF201F2F
 
 
 def test_roundtrip_predictor_transform():
