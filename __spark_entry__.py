@@ -182,9 +182,12 @@ def _q_extract_spans_ok(spark, sf_dir):
 
 def _q_extract_pdf(spark, sf_dir):
     """PDF leg of the extraction pipeline (north-rule "PDF/layout parse"):
-    deterministic PDFs built per document (half FlateDecode-compressed),
-    then parsed back by the dependency-free extractor — text must match
-    the source document byte-for-byte (oracle = documents table)."""
+    deterministic PDFs built per document rotating through ALL layout
+    variants by doc_id — FlateDecode compression, PDF 1.5 ObjStm + xref
+    stream (PNG Up predictor), and Type0/CID fonts whose text needs
+    /ToUnicode CMap decoding — then parsed back by the dependency-free
+    extractor; text must match the source document byte-for-byte
+    (oracle = documents table)."""
     import pandas as pd
     from pyspark.sql.types import (
         BinaryType, IntegerType, LongType, StringType, StructField, StructType,
@@ -199,7 +202,9 @@ def _q_extract_pdf(spark, sf_dir):
                 continue
             yield pd.DataFrame({
                 "doc_id": b["doc_id"].tolist(),
-                "pdf": [build_pdf(t, compress=bool(int(d) % 2))
+                "pdf": [build_pdf(t, compress=bool(int(d) % 2),
+                                  objstm=bool((int(d) >> 1) % 2),
+                                  cid=bool((int(d) >> 2) % 2))
                         for d, t in zip(b["doc_id"].tolist(), b["text"].tolist())],
             })
 
