@@ -256,3 +256,96 @@ def curate_corpus(docs: DataFrame, lm=None, *,
                                       id_col=id_col)
     cols = [id_col, strata_col] + (["ppl"] if lm is not None else [])
     return survivors.select(*cols)
+
+
+def incremental_curate(current: DataFrame, previous: DataFrame,
+                       previous_out: DataFrame, lm=None, *,
+                       ppl_cutoff: float = 100.0,
+                       id_col: str = "doc_id",
+                       url_col: str = "url",
+                       strata_col: str = "lang",
+                       text_col: str = "text") -> DataFrame:
+    """Delta-curation — the production recrawl shape: re-curate ONLY the
+    new/changed documents of a recrawl and union the surviving prior
+    output, producing exactly what ``curate_corpus(current)`` (dedup +
+    LM gate, no quotas) would, without ever shuffling the unchanged
+    payloads.
+
+    Inputs: ``current``/``previous`` are full page snapshots
+    (id, url, strata, text); ``previous_out`` is the PRIOR run's output
+    of this function — ``(id, strata[, ppl], url, text_hash)``, payload-
+    free. Bootstrap: call with empty ``previous``/``previous_out`` and
+    the recipe reduces to the full curation (everything is 'new').
+
+    Stages, each the audited scale shape of its standalone operator:
+
+    1. **delta** = :func:`corpus.incremental_new_pages` — both snapshots
+       reduce to (url, md5) map-side, so previous payloads never cross
+       the network; only new/changed rows survive.
+    2. **stale retirement**: prior output rows at changed or vanished
+       urls drop (their text is no longer in the corpus).
+    3. **orphan re-admission**: a retired winner may leave byte-identical
+       copies at UNCHANGED urls (they lost the original dedup); those
+       hashes are recovered via a slim (id, url, strata, sha256) scan of
+       current — payloads fetched afterwards by id for just the orphan
+       rows.
+    4. **delta dedup + gate**: delta rows and orphans pick per-hash
+       min-id winners together, drop hashes a kept prior row already
+       covers, then pass the same LM gate as ``curate_corpus`` (NgramLM
+       dispatches to the order-n scorer).
+
+    Parity contract (documented, not assumed silently): ids are
+    crawl-ordered (prior ids < new ids — the same first-seen == min-id
+    argument ``streaming_curate`` makes) and the LM is FIXED across
+    increments (retraining requires a full recompute). Mixture quotas
+    stay publication-time, exactly as in the streaming recipe.
+
+    Returns ``(id, strata[, ppl], url, text_hash)`` — feed it back as the
+    next increment's ``previous_out``."""
+    from .lm import NgramLM, with_perplexity, with_perplexity_ngram
+    from .corpus import incremental_new_pages
+
+    h = F.sha2(F.col(text_col), 256)
+    slim = [id_col, url_col, strata_col]
+
+    delta = incremental_new_pages(current, previous, url_col, text_col)
+    changed_urls = delta.select(F.col(url_col).alias("_cu")).distinct()
+    live_urls = current.select(F.col(url_col).alias("_ku")).distinct()
+    kept = (previous_out
+            .join(changed_urls,
+                  previous_out[url_col] == F.col("_cu"), "left_anti")
+            .join(live_urls,
+                  previous_out[url_col] == F.col("_ku"), "left_semi"))
+
+    # orphan re-admission: hashes whose prior winner went stale, with
+    # surviving copies at unchanged urls
+    stale_hashes = (previous_out
+                    .join(kept.select(id_col), id_col, "left_anti")
+                    .select("text_hash").distinct())
+    cur_slim = current.select(*slim, h.alias("text_hash"))
+    orphan_ids = (cur_slim
+                  .join(stale_hashes, "text_hash", "left_semi")
+                  .join(changed_urls,
+                        cur_slim[url_col] == F.col("_cu"), "left_anti")
+                  .select(id_col))
+    orphans = (current.join(orphan_ids, id_col, "left_semi")
+               .select(*slim, text_col))
+
+    cand = (delta.select(*slim, text_col).unionByName(orphans)
+            .withColumn("text_hash", h))
+    winners = cand.groupBy("text_hash").agg(F.min(id_col).alias("_win"))
+    cand = (cand.join(winners, "text_hash")
+            .filter(F.col(id_col) == F.col("_win")).drop("_win")
+            .join(kept.select("text_hash"), "text_hash", "left_anti"))
+    if lm is not None:
+        if isinstance(lm, NgramLM):
+            ppl = with_perplexity_ngram(cand, lm, id_col, text_col)
+        else:
+            ppl = with_perplexity(cand, lm, id_col, text_col)
+        cand = (cand.join(ppl, id_col)
+                .filter(F.col("ppl").isNotNull()
+                        & (F.col("ppl") <= ppl_cutoff)))
+    cols = ([id_col, strata_col]
+            + (["ppl"] if lm is not None else [])
+            + [url_col, "text_hash"])
+    return kept.select(*cols).unionByName(cand.select(*cols))

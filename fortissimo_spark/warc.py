@@ -545,29 +545,79 @@ def _open_for_range(path: str):
     return filesystem.open_input_file(rel)
 
 
-def _split_kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    cols = ("url", "warc_ts", "html", "text", "lang")
-    for pdf in batches:
-        rows: dict[str, list] = {k: [] for k in cols}
-        for path, start, end, gz in zip(pdf["path"].tolist(),
-                                        pdf["start"].tolist(),
-                                        pdf["end"].tolist(),
-                                        pdf["gz"].tolist()):
-            try:
-                with _open_for_range(path) as f:
-                    for headers, block in iter_warc_records_range(
-                            f, int(start), int(end), compressed=bool(gz)):
-                        try:
-                            page = _page_from_record(headers, block)
-                        except Exception:  # noqa: BLE001 - skip record
-                            continue
-                        if page is not None:
-                            for k in cols:
-                                rows[k].append(page[k])
-            except Exception:  # noqa: BLE001 - unreadable split
-                continue
-        if rows["url"]:
-            yield pd.DataFrame(rows, columns=cols)
+# Output-memory bound for the fetch/split kernels: input rows are tiny
+# (paths/offsets) but output rows are full pages, so accumulating one
+# whole input batch can hold maxRecordsPerBatch x page-size at once.
+# Kernels flush a frame whenever EITHER cap is hit.
+_FLUSH_ROWS = 2048
+_FLUSH_BYTES = 64 << 20
+
+
+class _PageBuffer:
+    """Bounded page-row accumulator for mapInPandas kernels: ``add``
+    returns a DataFrame to yield once row/byte caps are reached, so a
+    kernel's live output never exceeds ~flush_bytes regardless of how
+    many records one input batch selects."""
+
+    COLS = ("url", "warc_ts", "html", "text", "lang")
+
+    def __init__(self, flush_rows: int = _FLUSH_ROWS,
+                 flush_bytes: int = _FLUSH_BYTES):
+        self.flush_rows = max(1, flush_rows)
+        self.flush_bytes = max(1, flush_bytes)
+        self._rows: dict[str, list] = {k: [] for k in self.COLS}
+        self._bytes = 0
+
+    def add(self, page: dict):
+        for k in self.COLS:
+            self._rows[k].append(page[k])
+        self._bytes += len(page["html"] or b"") + len(page["text"] or "")
+        if (len(self._rows["url"]) >= self.flush_rows
+                or self._bytes >= self.flush_bytes):
+            return self.flush()
+        return None
+
+    def flush(self):
+        if not self._rows["url"]:
+            return None
+        frame = pd.DataFrame(self._rows, columns=self.COLS)
+        self._rows = {k: [] for k in self.COLS}
+        self._bytes = 0
+        return frame
+
+
+def _make_split_kernel(flush_rows: int = _FLUSH_ROWS,
+                       flush_bytes: int = _FLUSH_BYTES):
+    def _split_kernel(batches: Iterable[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        buf = _PageBuffer(flush_rows, flush_bytes)
+        for pdf in batches:
+            for path, start, end, gz in zip(pdf["path"].tolist(),
+                                            pdf["start"].tolist(),
+                                            pdf["end"].tolist(),
+                                            pdf["gz"].tolist()):
+                try:
+                    with _open_for_range(path) as f:
+                        for headers, block in iter_warc_records_range(
+                                f, int(start), int(end),
+                                compressed=bool(gz)):
+                            try:
+                                page = _page_from_record(headers, block)
+                            except Exception:  # noqa: BLE001 - skip record
+                                continue
+                            if page is not None:
+                                out = buf.add(page)
+                                if out is not None:
+                                    yield out
+                except Exception:  # noqa: BLE001 - unreadable split
+                    continue
+        tail = buf.flush()
+        if tail is not None:
+            yield tail
+    return _split_kernel
+
+
+_split_kernel = _make_split_kernel()
 
 
 def read_warcs_split(spark: SparkSession, path_glob: str, *,
@@ -664,11 +714,55 @@ def cdxj_line(urlkey: str, ts: str, fields: dict) -> str:
     return f"{urlkey} {ts} {_json.dumps(fields, sort_keys=True)}"
 
 
+def _plan_index_selection(index: DataFrame, *,
+                          filename_col: str = "filename",
+                          offset_col: str = "offset",
+                          length_col: str = "length",
+                          task_fetch_bytes: int = 256 << 20) -> DataFrame:
+    """Partition an index selection for the planned fetch: cumulative
+    selected LENGTH per archive (window over offset order) divided by
+    ``task_fetch_bytes`` yields a sub-archive bucket, and the selection
+    repartitions on (filename, bucket). A selection concentrated in one
+    hot archive therefore fans out across ~total_bytes/task_fetch_bytes
+    tasks instead of collapsing to one, while offsets stay monotone
+    within each task (the bucket is an offset-ordered prefix range).
+    Budgeting on bytes, not offset span, bounds per-task fetch volume
+    regardless of how dense the selection is.
+
+    The partition COUNT is pinned explicitly (one bounded planning job —
+    a two-level partial aggregate returning a single row): AQE's
+    coalescing sizes partitions by SHUFFLED bytes, and the shuffled rows
+    here are tiny index entries while the real cost is the downstream
+    fetch — left to AQE, every hot-archive bucket would coalesce back
+    into one task. User-specified repartition counts are exempt."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    budget = max(1, task_fetch_bytes)
+    sel = index.select(F.col(filename_col).alias("filename"),
+                       F.col(offset_col).cast("long").alias("offset"),
+                       F.col(length_col).cast("long").alias("length"))
+    n_buckets = (sel.groupBy("filename")
+                 .agg(F.sum("length").alias("_b"))
+                 .agg(F.sum(F.ceil(F.col("_b") / F.lit(budget))))
+                 .first()[0])
+    w = (Window.partitionBy("filename").orderBy("offset", "length")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (sel
+            .withColumn("_bucket",
+                        F.floor((F.sum("length").over(w) - F.col("length"))
+                                / F.lit(budget)))
+            .repartition(max(1, int(n_buckets or 1)),
+                         F.col("filename"), F.col("_bucket")))
+
+
 def read_warc_records_by_index(spark: SparkSession, index: DataFrame,
                                warc_dir: str, *,
                                filename_col: str = "filename",
                                offset_col: str = "offset",
-                               length_col: str = "length") -> DataFrame:
+                               length_col: str = "length",
+                               task_fetch_bytes: int = 256 << 20,
+                               flush_rows: int = _FLUSH_ROWS,
+                               flush_bytes: int = _FLUSH_BYTES) -> DataFrame:
     """pages rows for EXACTLY the index-selected records — the planned
     fetch that pairs with :func:`read_cdxj`: Common Crawl's index rows
     carry each record's (filename, byte offset, compressed length), so a
@@ -677,20 +771,28 @@ def read_warc_records_by_index(spark: SparkSession, index: DataFrame,
     the same seeks through ``_open_for_range``'s local/pyarrow-fs
     streams).
 
-    Shape: the selection repartitions by filename so one task owns each
-    archive's reads, and reads are offset-sorted within the task
-    (monotone seeks). Memory bound = one record at a time. Rows whose
-    range fails to parse are skipped per-record, never killing a task."""
-    from pyspark.sql import functions as F
-    sel = (index.select(F.col(filename_col).alias("filename"),
-                        F.col(offset_col).cast("long").alias("offset"),
-                        F.col(length_col).cast("long").alias("length"))
-           .repartition(F.col("filename")))
+    Shape: the selection partitions on (filename, byte-budget bucket) —
+    see :func:`_plan_index_selection` — so each task owns at most
+    ``task_fetch_bytes`` of one archive's reads, hot archives fan out
+    across tasks, and reads stay offset-sorted within the task (monotone
+    seeks). Output memory is bounded by ``flush_rows``/``flush_bytes``
+    chunked yields (NOT one frame per input batch: input rows are tiny
+    index entries but output rows are whole pages). Rows whose range
+    fails to parse are skipped per-record, never killing a task."""
+    sel = _plan_index_selection(index, filename_col=filename_col,
+                                offset_col=offset_col,
+                                length_col=length_col,
+                                task_fetch_bytes=task_fetch_bytes)
+    kernel = _make_index_fetch_kernel(warc_dir, flush_rows, flush_bytes)
+    return sel.mapInPandas(kernel, PAGES_SCHEMA)
 
+
+def _make_index_fetch_kernel(warc_dir: str,
+                             flush_rows: int = _FLUSH_ROWS,
+                             flush_bytes: int = _FLUSH_BYTES):
     def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ("url", "warc_ts", "html", "text", "lang")
+        buf = _PageBuffer(flush_rows, flush_bytes)
         for pdf in batches:
-            rows: dict[str, list] = {k: [] for k in cols}
             for fname, grp in pdf.groupby("filename"):
                 try:
                     f = _open_for_range(warc_dir.rstrip("/") + "/" + fname)
@@ -706,11 +808,12 @@ def read_warc_records_by_index(spark: SparkSession, index: DataFrame,
                                     payload):
                                 page = _page_from_record(headers, block)
                                 if page is not None:
-                                    for k in cols:
-                                        rows[k].append(page[k])
+                                    out = buf.add(page)
+                                    if out is not None:
+                                        yield out
                         except Exception:  # noqa: BLE001 - bad range
                             continue
-            if rows["url"]:
-                yield pd.DataFrame(rows, columns=cols)
-
-    return sel.mapInPandas(kernel, PAGES_SCHEMA)
+        tail = buf.flush()
+        if tail is not None:
+            yield tail
+    return kernel

@@ -1940,6 +1940,77 @@ def test_incremental_new_pages_null_content(spark):
                    ("u9", None): "new"}
 
 
+def test_incremental_curate_matches_full_recompute(spark):
+    """Delta-curation == full curate_corpus over the current snapshot:
+    stale winners retire, their byte-identical copies at unchanged urls
+    are re-admitted (the orphan path), new dups lose to kept winners,
+    junk is gated — and the previous snapshot's payload column never
+    crosses an Exchange (map-side md5 only)."""
+    import contextlib
+    import io
+
+    from fortissimo_spark.lm import train_bigram_lm
+    from fortissimo_spark.pipeline import curate_corpus, incremental_curate
+
+    good = ["the quick brown fox jumps over the lazy dog",
+            "a stream of pages flows through the filter stack",
+            "join merge filter order window batch scan vector",
+            "the filter stack scores every page the crawler finds"]
+    prev_rows = [(1, "u1", "en", good[0]), (2, "u2", "en", good[1]),
+                 (3, "u3", "de", good[2]), (4, "u4", "en", good[3]),
+                 (50, "u50", "en", good[0])]  # dup of doc 1: loses round 1
+    prev = spark.createDataFrame(
+        prev_rows, "doc_id long, url string, lang string, text string")
+    lm = train_bigram_lm(
+        spark.createDataFrame([(r[0], r[3]) for r in prev_rows],
+                              "doc_id long, text string"), top_v=500)
+    empty = spark.createDataFrame([], prev.schema)
+    empty_out = spark.createDataFrame(
+        [], "doc_id long, lang string, ppl double, url string, "
+            "text_hash string")
+    prev_out = incremental_curate(prev, empty, empty_out, lm,
+                                  ppl_cutoff=100.0).localCheckpoint()
+    assert {r.doc_id for r in prev_out.collect()} == {1, 2, 3, 4}
+
+    cur_rows = [
+        (1, "u1", "en", good[0] + " updated edition"),  # changed: doc 50
+        (2, "u2", "en", good[1]),                       #   must re-admit
+        (3, "u3", "de", good[2]),                       # (u4 vanished)
+        (50, "u50", "en", good[0]),
+        (100, "u100", "en", good[1]),                   # dup of kept 2
+        (101, "u101", "en", "a fresh page the crawler finds"),
+        (102, "u102", "en", "qqqa qqqb qqqc qqqd"),     # gated
+    ]
+    cur = spark.createDataFrame(
+        cur_rows, "doc_id long, url string, lang string, text string")
+    inc = incremental_curate(cur, prev, prev_out, lm, ppl_cutoff=100.0)
+    got = sorted((r.doc_id, r.lang, round(r.ppl, 6))
+                 for r in inc.collect())
+    want = sorted((r.doc_id, r.lang, round(r.ppl, 6))
+                  for r in curate_corpus(cur, lm,
+                                         ppl_cutoff=100.0).collect())
+    assert got == want
+    assert 50 in {g[0] for g in got}     # orphan re-admitted
+    assert 4 not in {g[0] for g in got}  # vanished url retired
+
+    # prior payloads never shuffle: previous's text attribute (by exprId)
+    # must not feed any Exchange — only its (url, md5) projection does
+    outs = prev._jdf.queryExecution().analyzed().output()
+    prev_text_attr = next(
+        f"text#{outs.apply(i).exprId().id()}"
+        for i in range(outs.size()) if outs.apply(i).name() == "text")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        inc.explain("formatted")
+    blocks = buf.getvalue().split("\n\n")
+    for blk in blocks:
+        if ") Exchange" in blk.splitlines()[0] if blk.strip() else False:
+            assert prev_text_attr not in blk, blk
+    # the attribute does appear in the plan at all (sanity: the marker
+    # is checkable, not vacuously absent)
+    assert prev_text_attr in buf.getvalue()
+
+
 def test_stratified_sample_empty_quotas(spark):
     """An empty quota map is an empty whitelist: empty result, same
     schema, no schema-inference crash."""
@@ -2788,3 +2859,86 @@ def test_warc_fetch_by_index(spark, tmp_path_factory):
             for (f, o, ln, fno, i) in index_rows if i % 3 == 0}
     assert set(got) == want and len(got) == 8
     assert got["http://idx.example/f1/r3"].endswith(b"doc 1/3 body</p>")
+
+
+def test_warc_fetch_kernel_chunked_yields(spark, tmp_path_factory):
+    """The fetch kernel's output memory is bounded: ONE input batch of
+    many index rows yields MULTIPLE frames (flush caps), and the union of
+    chunked frames equals the unchunked output row-for-row."""
+    import gzip as _gz
+
+    import pandas as pd
+
+    from fortissimo_spark.warc import _make_index_fetch_kernel, build_warc
+    base = tmp_path_factory.mktemp("warc_chunk")
+    members, offs = [], []
+    offset = 0
+    for i in range(30):
+        one = build_warc([{"url": f"http://c.example/r{i}",
+                           "date": "2024-01-01T00:00:00Z",
+                           "body": f"<p>chunk {i}</p>".encode()}],
+                         warcinfo=False)
+        gz = _gz.compress(one, mtime=0)
+        members.append(gz)
+        offs.append((offset, len(gz)))
+        offset += len(gz)
+    (base / "c.warc.gz").write_bytes(b"".join(members))
+    batch = pd.DataFrame({"filename": ["c.warc.gz"] * 30,
+                          "offset": [o for o, _ in offs],
+                          "length": [ln for _, ln in offs]})
+
+    chunked = list(_make_index_fetch_kernel(str(base),
+                                            flush_rows=7)([batch]))
+    assert len(chunked) == 5 and all(len(f) <= 7 for f in chunked)
+    whole = list(_make_index_fetch_kernel(str(base))([batch]))
+    assert len(whole) == 1
+    a = pd.concat(chunked).reset_index(drop=True)
+    assert a.equals(whole[0].reset_index(drop=True))
+
+
+def test_warc_fetch_hot_archive_fans_out(spark, tmp_path_factory):
+    """A selection concentrated in ONE archive must not collapse to one
+    task: the (filename, byte-budget bucket) planning spreads it across
+    partitions, buckets are offset-ordered prefix ranges (monotone seeks
+    per task), and the fetched rows are identical to the one-task plan."""
+    import gzip as _gz
+
+    from fortissimo_spark.warc import (
+        _plan_index_selection, build_warc, read_warc_records_by_index,
+    )
+    base = tmp_path_factory.mktemp("warc_hot")
+    members, rows = [], []
+    offset = 0
+    for i in range(40):
+        one = build_warc([{"url": f"http://hot.example/r{i}",
+                           "date": "2024-01-01T00:00:00Z",
+                           "body": (f"<p>hot {i} " + "x" * 200
+                                    + "</p>").encode()}],
+                         warcinfo=False)
+        gz = _gz.compress(one, mtime=0)
+        members.append(gz)
+        rows.append(("hot.warc.gz", offset, len(gz)))
+        offset += len(gz)
+    (base / "hot.warc.gz").write_bytes(b"".join(members))
+    idx = spark.createDataFrame(rows, "filename string, offset long, "
+                                      "length long")
+
+    budget = offset // 6  # ~6 buckets over one archive
+    planned = _plan_index_selection(idx, task_fetch_bytes=budget)
+    by_part = (planned
+               .withColumn("_pid", F.spark_partition_id())
+               .select("_pid", "_bucket", "offset").collect())
+    assert len({r._pid for r in by_part}) > 1       # fans out, not 1 task
+    # prefix-range property: every offset in bucket b < every offset in b+1
+    from collections import defaultdict
+    buckets = defaultdict(list)
+    for r in by_part:
+        buckets[r._bucket].append(r.offset)
+    keys = sorted(buckets)
+    assert len(keys) >= 4
+    for a_, b_ in zip(keys, keys[1:]):
+        assert max(buckets[a_]) < min(buckets[b_])
+
+    got = {r.url for r in read_warc_records_by_index(
+        spark, idx, str(base), task_fetch_bytes=budget).collect()}
+    assert got == {f"http://hot.example/r{i}" for i in range(40)}
