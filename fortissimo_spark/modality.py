@@ -1033,23 +1033,50 @@ def decode_wav(payload: bytes):
     if nch > 1:
         samples = samples[::nch]  # first channel
     duration_ms = int(nframes * 1000 / rate) if rate else 0
+    return rate, nch, duration_ms, _rms_profile(samples)
+
+
+def _rms_profile(samples, n_windows: int = 16) -> list[float]:
+    import numpy as np
     n = len(samples)
-    rms = []
-    for g in range(16):
-        lo, hi = g * n // 16, max((g + 1) * n // 16, g * n // 16 + 1)
+    out = []
+    for g in range(n_windows):
+        lo, hi = g * n // n_windows, max((g + 1) * n // n_windows,
+                                         g * n // n_windows + 1)
         seg = samples[lo:min(hi, n)]
-        rms.append(float(np.sqrt(np.mean(seg * seg))) if len(seg) else 0.0)
-    return rate, nch, duration_ms, rms
+        out.append(float(np.sqrt(np.mean(seg * seg))) if len(seg) else 0.0)
+    return out
+
+
+def decode_flac_audio(raw: bytes):
+    """REAL FLAC sample decode (flac.py: Rice residuals, fixed/LPC
+    predictors, stereo decorrelation) -> the decode_wav output shape
+    (rate, nch, duration_ms, 16-window RMS profile in [0, 1])."""
+    import numpy as np
+
+    from .flac import decode_flac
+    rate, nch, bps, channels = decode_flac(raw)
+    first = np.asarray(channels[0], dtype=np.float64) / float(1 << (bps - 1))
+    duration_ms = int(len(first) * 1000 / rate) if rate else 0
+    return rate, nch, duration_ms, _rms_profile(first)
 
 
 def decode_audio(payload: bytes, *, deterministic_fake: bool = False):
-    """WAV PCM decodes for real (stdlib ``wave`` + numpy); compressed
-    formats (mp3/ogg/...) need a codec not in this container — they raise
-    unless the documented deterministic stand-in is requested."""
+    """WAV PCM and FLAC decode for real (stdlib ``wave`` + numpy;
+    flac.py for FLAC samples); other compressed formats (mp3/ogg/...)
+    need a codec not in this container — they raise unless the
+    documented deterministic stand-in is requested."""
     raw = payload or b""
     try:
         if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
             return decode_wav(raw)
+        if raw[:4] == b"fLaC":
+            try:
+                return decode_flac_audio(raw)
+            except ValueError:
+                # unreadable frames: fall back to the STREAMINFO
+                # metadata + digest stand-in path below
+                pass
         # codec formats: REAL rate/channels/duration from the headers
         # (mp3 frame/Xing, FLAC STREAMINFO, Ogg id + last-page granule),
         # digest stand-in for the loudness profile (samples need a codec)
@@ -1076,10 +1103,10 @@ def decode_audio(payload: bytes, *, deterministic_fake: bool = False):
         unrecognized = False
     if unrecognized and not deterministic_fake:
         raise NotImplementedError(
-            "only WAV PCM has an in-container SAMPLE decoder (mp3/FLAC/"
-            "Ogg headers sniff real rate/channels/duration with a digest "
-            "loudness stand-in); other audio formats need a codec — pass "
-            "deterministic_fake=True for the stand-in")
+            "only WAV PCM and FLAC have in-container SAMPLE decoders "
+            "(mp3/Ogg headers sniff real rate/channels/duration with a "
+            "digest loudness stand-in); other audio formats need a codec "
+            "— pass deterministic_fake=True for the stand-in")
     digest = hashlib.sha256(raw).digest()
     rate = 8000 * (1 + digest[0] % 6)
     return rate, 1 + digest[1] % 2, 1000 + digest[2] * 16, \
