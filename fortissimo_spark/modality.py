@@ -600,6 +600,37 @@ def sniff_mp3(raw: bytes):
                         spf = 1152 if version == 3 else 576
                         dur = int(frames * spf * 1000 // rate)
                         return rate, nch, kbps, dur
+                # no Xing: frame-by-frame walk (each frame's byte length
+                # derives from its own header — 144000*kbps/rate MPEG1 /
+                # 72000 MPEG2 + padding — so VBR durations come out EXACT
+                # with header reads only). Trusted only when the walk
+                # consumes the stream (an ID3v1 'TAG' tail is fine);
+                # otherwise fall back to the CBR estimate.
+                frames = 0
+                p = pos
+                spf = 1152 if version == 3 else 576
+                while p + 4 <= len(raw):
+                    h0, h1, h2 = raw[p], raw[p + 1], raw[p + 2]
+                    if not (h0 == 0xFF and (h1 & 0xE0) == 0xE0):
+                        break
+                    v = (h1 >> 3) & 3
+                    bi = (h2 >> 4) & 0xF
+                    si = (h2 >> 2) & 3
+                    if (((h1 >> 1) & 3) != 1 or v not in _MP3_BITRATES
+                            or not 0 < bi < 15 or si >= 3):
+                        break
+                    flen = ((144000 if v == 3 else 72000)
+                            * _MP3_BITRATES[v][bi] // _MP3_RATES[v][si]
+                            + ((h2 >> 1) & 1))
+                    if flen <= 4:
+                        break
+                    frames += 1
+                    p += flen
+                tail = len(raw) - p
+                if frames and (tail < 4 or (raw[p:p + 3] == b"TAG"
+                                            and tail == 128)):
+                    dur = int(frames * spf * 1000 // rate)
+                    return rate, nch, kbps, dur
                 dur = int((len(raw) - pos) * 8 * 1000 / (kbps * 1000))
                 return rate, nch, kbps, dur
         pos += 1

@@ -2692,6 +2692,21 @@ def test_mp3_xing_vbr_duration(spark):
     plain = hdr + b"\x00" * 4000
     assert sniff_mp3(plain)[3] == int(len(plain) * 8 * 1000 / 128000)
 
+    # no Xing but WALKABLE frames: VBR duration comes out EXACT via the
+    # frame-by-frame walk (the CBR estimate would be wrong), with an
+    # ID3v1 'TAG' tail tolerated
+    def frame(kbps_idx):
+        h = bytes([0xFF, 0xFB, (kbps_idx << 4) | 0x00, 0x00])
+        flen = 144000 * {9: 128, 12: 224, 5: 64}[kbps_idx] // 44100
+        return h + b"\x00" * (flen - 4)
+
+    vbr = (frame(9) * 10 + frame(12) * 10 + frame(5) * 10
+           + b"TAG" + b"\x00" * 125)
+    rate, nch, kbps, dur = sniff_mp3(vbr)
+    assert (rate, kbps) == (44100, 128)  # first-frame bitrate reported
+    assert dur == 30 * 1152 * 1000 // 44100  # exact: 783 ms
+    assert dur != int(len(vbr) * 8 * 1000 / 128000)  # CBR estimate wrong
+
 
 def test_warc_range_reader_cut_points_with_corrupt_record():
     """Exact split ownership SURVIVES a corrupt record (non-numeric
