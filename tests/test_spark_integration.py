@@ -2911,6 +2911,35 @@ def test_warc_fetch_kernel_chunked_yields(spark, tmp_path_factory):
     assert a.equals(whole[0].reset_index(drop=True))
 
 
+def test_warc_split_kernel_chunked_yields(spark, tmp_path_factory):
+    """Same memory bound for the byte-range SPLIT kernel: one split
+    covering many records yields multiple capped frames, identical
+    row-for-row to the unchunked output."""
+    import gzip as _gz
+
+    import pandas as pd
+
+    from fortissimo_spark.warc import _make_split_kernel, build_warc
+    base = tmp_path_factory.mktemp("warc_split_chunk")
+    members = b"".join(
+        _gz.compress(build_warc(
+            [{"url": f"http://s.example/r{i}",
+              "date": "2024-01-01T00:00:00Z",
+              "body": f"<p>split {i}</p>".encode()}], warcinfo=False),
+            mtime=0)
+        for i in range(25))
+    path = str(base / "s.warc.gz")
+    open(path, "wb").write(members)
+    batch = pd.DataFrame({"path": [path], "start": [0],
+                          "end": [len(members)], "gz": [True]})
+    chunked = list(_make_split_kernel(flush_rows=6)([batch]))
+    assert len(chunked) == 5 and all(len(f) <= 6 for f in chunked)
+    whole = list(_make_split_kernel()([batch]))
+    assert len(whole) == 1 and len(whole[0]) == 25
+    assert pd.concat(chunked).reset_index(drop=True).equals(
+        whole[0].reset_index(drop=True))
+
+
 def test_warc_fetch_hot_archive_fans_out(spark, tmp_path_factory):
     """A selection concentrated in ONE archive must not collapse to one
     task: the (filename, byte-budget bucket) planning spreads it across
