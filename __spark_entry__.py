@@ -739,6 +739,203 @@ def _q_langid_profile(spark, sf_dir):
     return with_langid(docs).select("doc_id", "langid_guess", "langid_score")
 
 
+_NORM_FIXTURES = [
+    # NFD-decomposed accents (e+U+0301, c+U+0327) must compose
+    (9610001, "café du garçon vs garçon"),
+    # C0/C1 controls + DEL stripped; \t \n kept
+    (9610002, "bell\x07 kept\ttab\nline\x0bvt\x7fdel\x9fc1 end"),
+    # already-NFC text with multibyte content: unchanged
+    (9610003, "already composed café – naïve ﬁ"),
+    (9610004, None),
+]
+
+
+def _q_normalize_text(spark, sf_dir):
+    """Unicode NFC normalization + control-char strip (the
+    pre-tokenization cleanup; Spark has no normalization builtin, so the
+    NFC step is the documented Arrow-batched pandas-UDF case;
+    textstats.normalize_text). Oracle: DuckDB ``nfc_normalize`` + the
+    identical RE2 control class."""
+    from fortissimo_spark.textstats import normalize_text
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fixtures = spark.createDataFrame(_NORM_FIXTURES,
+                                     "doc_id long, text string")
+    out = normalize_text(docs.union(fixtures))
+    return out.select(
+        "doc_id", "text_norm",
+        (~F.col("text_norm").eqNullSafe(F.col("text"))).alias("changed"))
+
+
+def _q_robots_flags(spark, sf_dir):
+    """Meta-robots census over the deduped crawl (kernel.robots_flags):
+    noindex/nofollow compliance flags parsed with the engine's own
+    forgiving DOM. The page template plants directives on pure
+    doc_id % 17 slices (case, padding, and the ``none`` shorthand), so
+    DuckDB recomputes the expected flags from `documents` directly."""
+    from fortissimo_spark.kernel import robots_flags
+    pages = dedup_latest_crawl(build_pages(spark, sf_dir))
+    out = robots_flags(pages)
+    return (out.withColumn(
+                "doc_id",
+                F.regexp_extract("url", _DOC_ID_FROM_URL, 1).cast("long"))
+            .select("doc_id", "noindex", "nofollow", "n_robots_meta"))
+
+
+def _q_page_metadata(spark, sf_dir):
+    """Structured head-metadata record per page (kernel.page_metadata):
+    title / first h1 / rel=canonical / meta description / og:title via
+    the forgiving DOM. Template plants canonical/description/og:title on
+    pure doc_id % 19 slices, so DuckDB recomputes every field from
+    `documents`."""
+    from fortissimo_spark.kernel import page_metadata
+    pages = dedup_latest_crawl(build_pages(spark, sf_dir))
+    out = page_metadata(pages)
+    return (out.withColumn(
+                "doc_id",
+                F.regexp_extract("url", _DOC_ID_FROM_URL, 1).cast("long"))
+            .select("doc_id", "title_text", "first_h1", "canonical",
+                    "description", "og_title"))
+
+
+_ROBOTS_AGENT = "ccbot"
+# per-host robots.txt fixture corpus (parsed by the REAL engine on the
+# Spark side; exercises group selection, case folding, wildcard + $ rules,
+# allow-override longest-match, allow-wins ties, empty Disallow)
+_ROBOTS_BODIES = {
+    # allow-override of a full-tree disallow: only ids ending in 0 pass
+    "megaportal.example.com": ("User-agent: *\n"
+                               "Disallow: /article/\n"
+                               "Allow: /article/*0$\n"
+                               "Crawl-delay: 5\n"),
+    # ccbot-specific group shadows a deny-all generic group
+    "news.example.org": ("User-agent: ccbot\n"
+                         "Disallow: /*7$\n\n"
+                         "User-agent: *\n"
+                         "Disallow: /\n"),
+    # digit-prefix block (ids 100-199) with one exact-id allow override
+    "blog.example.net": ("User-agent: *\n"
+                         "Disallow: /article/00000001\n"
+                         "Allow: /article/0000000150$\n"),
+    # UPPERCASE directives + mixed-case agent name
+    "shop.example.io": ("USER-AGENT: CCBot\n"
+                        "DISALLOW: /article/*3$\n"),
+    # empty Disallow imposes nothing
+    "wiki.example.edu": ("User-agent: *\nDisallow:\nCrawl-delay: 1.5\n"),
+    # deny-all
+    "forum.example.co": ("User-agent: *\nDisallow: /\n"),
+    # equal-length allow/disallow tie (allow wins) over a broad disallow
+    "docs.example.dev": ("User-agent: *\n"
+                         "Allow: /article/*2$\n"
+                         "Disallow: /article/*2$\n"
+                         "Disallow: /article/\n"),
+    # hosts 7..15: no robots.txt at all -> everything allowed
+}
+
+
+def _robots_regex_py(pattern: str) -> str:
+    """Pure-Python mirror of robots.robots_pattern_regex (pinned equal in
+    tests) — used only to generate the oracle's rule literals."""
+    import re as _re
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    esc = _re.sub(r"[.^$+?(){}\[\]|\\]", lambda m: "\\" + m.group(0), core)
+    return "^" + esc.replace("*", ".*") + ("$" if anchored else "")
+
+
+def _robots_cc_rules() -> list[tuple[int, str, str, str, int]]:
+    """(host_idx, rule, pattern, regex, specificity) binding _ROBOTS_AGENT —
+    hand-derived from _ROBOTS_BODIES per RFC 9309 group selection, pinned
+    equal to the engine's parse in tests/test_spark_integration.py."""
+    from fortissimo_spark.pages import HOSTS
+    per_host = {
+        "megaportal.example.com": [("disallow", "/article/"),
+                                   ("allow", "/article/*0$")],
+        "news.example.org": [("disallow", "/*7$")],   # ccbot group only
+        "blog.example.net": [("disallow", "/article/00000001"),
+                             ("allow", "/article/0000000150$")],
+        "shop.example.io": [("disallow", "/article/*3$")],
+        "forum.example.co": [("disallow", "/")],
+        "docs.example.dev": [("allow", "/article/*2$"),
+                             ("disallow", "/article/*2$"),
+                             ("disallow", "/article/")],
+    }
+    out = []
+    for host, rules in per_host.items():
+        for rule, pat in rules:
+            out.append((HOSTS.index(host), rule, pat,
+                        _robots_regex_py(pat), len(pat)))
+    return out
+
+
+def _q_robots_apply(spark, sf_dir):
+    """robots.txt compliance over a corpus-scale url frame: the raw
+    per-host bodies go through the REAL parser (robots.parse_robots_txt)
+    and RFC 9309 longest-match apply (robots.apply_robots, broadcast
+    rules + one window). Hosts here are doc_id % 16 (SQL-recomputable —
+    unlike the skewed _mix hosts of build_pages) so DuckDB can replay
+    the whole match/tie decision from `documents` + the rule literals
+    (pinned equal to the engine's parse by pytest)."""
+    from fortissimo_spark.pages import HOSTS
+    from fortissimo_spark.robots import apply_robots, parse_robots_txt
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hosts_arr = F.array(*[F.lit(h) for h in HOSTS])
+    pages = docs.withColumn(
+        "url", F.concat(
+            F.lit("https://"),
+            F.element_at(hosts_arr, (F.col("doc_id") % 16 + 1).cast("int")),
+            F.lit("/article/"),
+            F.lpad(F.col("doc_id").cast("string"), 10, "0")))
+    robots = spark.createDataFrame(list(_ROBOTS_BODIES.items()),
+                                   "host string, body string")
+    out = apply_robots(pages, parse_robots_txt(robots), _ROBOTS_AGENT)
+    return out.select("doc_id", "allowed", "matched_rule", "matched_pattern")
+
+
+def _robots_apply_oracle_sql() -> str:
+    vals = ",\n            ".join(
+        "({}, '{}', '{}', '{}', {})".format(h, r, p, rx, sp)
+        for h, r, p, rx, sp in _robots_cc_rules())
+    return f"""
+        WITH rules(host_idx, rule, pattern, regex, specificity) AS (VALUES
+            {vals}),
+        pages AS (
+          SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS host_idx,
+                 '/article/' || lpad(CAST(doc_id AS VARCHAR), 10, '0')
+                   AS path
+          FROM documents),
+        matched AS (
+          SELECT p.doc_id, r.rule, r.pattern,
+                 row_number() OVER (
+                   PARTITION BY p.doc_id
+                   ORDER BY r.specificity DESC,
+                            CASE WHEN r.rule = 'allow' THEN 0 ELSE 1 END,
+                            r.pattern) AS rn
+          FROM pages p JOIN rules r USING (host_idx)
+          WHERE regexp_matches(p.path, r.regex)),
+        winners AS (SELECT doc_id, rule, pattern FROM matched WHERE rn = 1)
+        SELECT p.doc_id,
+               coalesce(w.rule = 'allow', TRUE) AS allowed,
+               w.rule AS matched_rule,
+               w.pattern AS matched_pattern
+        FROM pages p LEFT JOIN winners w USING (doc_id)"""
+
+
+def _q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split: per-language exact perplexity
+    tertile cutoffs (one tiny row per language, broadcast back), each
+    document labeled by its side of the cuts (lm.with_ppl_buckets over
+    the bigram stupid-backoff scores)."""
+    from fortissimo_spark.lm import (train_bigram_lm, with_perplexity,
+                                     with_ppl_buckets)
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "text")
+    lm = train_bigram_lm(docs.select("doc_id", "text"), top_v=_PPL_TOPV)
+    scored = (with_perplexity(docs.select("doc_id", "text"), lm)
+              .join(docs.select("doc_id", "lang"), "doc_id"))
+    return (with_ppl_buckets(scored, strata_col="lang")
+            .select("doc_id", "lang", "ppl", "ppl_bucket"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING MATTERS: the round driver's CORRECTNESS file records at most
     # the FIRST ~50 registry keys (r3 evidence: 56 registered, exactly the
@@ -783,6 +980,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf": _q_extract_pdf,
         "warc_extract": _q_warc_extract,
         "media_metadata": _q_media_metadata,
+        "normalize_text": _q_normalize_text,
+        "robots_flags": _q_robots_flags,
+        "page_metadata": _q_page_metadata,
+        "robots_apply": _q_robots_apply,
+        "ppl_buckets": _q_ppl_buckets,
         # (c) driver-verified r5, unchanged
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -2270,8 +2472,97 @@ def _sentence_stats_oracle_sql() -> str:
         FROM feats"""
 
 
+def _sql_str(s: str | None) -> str:
+    """SQL literal for a fixture string; control chars go through chr()
+    so the statement text stays printable."""
+    if s is None:
+        return "CAST(NULL AS VARCHAR)"
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        o = ord(ch)
+        if o < 0x20 or 0x7F <= o <= 0x9F:
+            if buf:
+                parts.append("'{}'".format(buf.replace("'", "''")))
+                buf = ""
+            parts.append(f"chr({o})")
+        else:
+            buf += ch
+    if buf or not parts:
+        parts.append("'{}'".format(buf.replace("'", "''")))
+    return " || ".join(parts)
+
+
+def _normalize_text_oracle_sql() -> str:
+    from fortissimo_spark.textstats import CONTROL_CLASS
+    vals = ",\n            ".join(
+        "({}, {})".format(i, _sql_str(t)) for i, t in _NORM_FIXTURES)
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            {vals}
+          ) AS f(doc_id, text)),
+        norm AS (
+          SELECT doc_id, text,
+                 regexp_replace(nfc_normalize(text),
+                                '{CONTROL_CLASS}', '', 'g') AS text_norm
+          FROM corpus)
+        SELECT doc_id, text_norm,
+               (text_norm IS DISTINCT FROM text) AS changed
+        FROM norm"""
+
+
+def _ppl_buckets_oracle_sql() -> str:
+    return f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents),
+        {_ppl_ctes("corpus")},
+        scored AS (
+          SELECT d2.doc_id, d2.lang, p.ppl
+          FROM documents d2 LEFT JOIN per_doc p USING (doc_id)),
+        cuts AS (
+          SELECT lang,
+                 round(quantile_cont(ppl, 1.0/3), 6) AS c1,
+                 round(quantile_cont(ppl, 2.0/3), 6) AS c2
+          FROM scored WHERE ppl IS NOT NULL GROUP BY lang)
+        SELECT s.doc_id, s.lang, s.ppl,
+               CASE WHEN s.ppl IS NULL THEN NULL
+                    WHEN s.ppl <= c.c1 THEN 'head'
+                    WHEN s.ppl <= c.c2 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM scored s LEFT JOIN cuts c USING (lang)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "normalize_text": _normalize_text_oracle_sql(),
+        "robots_flags": """
+            SELECT doc_id,
+                   doc_id % 17 IN (3, 5) AS noindex,
+                   doc_id % 17 IN (3, 5, 7) AS nofollow,
+                   CAST(CASE WHEN doc_id % 17 IN (3, 5, 7, 9)
+                        THEN 1 ELSE 0 END AS INTEGER) AS n_robots_meta
+            FROM documents""",
+        "page_metadata": """
+            SELECT doc_id,
+                   CASE WHEN substr(text, 1, 40) <> ''
+                        THEN substr(text, 1, 40) ELSE 'untitled' END
+                     AS title_text,
+                   'Portal ' || CAST(doc_id % 97 AS VARCHAR) AS first_h1,
+                   CASE WHEN doc_id % 19 = 4
+                        THEN '/article/' ||
+                             lpad(CAST(doc_id AS VARCHAR), 10, '0')
+                        END AS canonical,
+                   CASE WHEN doc_id % 19 = 6
+                        THEN 'Article ' || CAST(doc_id % 1000 AS VARCHAR)
+                             || ' summary' END AS description,
+                   CASE WHEN doc_id % 19 = 8
+                        THEN 'Portal ' || CAST(doc_id % 97 AS VARCHAR)
+                        END AS og_title
+            FROM documents""",
+        "robots_apply": _robots_apply_oracle_sql(),
+        "ppl_buckets": _ppl_buckets_oracle_sql(),
         "sentence_stats": _sentence_stats_oracle_sql(),
         "curate_corpus": _curate_oracle_sql(),
         "incremental_curate": _incremental_curate_oracle_sql(),

@@ -25,6 +25,7 @@ from typing import Iterable, Iterator
 
 import pandas as pd
 
+from .dom import N_ATTR_NAMES, N_ATTR_VALUES
 from .extract import extract
 from .parser import parse
 
@@ -279,6 +280,125 @@ def make_selector_kernel():
             yield pd.DataFrame(rows)
 
     return kernel
+
+
+def _attrs_ci(builder, node: int) -> dict[str, str]:
+    """First-occurrence-wins, case-insensitive attribute map — crawler
+    metadata semantics; the DOM's exact-case get_attr (valuesLookup
+    parity, dom.ts:226) is deliberately NOT reused here."""
+    nd = builder.nodes[node]
+    out: dict[str, str] = {}
+    for an, av in zip(nd[N_ATTR_NAMES], nd[N_ATTR_VALUES]):
+        a = an.lower()
+        if a not in out:
+            out[a] = av or ""
+    return out
+
+
+def make_page_meta_kernel():
+    """mapInPandas kernel: pages batches -> structured head metadata
+    (title, first h1, rel=canonical href, meta description, og:title) —
+    the per-page metadata record a crawl index stores next to the
+    extracted text. Missing fields are NULL."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in ("url", "title_text", "first_h1",
+                                    "canonical", "description", "og_title")}
+            for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+                text_src, _, _ = decode_page_bytes(bytes(raw or b""))
+                b = parse(text_src, positions=False).dom
+                title = b.query_selector(0, "title")
+                h1 = b.query_selector(0, "h1")
+                canonical = description = og_title = None
+                for ln in b.query_selector_all(0, "link"):
+                    at = _attrs_ci(b, ln)
+                    rel = at.get("rel", "").strip().lower().split()
+                    if "canonical" in rel and canonical is None:
+                        canonical = at.get("href")
+                for m in b.query_selector_all(0, "meta"):
+                    at = _attrs_ci(b, m)
+                    name = at.get("name", "").strip().lower()
+                    prop = at.get("property", "").strip().lower()
+                    if name == "description" and description is None:
+                        description = at.get("content", "")
+                    elif prop == "og:title" and og_title is None:
+                        og_title = at.get("content", "")
+                rows["url"].append(url)
+                rows["title_text"].append(
+                    b.text_content(title) if title is not None else None)
+                rows["first_h1"].append(
+                    b.text_content(h1) if h1 is not None else None)
+                rows["canonical"].append(canonical)
+                rows["description"].append(description)
+                rows["og_title"].append(og_title)
+            yield pd.DataFrame(rows)
+
+    return kernel
+
+
+def page_metadata(pages) -> "DataFrame":
+    """(url, title_text, first_h1, canonical, description, og_title) for
+    every page — the crawl-index metadata record."""
+    from pyspark.sql.types import StringType, StructField, StructType
+    schema = StructType([StructField(c, StringType()) for c in
+                         ("url", "title_text", "first_h1", "canonical",
+                          "description", "og_title")])
+    return (pages.select("url", "html")
+            .mapInPandas(make_page_meta_kernel(), schema))
+
+
+def make_robots_kernel():
+    """mapInPandas kernel: pages batches -> per-document crawl-compliance
+    flags — ``<meta name="robots"|"googlebot" content="...">`` directives
+    parsed with the engine's own forgiving DOM (case-insensitive names,
+    comma-separated token split, ``none`` = ``noindex,nofollow``). A
+    corpus pipeline must honor these before publication; pages without
+    directives report False/False with n_robots_meta = 0."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in ("url", "noindex", "nofollow",
+                                    "n_robots_meta")}
+            for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+                text_src, _, _ = decode_page_bytes(bytes(raw or b""))
+                b = parse(text_src, positions=False).dom
+                tokens: set[str] = set()
+                n_meta = 0
+                for m in b.query_selector_all(0, "meta"):
+                    at = _attrs_ci(b, m)
+                    name = at.get("name", "").strip().lower()
+                    if name in ("robots", "googlebot"):
+                        n_meta += 1
+                        tokens |= {t.strip().lower()
+                                   for t in at.get("content", "").split(",")}
+                rows["url"].append(url)
+                rows["noindex"].append("noindex" in tokens
+                                       or "none" in tokens)
+                rows["nofollow"].append("nofollow" in tokens
+                                        or "none" in tokens)
+                rows["n_robots_meta"].append(n_meta)
+            yield pd.DataFrame(rows)
+
+    return kernel
+
+
+def robots_flags(pages) -> "DataFrame":
+    """(url, noindex, nofollow, n_robots_meta) for every page — the
+    meta-robots census; filter ``~noindex`` before corpus publication."""
+    from pyspark.sql.types import (
+        BooleanType, IntegerType, StringType, StructField, StructType,
+    )
+    schema = StructType([StructField("url", StringType()),
+                         StructField("noindex", BooleanType()),
+                         StructField("nofollow", BooleanType()),
+                         StructField("n_robots_meta", IntegerType())])
+    return (pages.select("url", "html")
+            .mapInPandas(make_robots_kernel(), schema))
 
 
 def make_nodes_kernel():

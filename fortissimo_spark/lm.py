@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["train_bigram_lm", "with_perplexity", "BigramLM",
            "TrigramLM", "train_trigram_lm", "with_perplexity_trigram",
-           "NgramLM", "train_ngram_lm", "with_perplexity_ngram"]
+           "NgramLM", "train_ngram_lm", "with_perplexity_ngram",
+           "with_ppl_buckets"]
 
 _ALPHA = 0.4  # stupid-backoff weight (Brants et al. 2007)
 
@@ -325,3 +326,41 @@ def with_perplexity_ngram(docs: DataFrame, lm: NgramLM,
             .select(F.col("doc_id").alias(id_col),
                     F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
                     "ppl"))
+
+
+def with_ppl_buckets(scored: DataFrame, strata_col: str = "lang",
+                     ppl_col: str = "ppl",
+                     cuts: tuple[float, float] = (1.0 / 3, 2.0 / 3),
+                     cut_sample_frac: float | None = None,
+                     id_col: str = "doc_id") -> DataFrame:
+    """CCNet's head/middle/tail split: per-stratum perplexity percentile
+    cutoffs, then each document labeled by which side of the cuts its
+    ppl falls on (``head`` = lowest-perplexity third = highest quality).
+    NULL-ppl rows (un-scoreable stubs) get a NULL bucket.
+
+    Shape: the cutoff table is ONE row per stratum (tiny — broadcast
+    back), exactly CCNet's precomputed-threshold design. The exact
+    ``percentile`` aggregate holds a per-group value multiset, so at
+    10^12-document scale pass ``cut_sample_frac`` to compute the cuts on
+    a deterministic content-hash sample (corpus.deterministic_sample —
+    resumable, engine-stable) — also CCNet practice (their thresholds
+    come from a sample); labels are still assigned to EVERY row. Cutoffs
+    round to 6dp so they compose with the 6dp-rounded perplexities."""
+    src = scored.filter(F.col(ppl_col).isNotNull())
+    if cut_sample_frac is not None:
+        from .corpus import deterministic_sample
+        src = deterministic_sample(src, cut_sample_frac, id_col=id_col)
+    cutpoints = (src.groupBy(strata_col)
+                 .agg(F.round(F.expr(
+                     f"percentile({ppl_col}, {cuts[0]!r})"), 6)
+                     .alias("_cut1"),
+                     F.round(F.expr(
+                         f"percentile({ppl_col}, {cuts[1]!r})"), 6)
+                     .alias("_cut2")))
+    out = scored.join(F.broadcast(cutpoints), strata_col, "left")
+    bucket = (F.when(F.col(ppl_col).isNull(), F.lit(None))
+              .when(F.col(ppl_col) <= F.col("_cut1"), F.lit("head"))
+              .when(F.col(ppl_col) <= F.col("_cut2"), F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return (out.withColumn("ppl_bucket", bucket)
+            .drop("_cut1", "_cut2"))

@@ -107,10 +107,32 @@ def html_for_doc(doc_id: int, text: str, lang: str | None) -> str:
     elif doc_id % 11 == 7:
         garnish = ("<aside><table><caption>A Table<th>x<tbody><tr><td>1<td>2"
                    "</table></aside>")
+    # meta-robots slices (SQL-recomputable: pure doc_id % 17; case /
+    # whitespace / "none" shorthand exercise the forgiving parse path)
+    r = doc_id % 17
+    robots = ""
+    if r == 3:
+        robots = '\n  <meta name="robots" content="noindex, nofollow">'
+    elif r == 5:
+        robots = '\n  <meta name="ROBOTS" content=" NONE ">'
+    elif r == 7:
+        robots = '\n  <meta name="googlebot" content="nofollow">'
+    elif r == 9:
+        robots = '\n  <meta name="robots" content="index, follow">'
+    # page-metadata slices (SQL-recomputable: pure doc_id % 19)
+    m = doc_id % 19
+    if m == 4:
+        robots += f'\n  <link rel="canonical" href="/article/{doc_id:010d}">'
+    elif m == 6:
+        robots += (f'\n  <meta name="description" '
+                   f'content="Article {doc_id % 1000} summary">')
+    elif m == 8:
+        robots += (f'\n  <meta property="og:title" '
+                   f'content="Portal {doc_id % 97}">')
     return f"""<!DOCTYPE html>
 <html{lang_attr}>
 <head>
-  <meta charset="utf-8">
+  <meta charset="utf-8">{robots}
   <title>{title}</title>
   <style>
     body {{ margin: 0; font: 16px/1.4 sans-serif; }}

@@ -14,8 +14,44 @@ __all__ = ["with_token_counts", "with_quality_features", "with_langid",
            "decontaminate", "collapse_repeated_tokens",
            "remove_duplicate_paragraphs", "train_quality_classifier",
            "score_quality", "with_script_ratios", "redact_pii",
-           "with_sentence_stats",
+           "with_sentence_stats", "normalize_text",
            "LANG_MARKERS", "SCRIPT_CLASSES", "PII_PATTERNS"]
+
+# C0 controls except \t \n \r, plus DEL and the C1 block — the bytes a
+# pre-tokenization cleanup strips (same class in Java regex and RE2, so
+# the oracle can run the identical pattern)
+CONTROL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]"
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text", *,
+                   form: str = "NFC", strip_controls: bool = True,
+                   out_col: str = "text_norm") -> DataFrame:
+    """Unicode normalization (the pre-tokenization step every
+    training-data pipeline runs: decomposed accents, compatibility
+    forms) + optional control-character strip.
+
+    Spark has NO built-in Unicode-normalization expression, so this is
+    the documented pandas-UDF case — Arrow-batched ``unicodedata``
+    vectorized over each batch, never row-at-a-time Python, map-side
+    only (no shuffle). The control strip stays JVM-side
+    (``regexp_replace`` over :data:`CONTROL_CLASS`)."""
+    import pandas  # noqa: F401 — resolves the UDF type hints below
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def _norm_fn(s: "pandas.Series") -> "pandas.Series":
+        import unicodedata
+        return s.map(lambda t: None if t is None
+                     else unicodedata.normalize(form, t))
+    _norm_fn.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    _norm = pandas_udf(_norm_fn, "string")
+
+    col = _norm(F.col(text_col))
+    if strip_controls:
+        col = F.regexp_replace(col, CONTROL_CLASS, "")
+    return docs.withColumn(out_col, col)
 
 # tiny marker-word profiles (public-knowledge function words)
 LANG_MARKERS: dict[str, tuple[str, ...]] = {

@@ -2986,3 +2986,149 @@ def test_warc_fetch_hot_archive_fans_out(spark, tmp_path_factory):
     got = {r.url for r in read_warc_records_by_index(
         spark, idx, str(base), task_fetch_bytes=budget).collect()}
     assert got == {f"http://hot.example/r{i}" for i in range(40)}
+
+
+def test_normalize_text_nfc_and_controls(spark):
+    from fortissimo_spark.textstats import normalize_text
+    docs = spark.createDataFrame(
+        [(1, "café garçon"),     # NFD -> café garçon
+         (2, "a\x07b\tkeep\nlines\x0b\x7f\x9fz"),  # strip C0/C1/DEL, keep \t\n
+         (3, "plain ascii"),
+         (4, None)],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in normalize_text(docs).collect()}
+    assert rows[1].text_norm == "café garçon"
+    assert rows[2].text_norm == "ab\tkeep\nlinesz"
+    assert rows[3].text_norm == "plain ascii"
+    assert rows[4].text_norm is None
+    # NFKC folds compatibility forms (ligature fi, fullwidth A)
+    nk = {r.doc_id: r for r in normalize_text(
+        spark.createDataFrame([(1, "ﬁle Ａ")],
+                              "doc_id long, text string"),
+        form="NFKC").collect()}
+    assert nk[1].text_norm == "file A"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        normalize_text(docs, form="NFX")
+
+
+def test_robots_flags_forgiving_parse(spark):
+    """Directives must survive the forgiving parse: case-insensitive
+    names, padded token lists, the `none` shorthand, duplicated metas,
+    and broken markup around the head."""
+    from fortissimo_spark.kernel import robots_flags
+    pages = spark.createDataFrame(
+        [("u1", "<html><head><meta name=ROBOTS content=' NOINDEX , foo'>"
+                "<title>t</head><body>x".encode()),
+         ("u2", "<head><META NAME='googlebot' CONTENT='nofollow'>"
+                "<meta name=robots content=none>".encode()),
+         ("u3", "<p>no head at all".encode()),
+         ("u4", "<meta name=robots content='index, follow'>"
+                "<meta name=description content='noindex'>".encode())],
+        "url string, html binary")
+    got = {r.url: r for r in robots_flags(pages).collect()}
+    assert (got["u1"].noindex, got["u1"].nofollow,
+            got["u1"].n_robots_meta) == (True, False, 1)
+    assert (got["u2"].noindex, got["u2"].nofollow,
+            got["u2"].n_robots_meta) == (True, True, 2)
+    assert (got["u3"].noindex, got["u3"].nofollow,
+            got["u3"].n_robots_meta) == (False, False, 0)
+    # description meta carrying the word is NOT a directive
+    assert (got["u4"].noindex, got["u4"].n_robots_meta) == (False, 1)
+
+
+def test_ppl_buckets_tertiles_and_null(spark):
+    """Hand-checkable tertiles: 6 docs per lang with distinct ppls split
+    2/2/2; un-scoreable docs keep a NULL bucket; cuts interpolate at
+    (n-1)*p like CCNet's percentile thresholds."""
+    from pyspark.sql import functions as F
+    from fortissimo_spark.lm import with_ppl_buckets
+    rows = [(i, "en", float(10 + i)) for i in range(6)]          # 10..15
+    rows += [(10 + i, "de", float(100 + 10 * i)) for i in range(6)]
+    rows += [(99, "en", None), (98, "xx", None)]
+    scored = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    out = {r.doc_id: r.ppl_bucket
+           for r in with_ppl_buckets(scored).collect()}
+    # en cuts: quantile([10..15], 1/3)=11.666667, 2/3=13.333333
+    assert [out[i] for i in range(6)] == [
+        "head", "head", "middle", "middle", "tail", "tail"]
+    assert [out[10 + i] for i in range(6)] == [
+        "head", "head", "middle", "middle", "tail", "tail"]
+    assert out[99] is None and out[98] is None
+    # sampled-cutoff path: deterministic sample still yields labels for ALL
+    full = with_ppl_buckets(scored, cut_sample_frac=0.9)
+    assert full.filter(F.col("ppl").isNotNull()
+                       & F.col("ppl_bucket").isNull()).count() == 0
+    assert full.count() == len(rows)
+
+
+def test_page_metadata_forgiving(spark):
+    from fortissimo_spark.kernel import page_metadata
+    pages = spark.createDataFrame(
+        [("u1", "<head><LINK REL='alternate canonical' HREF='/c'>"
+                "<meta property='OG:TITLE' content='Og T'>"
+                "<meta name=description content='D1'>"
+                "<meta name=description content='D2'>"
+                "<title>T</title><h1>H".encode()),
+         ("u2", "<p>bare".encode())],
+        "url string, html binary")
+    got = {r.url: r for r in page_metadata(pages).collect()}
+    r1 = got["u1"]
+    # rel is a token list, case-insensitive; first description wins
+    assert (r1.canonical, r1.og_title, r1.description) == ("/c", "Og T", "D1")
+    assert (r1.title_text, r1.first_h1) == ("T", "H")
+    r2 = got["u2"]
+    assert (r2.title_text, r2.first_h1, r2.canonical, r2.description,
+            r2.og_title) == (None, None, None, None, None)
+
+
+def test_robots_engine_rfc9309(spark):
+    """parse_robots_txt + robots_rules_for_agent must reproduce the
+    hand-derived rule set the oracle embeds (group selection, case
+    folding, empty-Disallow drop), and the JVM pattern->regex translation
+    must equal the pure-Python mirror used to generate those literals."""
+    from pyspark.sql import functions as F
+    from fortissimo_spark.pages import HOSTS
+    from fortissimo_spark.robots import (apply_robots, parse_robots_txt,
+                                         robots_crawl_delays,
+                                         robots_pattern_regex,
+                                         robots_rules_for_agent,
+                                         robots_sitemaps)
+    import __spark_entry__ as entrymod
+    robots = spark.createDataFrame(
+        list(entrymod._ROBOTS_BODIES.items()), "host string, body string")
+    rules = parse_robots_txt(robots)
+    binding = robots_rules_for_agent(rules, entrymod._ROBOTS_AGENT)
+    got = {(HOSTS.index(r.host), r.rule, r.pattern, r.regex, r.specificity)
+           for r in binding.collect()}
+    assert got == set(entrymod._robots_cc_rules())
+    # JVM regex translation == python mirror on tricky patterns
+    pats = ["/a/*.pdf$", "/x(y)+?[z]|w\\v$", "/plain", "/*mid$dollar",
+            "*lead", "/end$"]
+    df = spark.createDataFrame([(p,) for p in pats], "pattern string")
+    jvm = {r.pattern: r.rx for r in df.select(
+        "pattern", robots_pattern_regex(F.col("pattern")).alias("rx")).collect()}
+    for p in pats:
+        assert jvm[p] == entrymod._robots_regex_py(p), p
+    # group-scoped crawl-delay: ccbot group on news has no delay; the
+    # generic groups carry 5 (megaportal) and 1.5 (wiki)
+    delays = {r.host: r.crawl_delay_s
+              for r in robots_crawl_delays(robots, "ccbot").collect()}
+    assert delays == {"megaportal.example.com": 5.0,
+                      "wiki.example.edu": 1.5}
+    assert robots_sitemaps(robots).count() == 0
+    # longest-match + allow-tie on a hand page set
+    pages = spark.createDataFrame(
+        [("https://docs.example.dev/article/0000000012",),   # tie -> allow
+         ("https://docs.example.dev/article/0000000013",),   # disallow
+         ("https://docs.example.dev/other",),                # no rule
+         ("https://forum.example.co/article/0000000001",),   # deny-all
+         ("not a url",)],                                    # NULL host
+        "url string")
+    got2 = {r.url: (r.allowed, r.matched_rule)
+            for r in apply_robots(pages, rules, "ccbot").collect()}
+    assert got2["https://docs.example.dev/article/0000000012"] == (True, "allow")
+    assert got2["https://docs.example.dev/article/0000000013"] == (False, "disallow")
+    assert got2["https://docs.example.dev/other"] == (True, None)
+    assert got2["https://forum.example.co/article/0000000001"] == (False, "disallow")
+    assert got2["not a url"] == (True, None)
