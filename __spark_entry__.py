@@ -920,6 +920,96 @@ def _robots_apply_oracle_sql() -> str:
         FROM pages p LEFT JOIN winners w USING (doc_id)"""
 
 
+_LG_DAMP = 0.85
+_LG_ITERS = 3
+
+
+def _q_link_pagerank(spark, sf_dir):
+    """Link graph end-to-end: JVM-rendered pages (3 deterministic
+    ``<a href>`` links per doc, one rel=nofollow slice) go through the
+    REAL DOM outlink kernel (graph.extract_outlinks), nofollow edges
+    drop, then degrees + 3 PageRank power iterations
+    (graph.pagerank, 12-dp/iteration determinism grid). DuckDB replays
+    the same edge rule and iterations from `documents`."""
+    from fortissimo_spark.graph import (extract_outlinks, link_degrees,
+                                        pagerank)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # driver-side planning scalar (node count)
+    d = F.col("doc_id")
+
+    def a_tag(t, nofollow=None):
+        rel = (F.when(nofollow, F.lit(' rel="nofollow"'))
+               .otherwise(F.lit("")) if nofollow is not None
+               else F.lit(""))
+        return F.concat(F.lit('<a href="/article/'),
+                        F.lpad(t.cast("string"), 10, "0"),
+                        F.lit('"'), rel, F.lit(">to "),
+                        t.cast("string"), F.lit("</a>\n"))
+
+    html = F.concat(F.lit("<html><body>\n"),
+                    a_tag((d * 31 + 7) % n),
+                    a_tag((d * 17 + 3) % n, nofollow=(d % 4 == 1)),
+                    a_tag((d * 97 + 11) % n),
+                    F.lit("</body></html>"))
+    pages = docs.select(
+        F.concat(F.lit("https://graph.example/article/"),
+                 F.lpad(d.cast("string"), 10, "0")).alias("url"),
+        F.encode(html, "utf-8").alias("html"))
+    links = extract_outlinks(pages)
+    to_id = lambda c: F.regexp_extract(c, r"/article/(\d+)", 1).cast("long")  # noqa: E731
+    edges = (links.filter(~F.col("nofollow"))
+             .select(to_id(F.col("url")).alias("src"),
+                     to_id(F.col("href")).alias("dst")))
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    deg = link_degrees(edges, nodes)
+    pr = pagerank(edges, nodes, num_iters=_LG_ITERS, damping=_LG_DAMP)
+    return (deg.join(pr, "id")
+            .select(F.col("id").alias("doc_id"), "out_deg", "in_deg",
+                    F.round("pr", 9).alias("pr")))
+
+
+def _link_pagerank_oracle_sql() -> str:
+    prev = "r0"
+    iters = []
+    for i in range(1, _LG_ITERS + 1):
+        iters.append(f"""
+        r{i} AS (
+          SELECT i.doc_id AS id,
+                 round((1.0 - {_LG_DAMP}) / (SELECT n FROM nn)
+                       + {_LG_DAMP} * coalesce(c.s, 0.0), 12) AS pr
+          FROM ids i LEFT JOIN (
+            SELECT e.dst AS id, sum(r.pr / o.outdeg) AS s
+            FROM edges e
+            JOIN {prev} r ON r.id = e.src
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst) c ON c.id = i.doc_id)""")
+        prev = f"r{i}"
+    return f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        ids AS (SELECT doc_id FROM documents),
+        raw AS (
+          SELECT doc_id AS src,
+                 (doc_id * 31 + 7) % (SELECT n FROM nn) AS dst FROM ids
+          UNION ALL
+          SELECT doc_id, (doc_id * 17 + 3) % (SELECT n FROM nn)
+          FROM ids WHERE doc_id % 4 <> 1
+          UNION ALL
+          SELECT doc_id, (doc_id * 97 + 11) % (SELECT n FROM nn) FROM ids),
+        edges AS (SELECT DISTINCT src, dst FROM raw),
+        outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        indeg AS (SELECT dst, count(*) AS in_deg FROM edges GROUP BY dst),
+        r0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS pr
+               FROM ids),{",".join(iters)}
+        SELECT i.doc_id,
+               coalesce(o.outdeg, 0) AS out_deg,
+               coalesce(d.in_deg, 0) AS in_deg,
+               round(r.pr, 9) AS pr
+        FROM ids i
+        LEFT JOIN outdeg o ON o.src = i.doc_id
+        LEFT JOIN indeg d ON d.dst = i.doc_id
+        JOIN {prev} r ON r.id = i.doc_id"""
+
+
 def _q_ppl_buckets(spark, sf_dir):
     """CCNet head/middle/tail split: per-language exact perplexity
     tertile cutoffs (one tiny row per language, broadcast back), each
@@ -984,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_flags": _q_robots_flags,
         "page_metadata": _q_page_metadata,
         "robots_apply": _q_robots_apply,
+        "link_pagerank": _q_link_pagerank,
         "ppl_buckets": _q_ppl_buckets,
         # (c) driver-verified r5, unchanged
         "q1_pricing_summary": _q1_pricing_summary,
@@ -2562,6 +2653,7 @@ def oracle_sql() -> dict[str, str]:
                         END AS og_title
             FROM documents""",
         "robots_apply": _robots_apply_oracle_sql(),
+        "link_pagerank": _link_pagerank_oracle_sql(),
         "ppl_buckets": _ppl_buckets_oracle_sql(),
         "sentence_stats": _sentence_stats_oracle_sql(),
         "curate_corpus": _curate_oracle_sql(),

@@ -1,0 +1,144 @@
+"""Link-graph operators: outlink extraction, href resolution, degrees,
+PageRank (the crawl-ranking signal Common Crawl publishes for its host
+graph; Page et al. 1999).
+
+Outlinks come out of the engine's own forgiving DOM (every ``<a href>``
+with anchor text and the ``rel="nofollow"`` flag), so broken markup
+yields the same edges a browser would see. Resolution and the graph
+math stay JVM-side.
+
+Scale shape: edge extraction is map-side per page; degree counts are
+partial-aggregated ``groupBy``s; PageRank is the standard iterative
+join — contributions shuffle by dst once per iteration, ranks stay
+(id, pr) rows only, and lineage is cut with a lazy ``localCheckpoint``
+per iteration exactly like dedup.connected_components. Intermediate
+ranks round to 12 dp each iteration so independent engines (and
+re-runs on different partitionings) stay bit-identical: the rounding
+grid absorbs double-sum order differences, which are ~1e-18 against a
+1e-12 grid. Dangling-node mass is NOT redistributed (ranks sum to <1
+when sinks exist) — the convention Common Crawl's published host
+ranks use; callers wanting the stochastic-matrix variant can add the
+dangling term per iteration.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dom import N_ATTR_NAMES, N_ATTR_VALUES
+from .kernel import decode_page_bytes
+from .parser import parse
+
+__all__ = ["extract_outlinks", "resolve_href", "link_degrees", "pagerank"]
+
+
+def _outlinks_kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        rows = {k: [] for k in ("url", "href", "anchor", "nofollow")}
+        for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+            text_src, _, _ = decode_page_bytes(bytes(raw or b""))
+            b = parse(text_src, positions=False).dom
+            for a in b.query_selector_all(0, "a"):
+                nd = b.nodes[a]
+                href = rel = None
+                for an, av in zip(nd[N_ATTR_NAMES], nd[N_ATTR_VALUES]):
+                    al = an.lower()
+                    if al == "href" and href is None:
+                        href = av or ""
+                    elif al == "rel" and rel is None:
+                        rel = av or ""
+                if href is None:
+                    continue
+                rows["url"].append(url)
+                rows["href"].append(href)
+                rows["anchor"].append(b.text_content(a))
+                rows["nofollow"].append(
+                    "nofollow" in (rel or "").lower().split())
+        yield pd.DataFrame(rows)
+
+
+def extract_outlinks(pages: DataFrame) -> DataFrame:
+    """One row per ``<a href>``: (url, href, anchor, nofollow)."""
+    from pyspark.sql.types import (
+        BooleanType, StringType, StructField, StructType,
+    )
+    schema = StructType([StructField("url", StringType()),
+                         StructField("href", StringType()),
+                         StructField("anchor", StringType()),
+                         StructField("nofollow", BooleanType())])
+    return (pages.select("url", "html")
+            .mapInPandas(_outlinks_kernel, schema))
+
+
+def resolve_href(src_url: Column, href: Column) -> Column:
+    """Resolve an extracted href against its source url (JVM-only):
+    absolute http(s) kept; ``//host/...`` takes the source scheme;
+    ``/rooted`` takes the source origin; other relative paths resolve
+    against the source's parent directory (no ``..`` folding — crawl
+    frontiers treat those as distinct keys anyway); fragments are
+    dropped; javascript:/mailto:/tel:/data: yield NULL."""
+    h = F.trim(href)
+    h = F.regexp_replace(h, "#.*$", "")  # fragment never reaches the server
+    scheme = F.lower(F.try_parse_url(src_url, F.lit("PROTOCOL")))
+    host = F.try_parse_url(src_url, F.lit("HOST"))
+    origin = F.concat(scheme, F.lit("://"), host)
+    path = F.coalesce(F.try_parse_url(src_url, F.lit("PATH")), F.lit("/"))
+    parent = F.regexp_replace(path, "[^/]*$", "")  # up to last '/'
+    lower = F.lower(h)
+    return (F.when(h == "", F.lit(None))
+            .when(lower.rlike("^(javascript|mailto|tel|data):"), F.lit(None))
+            .when(lower.rlike("^https?://"), h)
+            .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+            .when(h.startswith("/"), F.concat(origin, h))
+            .otherwise(F.concat(origin, parent, h)))
+
+
+def link_degrees(edges: DataFrame, nodes: DataFrame,
+                 src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """(id, out_deg, in_deg) over distinct edges; zero for isolated
+    nodes. Two partial-agg groupBys + broadcast-friendly joins back."""
+    e = edges.select(src_col, dst_col).distinct()
+    out_d = e.groupBy(F.col(src_col).alias("id")) \
+        .agg(F.count("*").alias("out_deg"))
+    in_d = e.groupBy(F.col(dst_col).alias("id")) \
+        .agg(F.count("*").alias("in_deg"))
+    return (nodes.join(out_d, "id", "left").join(in_d, "id", "left")
+            .select("id",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg")))
+
+
+def pagerank(edges: DataFrame, nodes: DataFrame, *, num_iters: int = 3,
+             damping: float = 0.85, src_col: str = "src",
+             dst_col: str = "dst") -> DataFrame:
+    """(id, pr) after ``num_iters`` power iterations from the uniform
+    start. ``nodes`` must be an (id) frame covering every vertex (docs
+    with no in-links still get the teleport term). See module docstring
+    for the determinism (12 dp/iteration) and dangling conventions."""
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")).distinct()
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("id", F.lit(None).cast("double").alias("pr"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("pr"))
+    base = (1.0 - damping) / n
+    for _ in range(num_iters):
+        contribs = (e.join(ranks, e["src"] == ranks["id"])
+                    .join(outdeg, "src")
+                    .select(F.col("dst").alias("id"),
+                            (F.col("pr") / F.col("outdeg")).alias("c")))
+        inflow = contribs.groupBy("id").agg(F.sum("c").alias("s"))
+        ranks = (nodes.join(inflow, "id", "left")
+                 .select("id",
+                         F.round(F.lit(base) + F.lit(damping)
+                                 * F.coalesce("s", F.lit(0.0)), 12)
+                         .alias("pr")))
+        # cut lineage each sweep (same shape as dedup.connected_components)
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -113,41 +113,55 @@ def robots_rules_for_agent(rules: DataFrame, agent: str) -> DataFrame:
 
 
 def apply_robots(pages: DataFrame, rules: DataFrame, agent: str,
-                 url_col: str = "url") -> DataFrame:
+                 url_col: str = "url",
+                 broadcast_rules: bool = True) -> DataFrame:
     """Annotate every page with ``allowed`` / ``matched_rule`` /
     ``matched_pattern`` under ``agent``'s binding rules.
 
-    Plan: broadcast the (tiny, per-host) rule set, left-join on host,
-    keep regex-matching rules, pick the winner per url with ONE window
-    (specificity desc, allow-first tie-break — RFC 9309 §2.2.2), then
-    left-join winners back onto the full pages frame so rule-less pages
-    stay allowed. Two broadcast joins + one window over matched rows
-    only; no shuffle of the pages payload."""
+    Plan (sized for 10^12 pages): the rules join and the winner pick
+    run over a PROJECTED key frame (url, host, path) — never the page
+    payload. Winner per url is a ``min_by`` aggregate under the RFC
+    9309 §2.2.2 total order (matched first, longest pattern,
+    allow-wins-tie, pattern text as the final deterministic key), so
+    partial aggregation collapses the per-host rule fan-out map-side
+    and only (url, decision) rows cross the wire. Decisions then join
+    back onto the payload by unique url (AQE picks the strategy; no
+    skew — urls are unique). ``broadcast_rules=True`` (default) is
+    right when the binding rule set is bounded (curated corpora);
+    pass False at open-web host counts and let AQE's skew-join
+    handle hot hosts."""
     binding = robots_rules_for_agent(rules, agent)
+    b = F.broadcast(binding) if broadcast_rules else binding
     host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
     path = F.coalesce(F.try_parse_url(F.col(url_col), F.lit("PATH")),
                       F.lit("/"))
-    keyed = pages.withColumn("_host", host).withColumn("_path", path)
-    matched = (keyed.select(F.col(url_col).alias("_murl"), "_host", "_path")
-               .join(F.broadcast(binding),
-                     F.col("_host") == binding["host"], "inner")
-               .filter(F.expr("rlike(_path, regex)")))
-    w = (Window.partitionBy("_murl")
-         .orderBy(F.col("specificity").desc(),
-                  F.when(F.col("rule") == "allow", 0).otherwise(1),
-                  "pattern"))
-    winners = (matched
-               .withColumn("_rn", F.row_number().over(w))
-               .filter(F.col("_rn") == 1)
-               .select(F.col("_murl"),
-                       F.col("rule").alias("matched_rule"),
-                       F.col("pattern").alias("matched_pattern")))
-    out = (keyed.join(F.broadcast(winners),
-                      keyed[url_col] == winners["_murl"], "left")
-           .withColumn("allowed",
-                       F.coalesce(F.col("matched_rule") == "allow",
-                                  F.lit(True)))
-           .drop("_murl", "_host", "_path"))
+    keys = pages.select(F.col(url_col).alias("_murl"),
+                        host.alias("_host"), path.alias("_path"))
+    joined = keys.join(b, keys["_host"] == binding["host"], "left")
+    matched = (F.col("regex").isNotNull()
+               & F.expr("rlike(_path, regex)"))
+    sort_key = F.struct(
+        (~matched).cast("int").alias("k_unmatched"),
+        (-F.coalesce(F.col("specificity"), F.lit(0))).alias("k_negspec"),
+        F.coalesce((F.col("rule") != "allow").cast("int"),
+                   F.lit(0)).alias("k_notallow"),
+        F.coalesce(F.col("pattern"), F.lit("")).alias("k_pattern"))
+    payload = F.struct(matched.alias("matched"), F.col("rule"),
+                       F.col("pattern"))
+    decisions = (joined.groupBy("_murl")
+                 .agg(F.min_by(payload, sort_key).alias("w"))
+                 .select(
+                     "_murl",
+                     (~F.col("w.matched")
+                      | (F.col("w.rule") == "allow")).alias("allowed"),
+                     F.when(F.col("w.matched"), F.col("w.rule"))
+                     .alias("matched_rule"),
+                     F.when(F.col("w.matched"), F.col("w.pattern"))
+                     .alias("matched_pattern")))
+    out = (pages.join(decisions, pages[url_col] == decisions["_murl"],
+                      "left")
+           .withColumn("allowed", F.coalesce("allowed", F.lit(True)))
+           .drop("_murl"))
     return out
 
 

@@ -3132,3 +3132,59 @@ def test_robots_engine_rfc9309(spark):
     assert got2["https://docs.example.dev/other"] == (True, None)
     assert got2["https://forum.example.co/article/0000000001"] == (False, "disallow")
     assert got2["not a url"] == (True, None)
+
+
+def test_outlinks_and_resolve_href(spark):
+    from pyspark.sql import functions as F
+    from fortissimo_spark.graph import extract_outlinks, resolve_href
+    pages = spark.createDataFrame(
+        [("https://h.example/a/b/page.html",
+          "<body><a HREF='/root.html' REL='me NOFOLLOW'>R</a>"
+          "<a href=rel.html>rel</a>"
+          "<a href='//cdn.example/x'>p</a>"
+          "<a href='http://abs.example/y#frag'>abs</a>"
+          "<a href='mailto:x@example.com'>m</a>"
+          "<a href='#top'>top</a>"
+          "<a name=anchor-no-href>skip</a>".encode())],
+        "url string, html binary")
+    links = extract_outlinks(pages)
+    got = {r.href: r for r in links.collect()}
+    assert set(got) == {"/root.html", "rel.html", "//cdn.example/x",
+                        "http://abs.example/y#frag", "mailto:x@example.com",
+                        "#top"}
+    assert got["/root.html"].nofollow is True
+    assert got["rel.html"].nofollow is False
+    assert got["rel.html"].anchor == "rel"
+    res = {r.href: r.resolved for r in links.select(
+        "href", resolve_href(F.col("url"), F.col("href")).alias("resolved"))
+        .collect()}
+    assert res["/root.html"] == "https://h.example/root.html"
+    assert res["rel.html"] == "https://h.example/a/b/rel.html"
+    assert res["//cdn.example/x"] == "https://cdn.example/x"
+    assert res["http://abs.example/y#frag"] == "http://abs.example/y"
+    assert res["mailto:x@example.com"] is None
+    assert res["#top"] is None  # fragment-only -> empty -> NULL
+
+
+def test_pagerank_hand_graph(spark):
+    """3-node cycle + sink: closed-form check. Cycle a->b->c->a keeps
+    the uniform distribution exactly; adding sink d reached from a
+    splits a's mass. Verified against a hand power iteration."""
+    from fortissimo_spark.graph import link_degrees, pagerank
+    nodes = spark.createDataFrame([(i,) for i in "abcd"], "id string")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "d"), ("b", "c"), ("c", "a"), ("a", "b")],
+        "src string, dst string")  # duplicate a->b must collapse
+    deg = {r.id: (r.out_deg, r.in_deg)
+           for r in link_degrees(edges, nodes).collect()}
+    assert deg == {"a": (2, 1), "b": (1, 1), "c": (1, 1), "d": (0, 1)}
+    pr = {r.id: r.pr for r in
+          pagerank(edges, nodes, num_iters=2, damping=0.85).collect()}
+    # hand iteration, n=4, base=0.0375, r0=0.25 each:
+    # r1: a=.25, b=.1437, c=.25, d=.1437  (d dangling: mass lost)
+    # r2: a=base+.85*.25=.25, b=base+.85*.125=.14375,
+    #     c=base+.85*.143750=.1596875, d=.14375
+    import math
+    exp = {"a": 0.25, "b": 0.14375, "c": 0.1596875, "d": 0.14375}
+    for k, v in exp.items():
+        assert math.isclose(pr[k], v, abs_tol=1e-9), (k, pr[k], v)
