@@ -920,6 +920,100 @@ def _robots_apply_oracle_sql() -> str:
         FROM pages p LEFT JOIN winners w USING (doc_id)"""
 
 
+def _q_sitemap_ingest(spark, sf_dir):
+    """Sitemap-protocol ingestion: 50-url shard <urlset>s plus one
+    <sitemapindex>, rendered JVM-side from `documents` on pure doc_id
+    slices (missing lastmod/changefreq/priority included), parsed back
+    by the REAL xml-capable kernel (robots.parse_sitemaps). DuckDB
+    recomputes every typed field."""
+    from fortissimo_spark.robots import parse_sitemaps
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    shard = F.floor(d / 50).cast("long")
+    lastmod = F.when(d % 3 != 0,
+                     F.concat(F.lit("2025-03-"),
+                              F.lpad(((d % 27) + 1).cast("string"), 2, "0")))
+    changefreq = (F.when(d % 4 == 0, F.lit("daily"))
+                  .when(d % 4 == 1, F.lit("weekly"))
+                  .when(d % 4 == 3, F.lit("monthly")))
+    priority = F.when(d % 5 != 2,
+                      F.concat(F.lit("0."), (d % 10).cast("string")))
+
+    def opt(tag, col):
+        return F.coalesce(
+            F.concat(F.lit(f"<{tag}>"), col, F.lit(f"</{tag}>")), F.lit(""))
+
+    entry = F.concat(
+        F.lit("  <url><loc>https://site.example/article/"),
+        F.lpad(d.cast("string"), 10, "0"), F.lit("</loc>"),
+        opt("lastmod", lastmod), opt("changefreq", changefreq),
+        opt("priority", priority), F.lit("</url>\n"))
+    body = F.concat_ws("", F.transform(
+        F.array_sort(F.collect_list(F.struct(d.alias("i"),
+                                             entry.alias("e")))),
+        lambda s: s["e"]))
+    hdr = ('<?xml version="1.0" encoding="UTF-8"?>\n<urlset '
+           'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n')
+    shards = (docs.groupBy(shard.alias("shard"))
+              .agg(body.alias("body"))
+              .select(
+                  F.concat(F.lit("https://site.example/sitemap-"),
+                           F.col("shard").cast("string"),
+                           F.lit(".xml")).alias("sitemap_url"),
+                  F.encode(F.concat(F.lit(hdr), F.col("body"),
+                                    F.lit("</urlset>")), "utf-8")
+                  .alias("xml")))
+    idx_entry = F.concat(F.lit("  <sitemap><loc>"), F.col("sitemap_url"),
+                         F.lit("</loc></sitemap>\n"))
+    index = (shards.groupBy()
+             .agg(F.concat_ws("", F.transform(
+                 F.array_sort(F.collect_list(F.struct(
+                     F.col("sitemap_url").alias("i"),
+                     idx_entry.alias("e")))),
+                 lambda s: s["e"])).alias("body"))
+             .select(F.lit("https://site.example/sitemap-index.xml")
+                     .alias("sitemap_url"),
+                     F.encode(F.concat(
+                         F.lit('<?xml version="1.0"?>\n<sitemapindex '
+                               'xmlns="http://www.sitemaps.org/schemas'
+                               '/sitemap/0.9">\n'),
+                         F.col("body"), F.lit("</sitemapindex>")),
+                         "utf-8").alias("xml")))
+    out = parse_sitemaps(shards.unionByName(index))
+    return out.select("sitemap_url", "kind", "loc", "lastmod_date",
+                      "changefreq", "priority")
+
+
+_SITEMAP_ORACLE = """
+    WITH urls AS (
+      SELECT 'https://site.example/sitemap-'
+               || CAST(doc_id // 50 AS VARCHAR) || '.xml' AS sitemap_url,
+             'url' AS kind,
+             'https://site.example/article/'
+               || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS loc,
+             CASE WHEN doc_id % 3 <> 0
+                  THEN CAST('2025-03-' || lpad(CAST(doc_id % 27 + 1
+                              AS VARCHAR), 2, '0') AS DATE)
+                  END AS lastmod_date,
+             CASE doc_id % 4 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                  WHEN 3 THEN 'monthly' END AS changefreq,
+             CASE WHEN doc_id % 5 <> 2
+                  THEN CAST('0.' || CAST(doc_id % 10 AS VARCHAR)
+                            AS DOUBLE) END AS priority
+      FROM documents),
+    shards AS (
+      SELECT DISTINCT
+             'https://site.example/sitemap-index.xml' AS sitemap_url,
+             'sitemap' AS kind,
+             'https://site.example/sitemap-'
+               || CAST(doc_id // 50 AS VARCHAR) || '.xml' AS loc,
+             CAST(NULL AS DATE) AS lastmod_date,
+             CAST(NULL AS VARCHAR) AS changefreq,
+             CAST(NULL AS DOUBLE) AS priority
+      FROM documents)
+    SELECT * FROM urls UNION ALL SELECT * FROM shards"""
+
+
 _LG_DAMP = 0.85
 _LG_ITERS = 3
 
@@ -1075,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_metadata": _q_page_metadata,
         "robots_apply": _q_robots_apply,
         "link_pagerank": _q_link_pagerank,
+        "sitemap_ingest": _q_sitemap_ingest,
         "ppl_buckets": _q_ppl_buckets,
         # (c) driver-verified r5, unchanged
         "q1_pricing_summary": _q1_pricing_summary,
@@ -2654,6 +2749,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "robots_apply": _robots_apply_oracle_sql(),
         "link_pagerank": _link_pagerank_oracle_sql(),
+        "sitemap_ingest": _SITEMAP_ORACLE,
         "ppl_buckets": _ppl_buckets_oracle_sql(),
         "sentence_stats": _sentence_stats_oracle_sql(),
         "curate_corpus": _curate_oracle_sql(),

@@ -31,7 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["parse_robots_txt", "robots_rules_for_agent", "apply_robots",
-           "robots_crawl_delays", "robots_sitemaps", "robots_pattern_regex"]
+           "robots_crawl_delays", "robots_sitemaps", "robots_pattern_regex",
+           "parse_sitemaps"]
 
 
 def _directive_lines(robots: DataFrame, host_col: str,
@@ -204,3 +205,77 @@ def robots_sitemaps(robots: DataFrame, host_col: str = "host",
     return (d.filter(F.col("key") == "sitemap")
             .select("host", F.col("value").alias("sitemap_url"))
             .distinct())
+
+
+def _sitemap_kernel(batches):
+    """pandas batches (sitemap_url, xml) -> one row per <url>/<sitemap>
+    entry, parsed with the engine's own (xml-mode-capable) parser."""
+    import pandas as pd
+
+    from .kernel import decode_page_bytes
+    from .parser import parse
+
+    from .dom import ELEMENT, N_CHILDREN, N_KIND, N_TAG_LC
+
+    def child_text(b, node, tag):
+        for c in b.nodes[node][N_CHILDREN] or []:
+            if isinstance(c, int):
+                nd = b.nodes[c]
+                if (nd[N_KIND] == ELEMENT
+                        and (nd[N_TAG_LC] or "").split(":")[-1] == tag):
+                    return b.text_content(c).strip()
+        return None
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        rows = {k: [] for k in ("sitemap_url", "kind", "loc", "lastmod",
+                                "changefreq", "priority")}
+        for su, raw in zip(pdf["sitemap_url"].tolist(),
+                           pdf["xml"].tolist()):
+            text_src, _, _ = decode_page_bytes(bytes(raw or b""))
+            b = parse(text_src, positions=False).dom
+            # flat-array walk with namespace-prefix strip (selector
+            # matching is exact-tag; sitemap files are often <sm:url>)
+            by_tag = {"url": [], "sitemap": []}
+            for i, nd in enumerate(b.nodes):
+                if nd[N_KIND] == ELEMENT:
+                    t = (nd[N_TAG_LC] or "").split(":")[-1]
+                    if t in by_tag:
+                        by_tag[t].append(i)
+            for kind, entry_tag in (("url", "url"), ("sitemap", "sitemap")):
+                for e in by_tag[entry_tag]:
+                    loc = child_text(b, e, "loc")
+                    if not loc:
+                        continue
+                    rows["sitemap_url"].append(su)
+                    rows["kind"].append(kind)
+                    rows["loc"].append(loc)
+                    rows["lastmod"].append(child_text(b, e, "lastmod"))
+                    rows["changefreq"].append(child_text(b, e, "changefreq"))
+                    rows["priority"].append(child_text(b, e, "priority"))
+        yield pd.DataFrame(rows)
+
+
+def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
+    """Parse sitemap XML payloads (``<urlset>`` page entries AND
+    ``<sitemapindex>`` shard entries — the sitemaps.org protocol robots
+    ``Sitemap:`` lines point at) into typed rows:
+    (sitemap_url, kind 'url'|'sitemap', loc, lastmod_date, changefreq,
+    priority). Namespace-prefixed tags accepted; missing children are
+    NULL; the date/priority casts are JVM-side ``try`` casts so one
+    malformed entry never kills the scan. Map-side only (mapInPandas),
+    no shuffle."""
+    from pyspark.sql.types import StringType, StructField, StructType
+    schema = StructType([StructField(c, StringType()) for c in
+                         ("sitemap_url", "kind", "loc", "lastmod",
+                          "changefreq", "priority")])
+    out = (sitemaps.select("sitemap_url", "xml")
+           .mapInPandas(_sitemap_kernel, schema))
+    return out.select(
+        "sitemap_url", "kind", "loc",
+        F.try_to_timestamp(F.substring("lastmod", 1, 10),
+                           F.lit("yyyy-MM-dd")).cast("date")
+        .alias("lastmod_date"),
+        F.lower("changefreq").alias("changefreq"),
+        F.expr("try_cast(priority AS double)").alias("priority"))

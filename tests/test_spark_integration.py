@@ -3188,3 +3188,31 @@ def test_pagerank_hand_graph(spark):
     exp = {"a": 0.25, "b": 0.14375, "c": 0.1596875, "d": 0.14375}
     for k, v in exp.items():
         assert math.isclose(pr[k], v, abs_tol=1e-9), (k, pr[k], v)
+
+
+def test_parse_sitemaps_edges(spark):
+    """Namespace-prefixed tags, malformed dates/priorities (NULL via
+    try-casts, never an ANSI throw), loc-less entries skipped,
+    changefreq case-folded, index + urlset in one frame."""
+    from fortissimo_spark.robots import parse_sitemaps
+    xml1 = (b'<?xml version="1.0"?><sm:urlset xmlns:sm="x">'
+            b'<sm:url><sm:loc>https://s/a</sm:loc>'
+            b'<sm:lastmod>not-a-date</sm:lastmod>'
+            b'<sm:changefreq>WEEKLY</sm:changefreq>'
+            b'<sm:priority>high</sm:priority></sm:url>'
+            b'<sm:url><sm:priority>0.5</sm:priority></sm:url>'
+            b'</sm:urlset>')
+    xml2 = (b'<sitemapindex><sitemap><loc>https://s/shard1.xml</loc>'
+            b'<lastmod>2025-02-01T10:00:00Z</lastmod></sitemap>'
+            b'</sitemapindex>')
+    df = spark.createDataFrame([("u1", xml1), ("u2", xml2)],
+                               "sitemap_url string, xml binary")
+    rows = parse_sitemaps(df).collect()
+    assert len(rows) == 2  # loc-less entry skipped
+    by_kind = {r.kind: r for r in rows}
+    u = by_kind["url"]
+    assert (u.loc, u.lastmod_date, u.changefreq, u.priority) == \
+        ("https://s/a", None, "weekly", None)
+    s = by_kind["sitemap"]
+    assert s.loc == "https://s/shard1.xml"
+    assert str(s.lastmod_date) == "2025-02-01"
