@@ -891,7 +891,10 @@ def _q_robots_apply(spark, sf_dir):
     return out.select("doc_id", "allowed", "matched_rule", "matched_pattern")
 
 
-def _robots_apply_oracle_sql() -> str:
+def _robots_ctes() -> str:
+    """Shared CTE prefix: embedded binding rules + pages + RFC 9309
+    winner per doc (used by the robots_apply AND crawl_frontier
+    oracles)."""
     vals = ",\n            ".join(
         "({}, '{}', '{}', '{}', {})".format(h, r, p, rx, sp)
         for h, r, p, rx, sp in _robots_cc_rules())
@@ -912,12 +915,62 @@ def _robots_apply_oracle_sql() -> str:
                             r.pattern) AS rn
           FROM pages p JOIN rules r USING (host_idx)
           WHERE regexp_matches(p.path, r.regex)),
-        winners AS (SELECT doc_id, rule, pattern FROM matched WHERE rn = 1)
+        winners AS (SELECT doc_id, rule, pattern FROM matched WHERE rn = 1)"""
+
+
+def _robots_apply_oracle_sql() -> str:
+    return _robots_ctes() + """
         SELECT p.doc_id,
                coalesce(w.rule = 'allow', TRUE) AS allowed,
                w.rule AS matched_rule,
                w.pattern AS matched_pattern
         FROM pages p LEFT JOIN winners w USING (doc_id)"""
+
+
+def _q_crawl_frontier(spark, sf_dir):
+    """The composed crawl-discovery recipe: candidate urls -> robots
+    gate -> per-host politeness waves (priority-first) -> fetch ETA
+    from the hosts' declared crawl-delays (robots.plan_frontier). Same
+    SQL-recomputable host/url scheme as robots_apply; priority is
+    (doc_id % 10)/10."""
+    from fortissimo_spark.pages import HOSTS
+    from fortissimo_spark.robots import (parse_robots_txt, plan_frontier,
+                                         robots_crawl_delays)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hosts_arr = F.array(*[F.lit(h) for h in HOSTS])
+    cands = (docs
+             .withColumn("url", F.concat(
+                 F.lit("https://"),
+                 F.element_at(hosts_arr,
+                              (F.col("doc_id") % 16 + 1).cast("int")),
+                 F.lit("/article/"),
+                 F.lpad(F.col("doc_id").cast("string"), 10, "0")))
+             .withColumn("prio", (F.col("doc_id") % 10) / 10.0))
+    robots = spark.createDataFrame(list(_ROBOTS_BODIES.items()),
+                                   "host string, body string")
+    rules = parse_robots_txt(robots)
+    delays = robots_crawl_delays(robots, _ROBOTS_AGENT)
+    fr = plan_frontier(cands, rules, delays, _ROBOTS_AGENT,
+                       priority_col="prio")
+    return fr.select("doc_id", "wave", "eta_s")
+
+
+def _crawl_frontier_oracle_sql() -> str:
+    return _robots_ctes() + """,
+        allowed AS (
+          SELECT p.doc_id, p.host_idx, p.path
+          FROM pages p LEFT JOIN winners w USING (doc_id)
+          WHERE coalesce(w.rule = 'allow', TRUE)),
+        fr AS (
+          SELECT doc_id, host_idx,
+                 row_number() OVER (
+                   PARTITION BY host_idx
+                   ORDER BY (doc_id % 10) DESC, path) - 1 AS wave
+          FROM allowed)
+        SELECT doc_id, CAST(wave AS INTEGER) AS wave,
+               CAST(wave * (CASE host_idx WHEN 0 THEN 5.0 WHEN 4 THEN 1.5
+                            ELSE 1.0 END) AS DOUBLE) AS eta_s
+        FROM fr"""
 
 
 def _q_sitemap_ingest(spark, sf_dir):
@@ -1170,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_apply": _q_robots_apply,
         "link_pagerank": _q_link_pagerank,
         "sitemap_ingest": _q_sitemap_ingest,
+        "crawl_frontier": _q_crawl_frontier,
         "ppl_buckets": _q_ppl_buckets,
         # (c) driver-verified r5, unchanged
         "q1_pricing_summary": _q1_pricing_summary,
@@ -2750,6 +2804,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_apply": _robots_apply_oracle_sql(),
         "link_pagerank": _link_pagerank_oracle_sql(),
         "sitemap_ingest": _SITEMAP_ORACLE,
+        "crawl_frontier": _crawl_frontier_oracle_sql(),
         "ppl_buckets": _ppl_buckets_oracle_sql(),
         "sentence_stats": _sentence_stats_oracle_sql(),
         "curate_corpus": _curate_oracle_sql(),

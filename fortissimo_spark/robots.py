@@ -279,3 +279,42 @@ def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
         .alias("lastmod_date"),
         F.lower("changefreq").alias("changefreq"),
         F.expr("try_cast(priority AS double)").alias("priority"))
+
+
+def plan_frontier(cands: DataFrame, rules: DataFrame, delays: DataFrame,
+                  agent: str, url_col: str = "url",
+                  priority_col: str | None = None,
+                  default_delay: float = 1.0,
+                  broadcast_rules: bool = True) -> DataFrame:
+    """Politeness-aware fetch planning: filter candidate urls through
+    the robots rules, then assign each surviving url a per-host fetch
+    ``wave`` (priority-first, url-text tie-break) and ``eta_s`` =
+    wave x the host's crawl-delay (``default_delay`` where none is
+    declared).
+
+    The per-host window IS the politeness semantics — fetches against
+    one host are inherently serial — so the per-host ordering is not a
+    skew accident to salt away; hot hosts should be bounded upstream
+    (urls.cap_per_host) where the product allows. ``delays`` is
+    host-count-sized (robots_crawl_delays output) and broadcasts.
+    Candidates must already be unique per url (dedup_latest_crawl /
+    distinct upstream)."""
+    ann = apply_robots(cands, rules, agent, url_col,
+                       broadcast_rules=broadcast_rules)
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    allowed = (ann.filter(F.col("allowed"))
+               .withColumn("_host", host)
+               .join(F.broadcast(delays.withColumnRenamed("host", "_dhost")),
+                     F.col("_host") == F.col("_dhost"), "left"))
+    order = ([F.col(priority_col).desc_nulls_last()]
+             if priority_col else []) + [F.col(url_col)]
+    w = Window.partitionBy("_host").orderBy(*order)
+    wave = (F.row_number().over(w) - 1).alias("wave")
+    return (allowed
+            .withColumn("wave", wave)
+            .withColumn("eta_s",
+                        F.col("wave") * F.coalesce("crawl_delay_s",
+                                                   F.lit(default_delay)))
+            .drop("_dhost", "crawl_delay_s", "allowed", "matched_rule",
+                  "matched_pattern")
+            .withColumnRenamed("_host", "host"))

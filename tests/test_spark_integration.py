@@ -3216,3 +3216,26 @@ def test_parse_sitemaps_edges(spark):
     s = by_kind["sitemap"]
     assert s.loc == "https://s/shard1.xml"
     assert str(s.lastmod_date) == "2025-02-01"
+
+
+def test_plan_frontier_waves(spark):
+    from fortissimo_spark.robots import parse_robots_txt, plan_frontier
+    robots = spark.createDataFrame(
+        [("h1.example", "User-agent: *\nDisallow: /blocked/\n")],
+        "host string, body string")
+    delays = spark.createDataFrame([("h1.example", 2.0)],
+                                   "host string, crawl_delay_s double")
+    cands = spark.createDataFrame(
+        [("https://h1.example/a", 0.2), ("https://h1.example/b", 0.9),
+         ("https://h1.example/blocked/x", 1.0),  # robots-dropped
+         ("https://h1.example/c", None),         # null prio -> last
+         ("https://h2.example/z", 0.5)],         # no delay -> default
+        "url string, prio double")
+    fr = {r.url: (r.wave, r.eta_s) for r in plan_frontier(
+        cands, parse_robots_txt(robots), delays, "anybot",
+        priority_col="prio", default_delay=1.0).collect()}
+    assert "https://h1.example/blocked/x" not in fr
+    assert fr["https://h1.example/b"] == (0, 0.0)
+    assert fr["https://h1.example/a"] == (1, 2.0)
+    assert fr["https://h1.example/c"] == (2, 4.0)
+    assert fr["https://h2.example/z"] == (0, 0.0)
