@@ -115,7 +115,7 @@ def link_degrees(edges: DataFrame, nodes: DataFrame,
 
 def pagerank(edges: DataFrame, nodes: DataFrame, *, num_iters: int = 3,
              damping: float = 0.85, src_col: str = "src",
-             dst_col: str = "dst") -> DataFrame:
+             dst_col: str = "dst", checkpoint: bool = True) -> DataFrame:
     """(id, pr) after ``num_iters`` power iterations from the uniform
     start. ``nodes`` must be an (id) frame covering every vertex (docs
     with no in-links still get the teleport term). See module docstring
@@ -139,6 +139,8 @@ def pagerank(edges: DataFrame, nodes: DataFrame, *, num_iters: int = 3,
                          F.round(F.lit(base) + F.lit(damping)
                                  * F.coalesce("s", F.lit(0.0)), 12)
                          .alias("pr")))
-        # cut lineage each sweep (same shape as dedup.connected_components)
-        ranks = ranks.localCheckpoint(eager=False)
+        if checkpoint:
+            # cut lineage each sweep (dedup.connected_components shape);
+            # checkpoint=False keeps the full plan visible for audits
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks

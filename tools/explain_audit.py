@@ -303,6 +303,41 @@ def main():
                                   "MapInPandas", "FlatMapGroupsInPandas"))),
     ]))
 
+    # 13. robots.txt apply: rules broadcast, winner via partial min_by
+    #     (map-side combine of the per-host rule fan-out), the ONLY
+    #     sort-merge join is the url join-back of (url, decision) rows
+    #     onto the payload — the documented at-scale exchange
+    import __spark_entry__ as em
+    p = plan_of(em._q_robots_apply(spark, SF_DIR))
+    sections.append(("robots_apply (RFC 9309 gate)", p, [
+        ("binding rules broadcast", "BroadcastHashJoin" in p),
+        ("winner picked via partial min_by (map-side combine)",
+         "partial_min_by" in p),
+        ("shuffle joins bounded: intra-rules parse join + decision "
+         "join-back only",
+         len(re.findall(r"\(\d+\) SortMergeJoin", p)) <= 2),
+        ("no per-row Python execution stage",
+         all(m not in p for m in ("BatchEvalPython", "ArrowEvalPython",
+                                  "MapInPandas", "FlatMapGroupsInPandas"))),
+    ]))
+
+    # 14. PageRank: per-iteration contribution aggregation partial-aggs
+    #     (map-side combine before the dst shuffle); the DOM outlink
+    #     kernel is the only Python stage in the composed link query
+    from fortissimo_spark.graph import pagerank
+    nodes = load_table(spark, SF_DIR, "documents") \
+        .select(F.col("doc_id").alias("id"))
+    edges = nodes.select(F.col("id").alias("src"),
+                         ((F.col("id") * 31 + 7) % 500).alias("dst"))
+    p = plan_of(pagerank(edges, nodes, num_iters=2, checkpoint=False))
+    sections.append(("pagerank (2 power iterations)", p, [
+        ("contribution sums partial-agg before the dst shuffle",
+         "partial_sum" in p),
+        ("no per-row Python execution stage",
+         all(m not in p for m in ("BatchEvalPython", "ArrowEvalPython",
+                                  "MapInPandas", "FlatMapGroupsInPandas"))),
+    ]))
+
     checks_failed = 0
     with open(OUT, "w") as f:
         for title, plan, checks in sections:
