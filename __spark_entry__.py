@@ -1071,38 +1071,43 @@ _LG_DAMP = 0.85
 _LG_ITERS = 3
 
 
+def _link_pages(docs, n):
+    """JVM-rendered link-farm pages: 3 deterministic ``<a href>`` links
+    per doc (slot labels read/more/read, slot 2 rel=nofollow on the
+    doc_id%4==1 slice). Shared by link_pagerank and anchor_index."""
+    d = F.col("doc_id")
+
+    def a_tag(t, label, nofollow=None):
+        rel = (F.when(nofollow, F.lit(' rel="nofollow"'))
+               .otherwise(F.lit("")) if nofollow is not None
+               else F.lit(""))
+        return F.concat(F.lit('<a href="/article/'),
+                        F.lpad(t.cast("string"), 10, "0"),
+                        F.lit('"'), rel, F.lit(f">{label} "),
+                        t.cast("string"), F.lit("</a>\n"))
+
+    html = F.concat(F.lit("<html><body>\n"),
+                    a_tag((d * 31 + 7) % n, "read"),
+                    a_tag((d * 17 + 3) % n, "more", nofollow=(d % 4 == 1)),
+                    a_tag((d * 97 + 11) % n, "read"),
+                    F.lit("</body></html>"))
+    return docs.select(
+        F.concat(F.lit("https://graph.example/article/"),
+                 F.lpad(d.cast("string"), 10, "0")).alias("url"),
+        F.encode(html, "utf-8").alias("html"))
+
+
 def _q_link_pagerank(spark, sf_dir):
-    """Link graph end-to-end: JVM-rendered pages (3 deterministic
-    ``<a href>`` links per doc, one rel=nofollow slice) go through the
-    REAL DOM outlink kernel (graph.extract_outlinks), nofollow edges
-    drop, then degrees + 3 PageRank power iterations
+    """Link graph end-to-end: JVM-rendered pages (_link_pages) go
+    through the REAL DOM outlink kernel (graph.extract_outlinks),
+    nofollow edges drop, then degrees + 3 PageRank power iterations
     (graph.pagerank, 12-dp/iteration determinism grid). DuckDB replays
     the same edge rule and iterations from `documents`."""
     from fortissimo_spark.graph import (extract_outlinks, link_degrees,
                                         pagerank)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()  # driver-side planning scalar (node count)
-    d = F.col("doc_id")
-
-    def a_tag(t, nofollow=None):
-        rel = (F.when(nofollow, F.lit(' rel="nofollow"'))
-               .otherwise(F.lit("")) if nofollow is not None
-               else F.lit(""))
-        return F.concat(F.lit('<a href="/article/'),
-                        F.lpad(t.cast("string"), 10, "0"),
-                        F.lit('"'), rel, F.lit(">to "),
-                        t.cast("string"), F.lit("</a>\n"))
-
-    html = F.concat(F.lit("<html><body>\n"),
-                    a_tag((d * 31 + 7) % n),
-                    a_tag((d * 17 + 3) % n, nofollow=(d % 4 == 1)),
-                    a_tag((d * 97 + 11) % n),
-                    F.lit("</body></html>"))
-    pages = docs.select(
-        F.concat(F.lit("https://graph.example/article/"),
-                 F.lpad(d.cast("string"), 10, "0")).alias("url"),
-        F.encode(html, "utf-8").alias("html"))
-    links = extract_outlinks(pages)
+    links = extract_outlinks(_link_pages(docs, n))
     to_id = lambda c: F.regexp_extract(c, r"/article/(\d+)", 1).cast("long")  # noqa: E731
     edges = (links.filter(~F.col("nofollow"))
              .select(to_id(F.col("url")).alias("src"),
@@ -1113,6 +1118,47 @@ def _q_link_pagerank(spark, sf_dir):
     return (deg.join(pr, "id")
             .select(F.col("id").alias("doc_id"), "out_deg", "in_deg",
                     F.round("pr", 9).alias("pr")))
+
+
+def _q_anchor_index(spark, sf_dir):
+    """Anchor-text index: top-2 anchors per resolved link target
+    (graph.anchor_text_index — partial-agg counts + WindowGroupLimit
+    literal top-k), over the same DOM-extracted link corpus as
+    link_pagerank (nofollow links still contribute anchors). DuckDB
+    recomputes counts and ranks from the edge rule."""
+    from fortissimo_spark.graph import anchor_text_index, extract_outlinks
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    links = extract_outlinks(_link_pages(docs, n))
+    idx = anchor_text_index(links, top_k=2)
+    return idx.select(
+        F.regexp_extract("target", r"/article/(\d+)", 1).cast("long")
+        .alias("target_doc"),
+        "anchor_text", "n", "rank")
+
+
+def _anchor_index_oracle_sql() -> str:
+    slots = [("doc_id * 31 + 7", "read"), ("doc_id * 17 + 3", "more"),
+             ("doc_id * 97 + 11", "read")]
+    unions = "\n          UNION ALL\n          ".join(
+        f"SELECT ({expr}) % (SELECT n FROM nn) AS t, "
+        f"'{label} ' || CAST(({expr}) % (SELECT n FROM nn) AS VARCHAR) "
+        f"AS anchor_text FROM ids"
+        for expr, label in slots)
+    return f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        ids AS (SELECT doc_id FROM documents),
+        raw AS (
+          {unions}),
+        counts AS (SELECT t, anchor_text, count(*) AS n
+                   FROM raw GROUP BY t, anchor_text),
+        ranked AS (SELECT t, anchor_text, n,
+                          row_number() OVER (PARTITION BY t
+                             ORDER BY n DESC, anchor_text) AS rank
+                   FROM counts)
+        SELECT t AS target_doc, anchor_text, n,
+               CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 2"""
 
 
 def _link_pagerank_oracle_sql() -> str:
@@ -1224,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": _q_link_pagerank,
         "sitemap_ingest": _q_sitemap_ingest,
         "crawl_frontier": _q_crawl_frontier,
+        "anchor_index": _q_anchor_index,
         "ppl_buckets": _q_ppl_buckets,
         # (c) driver-verified r5, unchanged
         "q1_pricing_summary": _q1_pricing_summary,
@@ -2805,6 +2852,7 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": _link_pagerank_oracle_sql(),
         "sitemap_ingest": _SITEMAP_ORACLE,
         "crawl_frontier": _crawl_frontier_oracle_sql(),
+        "anchor_index": _anchor_index_oracle_sql(),
         "ppl_buckets": _ppl_buckets_oracle_sql(),
         "sentence_stats": _sentence_stats_oracle_sql(),
         "curate_corpus": _curate_oracle_sql(),

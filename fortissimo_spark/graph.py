@@ -32,7 +32,8 @@ from .dom import N_ATTR_NAMES, N_ATTR_VALUES
 from .kernel import decode_page_bytes
 from .parser import parse
 
-__all__ = ["extract_outlinks", "resolve_href", "link_degrees", "pagerank"]
+__all__ = ["extract_outlinks", "resolve_href", "link_degrees", "pagerank",
+           "anchor_text_index"]
 
 
 def _outlinks_kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -144,3 +145,29 @@ def pagerank(edges: DataFrame, nodes: DataFrame, *, num_iters: int = 3,
             # checkpoint=False keeps the full plan visible for audits
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def anchor_text_index(links: DataFrame, top_k: int = 3) -> DataFrame:
+    """Top-k anchor texts per resolved link target — the classic
+    off-page relevance signal (target, anchor_text, n, rank).
+
+    Shape: resolve + normalize map-side, ONE partial-agg groupBy
+    (target, anchor), then a row_number window against the LITERAL
+    ``top_k`` so Spark's WindowGroupLimit pushdown prunes per-target
+    groups before the final sort — the same pre-prune the stratified
+    sampler relies on. Ties break on anchor text for determinism.
+    Unresolvable hrefs (javascript:, fragments) drop with the resolve
+    NULL."""
+    resolved = (links
+                .withColumn("target",
+                            resolve_href(F.col("url"), F.col("href")))
+                .filter(F.col("target").isNotNull()))
+    counts = (resolved
+              .groupBy("target",
+                       F.lower(F.trim("anchor")).alias("anchor_text"))
+              .agg(F.count("*").alias("n")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("target").orderBy(F.col("n").desc(),
+                                             "anchor_text")
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k))

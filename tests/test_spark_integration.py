@@ -3239,3 +3239,27 @@ def test_plan_frontier_waves(spark):
     assert fr["https://h1.example/a"] == (1, 2.0)
     assert fr["https://h1.example/c"] == (2, 4.0)
     assert fr["https://h2.example/z"] == (0, 0.0)
+
+
+def test_anchor_text_index(spark):
+    import contextlib
+    import io
+    from fortissimo_spark.graph import anchor_text_index
+    links = spark.createDataFrame(
+        [("https://h/x", "/t1", "  Buy NOW ", False),
+         ("https://h/y", "/t1", "buy now", True),   # nofollow still counts
+         ("https://h/z", "/t1", "cheap", False),
+         ("https://h/z", "/t1", "apple", False),    # tie with cheap -> apple
+         ("https://h/z", "/t2", "only", False),
+         ("https://h/z", "javascript:void(0)", "x", False)],
+        "url string, href string, anchor string, nofollow boolean")
+    idx = anchor_text_index(links, top_k=2)
+    rows = {(r.target, r.rank): (r.anchor_text, r.n) for r in idx.collect()}
+    assert rows[("https://h/t1", 1)] == ("buy now", 2)
+    assert rows[("https://h/t1", 2)] == ("apple", 1)  # tie-break on text
+    assert rows[("https://h/t2", 1)] == ("only", 1)
+    assert len(rows) == 3  # top_k=2 caps t1; javascript target dropped
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        idx.explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()  # literal top-k pre-prune
