@@ -1227,9 +1227,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (a) the 22 keys past r5's 50-key cap (last driver-green r4; the
     # judge re-ran all 22 green in the r5 verdict) rotate back in,
     # (b) queries NEW IN or implementation-touched in round 6
-    # (cdxj_fetch_extract + incremental_curate are new; extract_pdf
-    # gained ObjStm/xref-stream/CID layouts; warc_extract's split kernel
-    # gained chunked yields; media_metadata's ogg sniff was hardened),
+    # (cdxj_fetch_extract + incremental_curate + the crawl-compliance /
+    # link-graph / cleanup block: normalize_text, robots_flags,
+    # page_metadata, robots_apply, link_pagerank, sitemap_ingest,
+    # crawl_frontier, anchor_index, ppl_buckets; extract_pdf gained
+    # ObjStm/xref-stream/CID layouts; warc_extract's split kernel gained
+    # chunked yields; media_metadata's ogg sniff was hardened),
     # (c) the r5-driver-verified rest — the keys past the cap are exactly
     # the most recently verified ones. A full self-run over EVERY key is
     # committed as bench/correctness_self.txt each round.
