@@ -1203,6 +1203,46 @@ def _link_pagerank_oracle_sql() -> str:
         JOIN {prev} r ON r.id = i.doc_id"""
 
 
+def _q_page_analysis(spark, sf_dir):
+    """ONE-PASS page analysis (kernel.page_analysis): decode + parse
+    once per page, emit text + tokens + robots flags + head metadata +
+    link count together — the kernel a pipeline consuming several
+    signals should use instead of re-parsing per operator. Every output
+    is an already-oracled template rule, recomposed here over the
+    single-parse path."""
+    from fortissimo_spark.kernel import page_analysis
+    pages = dedup_latest_crawl(build_pages(spark, sf_dir))
+    out = page_analysis(pages)
+    return (out.withColumn(
+                "doc_id",
+                F.regexp_extract("url", _DOC_ID_FROM_URL, 1).cast("long"))
+            .select("doc_id", "text", "token_count", "noindex", "nofollow",
+                    "title_text", "first_h1", "canonical", "description",
+                    "og_title", "n_links"))
+
+
+_PAGE_ANALYSIS_ORACLE = """
+    SELECT doc_id, text,
+           CAST(length(regexp_split_to_array(trim(text), '\\s+'))
+                AS BIGINT) AS token_count,
+           doc_id % 17 IN (3, 5) AS noindex,
+           doc_id % 17 IN (3, 5, 7) AS nofollow,
+           CASE WHEN substr(text, 1, 40) <> ''
+                THEN substr(text, 1, 40) ELSE 'untitled' END AS title_text,
+           'Portal ' || CAST(doc_id % 97 AS VARCHAR) AS first_h1,
+           CASE WHEN doc_id % 19 = 4
+                THEN '/article/' || lpad(CAST(doc_id AS VARCHAR), 10, '0')
+                END AS canonical,
+           CASE WHEN doc_id % 19 = 6
+                THEN 'Article ' || CAST(doc_id % 1000 AS VARCHAR)
+                     || ' summary' END AS description,
+           CASE WHEN doc_id % 19 = 8
+                THEN 'Portal ' || CAST(doc_id % 97 AS VARCHAR)
+                END AS og_title,
+           CAST(13 AS INT) AS n_links
+    FROM documents"""
+
+
 def _q_ppl_buckets(spark, sf_dir):
     """CCNet head/middle/tail split: per-language exact perplexity
     tertile cutoffs (one tiny row per language, broadcast back), each
@@ -1274,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_ingest": _q_sitemap_ingest,
         "crawl_frontier": _q_crawl_frontier,
         "anchor_index": _q_anchor_index,
+        "page_analysis": _q_page_analysis,
         "ppl_buckets": _q_ppl_buckets,
         # (c) driver-verified r5, unchanged
         "q1_pricing_summary": _q1_pricing_summary,
@@ -2856,6 +2897,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_ingest": _SITEMAP_ORACLE,
         "crawl_frontier": _crawl_frontier_oracle_sql(),
         "anchor_index": _anchor_index_oracle_sql(),
+        "page_analysis": _PAGE_ANALYSIS_ORACLE,
         "ppl_buckets": _ppl_buckets_oracle_sql(),
         "sentence_stats": _sentence_stats_oracle_sql(),
         "curate_corpus": _curate_oracle_sql(),

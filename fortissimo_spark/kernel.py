@@ -94,9 +94,9 @@ def decode_page_bytes(raw: bytes) -> tuple[str, str, bool]:
         return raw.decode("utf-8", errors="replace"), "utf-8", False
 
 
-def process_document(raw: bytes, strip: str = "density", *,
-                     verify_roundtrip: bool = False) -> dict:
-    """Full per-document pipeline: decode -> parse -> (maybe re-decode) -> extract."""
+def decode_parse(raw: bytes):
+    """Shared decode -> parse -> (maybe re-decode retry) front end:
+    returns (result, used_encoding, declared_charset, retried)."""
     text_src, used, pattern_detected = decode_page_bytes(raw)
     result = parse(text_src, positions=False)
     retried = False
@@ -112,10 +112,16 @@ def process_document(raw: bytes, strip: str = "density", *,
             except LookupError:  # pragma: no cover
                 retext = None
             if retext is not None and retext != text_src:
-                text_src = retext
                 used = declared_codec
-                result = parse(text_src, positions=False)
+                result = parse(retext, positions=False)
                 retried = True
+    return result, used, declared, retried
+
+
+def process_document(raw: bytes, strip: str = "density", *,
+                     verify_roundtrip: bool = False) -> dict:
+    """Full per-document pipeline: decode -> parse -> (maybe re-decode) -> extract."""
+    result, used, declared, retried = decode_parse(raw)
 
     ext = extract(result.dom, strip)
     roundtrip_ok = None
@@ -295,6 +301,111 @@ def _attrs_ci(builder, node: int) -> dict[str, str]:
     return out
 
 
+def _robots_from_dom(b) -> tuple[bool, bool, int]:
+    """(noindex, nofollow, n_robots_meta) from one parsed DOM."""
+    tokens: set[str] = set()
+    n_meta = 0
+    for m in b.query_selector_all(0, "meta"):
+        at = _attrs_ci(b, m)
+        name = at.get("name", "").strip().lower()
+        if name in ("robots", "googlebot"):
+            n_meta += 1
+            tokens |= {t.strip().lower()
+                       for t in at.get("content", "").split(",")}
+    return ("noindex" in tokens or "none" in tokens,
+            "nofollow" in tokens or "none" in tokens, n_meta)
+
+
+def _meta_from_dom(b) -> dict:
+    """title/first_h1/canonical/description/og_title from one DOM."""
+    title = b.query_selector(0, "title")
+    h1 = b.query_selector(0, "h1")
+    canonical = description = og_title = None
+    for ln in b.query_selector_all(0, "link"):
+        at = _attrs_ci(b, ln)
+        rel = at.get("rel", "").strip().lower().split()
+        if "canonical" in rel and canonical is None:
+            canonical = at.get("href")
+    for m in b.query_selector_all(0, "meta"):
+        at = _attrs_ci(b, m)
+        name = at.get("name", "").strip().lower()
+        prop = at.get("property", "").strip().lower()
+        if name == "description" and description is None:
+            description = at.get("content", "")
+        elif prop == "og:title" and og_title is None:
+            og_title = at.get("content", "")
+    return {
+        "title_text": b.text_content(title) if title is not None else None,
+        "first_h1": b.text_content(h1) if h1 is not None else None,
+        "canonical": canonical, "description": description,
+        "og_title": og_title,
+    }
+
+
+def make_analysis_kernel(strip: str = "density"):
+    """ONE-PASS page analysis: decode + parse ONCE per page, then emit
+    every per-page signal the curation pipeline wants — extracted text
+    + token count, meta-robots compliance flags, head metadata, and the
+    outlink count. Running the single-purpose kernels separately parses
+    each page once PER OPERATOR; at 10^12 documents the parse is the
+    dominant cost, so a pipeline consuming several signals should take
+    this kernel and project."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in (
+                "url", "text", "text_len", "token_count", "errors",
+                "noindex", "nofollow", "title_text", "first_h1",
+                "canonical", "description", "og_title", "n_links")}
+            for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+                result, _, _, _ = decode_parse(bytes(raw or b""))
+                b = result.dom
+                ext = extract(b, strip)
+                noindex, nofollow, _ = _robots_from_dom(b)
+                meta = _meta_from_dom(b)
+                rows["url"].append(url)
+                rows["text"].append(ext.text)
+                rows["text_len"].append(len(ext.text))
+                rows["token_count"].append(len(_RE_TOKEN.findall(ext.text)))
+                rows["errors"].append(result.errors)
+                rows["noindex"].append(noindex)
+                rows["nofollow"].append(nofollow)
+                for k, v in meta.items():
+                    rows[k].append(v)
+                rows["n_links"].append(len(b.query_selector_all(0, "a")))
+            yield pd.DataFrame(rows)
+
+    return kernel
+
+
+def page_analysis(pages, strip: str = "density") -> "DataFrame":
+    """One decode+parse per page -> every per-page signal (see
+    make_analysis_kernel)."""
+    from pyspark.sql.types import (
+        BooleanType, IntegerType, LongType, StringType, StructField,
+        StructType,
+    )
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("text", StringType()),
+        StructField("text_len", LongType()),
+        StructField("token_count", LongType()),
+        StructField("errors", LongType()),
+        StructField("noindex", BooleanType()),
+        StructField("nofollow", BooleanType()),
+        StructField("title_text", StringType()),
+        StructField("first_h1", StringType()),
+        StructField("canonical", StringType()),
+        StructField("description", StringType()),
+        StructField("og_title", StringType()),
+        StructField("n_links", IntegerType()),
+    ])
+    return (pages.select("url", "html")
+            .mapInPandas(make_analysis_kernel(strip), schema))
+
+
 def make_page_meta_kernel():
     """mapInPandas kernel: pages batches -> structured head metadata
     (title, first h1, rel=canonical href, meta description, og:title) —
@@ -310,30 +421,9 @@ def make_page_meta_kernel():
             for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
                 text_src, _, _ = decode_page_bytes(bytes(raw or b""))
                 b = parse(text_src, positions=False).dom
-                title = b.query_selector(0, "title")
-                h1 = b.query_selector(0, "h1")
-                canonical = description = og_title = None
-                for ln in b.query_selector_all(0, "link"):
-                    at = _attrs_ci(b, ln)
-                    rel = at.get("rel", "").strip().lower().split()
-                    if "canonical" in rel and canonical is None:
-                        canonical = at.get("href")
-                for m in b.query_selector_all(0, "meta"):
-                    at = _attrs_ci(b, m)
-                    name = at.get("name", "").strip().lower()
-                    prop = at.get("property", "").strip().lower()
-                    if name == "description" and description is None:
-                        description = at.get("content", "")
-                    elif prop == "og:title" and og_title is None:
-                        og_title = at.get("content", "")
                 rows["url"].append(url)
-                rows["title_text"].append(
-                    b.text_content(title) if title is not None else None)
-                rows["first_h1"].append(
-                    b.text_content(h1) if h1 is not None else None)
-                rows["canonical"].append(canonical)
-                rows["description"].append(description)
-                rows["og_title"].append(og_title)
+                for k, v in _meta_from_dom(b).items():
+                    rows[k].append(v)
             yield pd.DataFrame(rows)
 
     return kernel
@@ -367,20 +457,10 @@ def make_robots_kernel():
             for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
                 text_src, _, _ = decode_page_bytes(bytes(raw or b""))
                 b = parse(text_src, positions=False).dom
-                tokens: set[str] = set()
-                n_meta = 0
-                for m in b.query_selector_all(0, "meta"):
-                    at = _attrs_ci(b, m)
-                    name = at.get("name", "").strip().lower()
-                    if name in ("robots", "googlebot"):
-                        n_meta += 1
-                        tokens |= {t.strip().lower()
-                                   for t in at.get("content", "").split(",")}
+                noindex, nofollow, n_meta = _robots_from_dom(b)
                 rows["url"].append(url)
-                rows["noindex"].append("noindex" in tokens
-                                       or "none" in tokens)
-                rows["nofollow"].append("nofollow" in tokens
-                                        or "none" in tokens)
+                rows["noindex"].append(noindex)
+                rows["nofollow"].append(nofollow)
                 rows["n_robots_meta"].append(n_meta)
             yield pd.DataFrame(rows)
 
