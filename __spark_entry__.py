@@ -1243,6 +1243,86 @@ _PAGE_ANALYSIS_ORACLE = """
     FROM documents"""
 
 
+def _q_host_rank(spark, sf_dir):
+    """Host-level webgraph (the granularity Common Crawl publishes):
+    page edges on HOSTS[doc_id%16] collapse through graph.host_graph
+    (weighted, intra-host dropped) and rank via WEIGHTED PageRank
+    (contribution = pr*w/sum_out_w). DuckDB replays rollup weights and
+    all three iterations from `documents`."""
+    from fortissimo_spark.graph import host_graph, pagerank
+    from fortissimo_spark.pages import HOSTS
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    hosts_arr = F.array(*[F.lit(h) for h in HOSTS])
+
+    def url_of(idcol):
+        return F.concat(F.lit("https://"),
+                        F.element_at(hosts_arr, (idcol % 16 + 1).cast("int")),
+                        F.lit("/article/"),
+                        F.lpad(idcol.cast("string"), 10, "0"))
+
+    parts = [docs.select(url_of(d).alias("src_url"),
+                         url_of((d * a + b) % n).alias("dst_url"))
+             for a, b in ((31, 7), (17, 3), (97, 11))]
+    edges_urls = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    hg = host_graph(edges_urls)
+    nodes = spark.createDataFrame([(h,) for h in HOSTS], "id string")
+    pr = pagerank(hg, nodes, num_iters=_LG_ITERS, damping=_LG_DAMP,
+                  src_col="src_host", dst_col="dst_host",
+                  weight_col="weight")
+    out_w = hg.groupBy(F.col("src_host").alias("id")) \
+        .agg(F.sum("weight").alias("out_weight"))
+    return (pr.join(out_w, "id", "left")
+            .select((F.array_position(hosts_arr, F.col("id")) - 1)
+                    .cast("int").alias("host_idx"),
+                    F.coalesce("out_weight", F.lit(0)).alias("out_weight"),
+                    F.round("pr", 9).alias("pr")))
+
+
+def _host_rank_oracle_sql() -> str:
+    prev = "h0"
+    iters = []
+    for i in range(1, _LG_ITERS + 1):
+        iters.append(f"""
+        h{i} AS (
+          SELECT hh.hi AS id,
+                 round((1.0 - {_LG_DAMP}) / 16.0
+                       + {_LG_DAMP} * coalesce(c.s, 0.0), 12) AS pr
+          FROM hosts hh LEFT JOIN (
+            SELECT e.dst AS id, sum(r.pr * e.weight / o.ow) AS s
+            FROM hedges e
+            JOIN {prev} r ON r.id = e.src
+            JOIN outw o ON o.src = e.src
+            GROUP BY e.dst) c ON c.id = hh.hi)""")
+        prev = f"h{i}"
+    return f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        hosts AS (SELECT unnest(range(16)) AS hi),
+        raw AS (
+          SELECT CAST(doc_id % 16 AS BIGINT) AS src,
+                 CAST(((doc_id * 31 + 7) % (SELECT n FROM nn)) % 16
+                      AS BIGINT) AS dst FROM documents
+          UNION ALL
+          SELECT doc_id % 16,
+                 ((doc_id * 17 + 3) % (SELECT n FROM nn)) % 16
+          FROM documents
+          UNION ALL
+          SELECT doc_id % 16,
+                 ((doc_id * 97 + 11) % (SELECT n FROM nn)) % 16
+          FROM documents),
+        hedges AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS weight
+                   FROM raw WHERE src <> dst GROUP BY src, dst),
+        outw AS (SELECT src, sum(weight) AS ow FROM hedges GROUP BY src),
+        h0 AS (SELECT hi AS id, 1.0 / 16.0 AS pr FROM hosts),{",".join(iters)}
+        SELECT CAST(hh.hi AS INTEGER) AS host_idx,
+               CAST(coalesce(o.ow, 0) AS BIGINT) AS out_weight,
+               round(r.pr, 9) AS pr
+        FROM hosts hh
+        LEFT JOIN outw o ON o.src = hh.hi
+        JOIN {prev} r ON r.id = hh.hi"""
+
+
 def _q_ppl_buckets(spark, sf_dir):
     """CCNet head/middle/tail split: per-language exact perplexity
     tertile cutoffs (one tiny row per language, broadcast back), each
@@ -1315,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": _q_crawl_frontier,
         "anchor_index": _q_anchor_index,
         "page_analysis": _q_page_analysis,
+        "host_rank": _q_host_rank,
         "ppl_buckets": _q_ppl_buckets,
         # (c) driver-verified r5, unchanged
         "q1_pricing_summary": _q1_pricing_summary,
@@ -2898,6 +2979,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier": _crawl_frontier_oracle_sql(),
         "anchor_index": _anchor_index_oracle_sql(),
         "page_analysis": _PAGE_ANALYSIS_ORACLE,
+        "host_rank": _host_rank_oracle_sql(),
         "ppl_buckets": _ppl_buckets_oracle_sql(),
         "sentence_stats": _sentence_stats_oracle_sql(),
         "curate_corpus": _curate_oracle_sql(),

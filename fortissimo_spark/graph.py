@@ -33,7 +33,7 @@ from .kernel import decode_page_bytes
 from .parser import parse
 
 __all__ = ["extract_outlinks", "resolve_href", "link_degrees", "pagerank",
-           "anchor_text_index"]
+           "anchor_text_index", "host_graph"]
 
 
 def _outlinks_kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -116,24 +116,35 @@ def link_degrees(edges: DataFrame, nodes: DataFrame,
 
 def pagerank(edges: DataFrame, nodes: DataFrame, *, num_iters: int = 3,
              damping: float = 0.85, src_col: str = "src",
-             dst_col: str = "dst", checkpoint: bool = True) -> DataFrame:
+             dst_col: str = "dst", weight_col: str | None = None,
+             checkpoint: bool = True) -> DataFrame:
     """(id, pr) after ``num_iters`` power iterations from the uniform
     start. ``nodes`` must be an (id) frame covering every vertex (docs
-    with no in-links still get the teleport term). See module docstring
-    for the determinism (12 dp/iteration) and dangling conventions."""
-    e = edges.select(F.col(src_col).alias("src"),
-                     F.col(dst_col).alias("dst")).distinct()
+    with no in-links still get the teleport term). With ``weight_col``
+    the walk follows edge weights (contribution = pr * w / sum_out_w —
+    the host-graph form; weights must be positive). See module
+    docstring for the determinism (12 dp/iteration) and dangling
+    conventions."""
+    if weight_col is None:
+        e = edges.select(F.col(src_col).alias("src"),
+                         F.col(dst_col).alias("dst"),
+                         F.lit(1.0).alias("w")).distinct()
+    else:
+        e = edges.select(F.col(src_col).alias("src"),
+                         F.col(dst_col).alias("dst"),
+                         F.col(weight_col).cast("double").alias("w"))
     n = nodes.count()
     if n == 0:
         return nodes.select("id", F.lit(None).cast("double").alias("pr"))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     ranks = nodes.select("id", F.lit(1.0 / n).alias("pr"))
     base = (1.0 - damping) / n
     for _ in range(num_iters):
         contribs = (e.join(ranks, e["src"] == ranks["id"])
                     .join(outdeg, "src")
                     .select(F.col("dst").alias("id"),
-                            (F.col("pr") / F.col("outdeg")).alias("c")))
+                            (F.col("pr") * F.col("w")
+                             / F.col("outdeg")).alias("c")))
         inflow = contribs.groupBy("id").agg(F.sum("c").alias("s"))
         ranks = (nodes.join(inflow, "id", "left")
                  .select("id",
@@ -171,3 +182,23 @@ def anchor_text_index(links: DataFrame, top_k: int = 3) -> DataFrame:
                                              "anchor_text")
     return (counts.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_k))
+
+
+def host_graph(edges_urls: DataFrame, src_col: str = "src_url",
+               dst_col: str = "dst_url",
+               keep_intra: bool = False) -> DataFrame:
+    """Collapse page-level url edges to the weighted host-level graph
+    (src_host, dst_host, weight) — the granularity Common Crawl
+    publishes its webgraph at. Intra-host edges drop by default (they
+    dominate raw counts and carry no cross-site endorsement). One
+    partial-agg groupBy; host extraction is map-side ``try_parse_url``
+    (unparseable urls drop)."""
+    sh = F.lower(F.try_parse_url(F.col(src_col), F.lit("HOST")))
+    dh = F.lower(F.try_parse_url(F.col(dst_col), F.lit("HOST")))
+    e = (edges_urls.select(sh.alias("src_host"), dh.alias("dst_host"))
+         .filter(F.col("src_host").isNotNull()
+                 & F.col("dst_host").isNotNull()))
+    if not keep_intra:
+        e = e.filter(F.col("src_host") != F.col("dst_host"))
+    return e.groupBy("src_host", "dst_host") \
+        .agg(F.count("*").alias("weight"))

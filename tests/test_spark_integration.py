@@ -3263,3 +3263,33 @@ def test_anchor_text_index(spark):
     with contextlib.redirect_stdout(buf):
         idx.explain("formatted")
     assert "WindowGroupLimit" in buf.getvalue()  # literal top-k pre-prune
+
+
+def test_host_graph_and_weighted_pagerank(spark):
+    from fortissimo_spark.graph import host_graph, pagerank
+    edges = spark.createDataFrame(
+        [("https://a.ex/1", "https://b.ex/x"),
+         ("https://a.ex/2", "https://b.ex/y"),
+         ("https://a.ex/3", "https://c.ex/z"),
+         ("https://a.ex/4", "https://a.ex/5"),   # intra-host: dropped
+         ("https://b.ex/x", "https://c.ex/q"),
+         ("not a url", "https://c.ex/q")],       # unparseable: dropped
+        "src_url string, dst_url string")
+    hg = {(r.src_host, r.dst_host): r.weight
+          for r in host_graph(edges).collect()}
+    assert hg == {("a.ex", "b.ex"): 2, ("a.ex", "c.ex"): 1,
+                  ("b.ex", "c.ex"): 1}
+    nodes = spark.createDataFrame([("a.ex",), ("b.ex",), ("c.ex",)],
+                                  "id string")
+    hgdf = host_graph(edges)
+    pr = {r.id: r.pr for r in pagerank(
+        hgdf, nodes, num_iters=1, damping=0.85, src_col="src_host",
+        dst_col="dst_host", weight_col="weight").collect()}
+    # hand iteration, n=3, base=0.05, r0=1/3:
+    # a: no inflow -> 0.05
+    # b: a contributes (1/3)*(2/3) -> 0.05 + 0.85*2/9 = 0.238888888889
+    # c: a (1/3)*(1/3) + b (1/3)*1 -> 0.05 + 0.85*(1/9+1/3) = 0.427777777778
+    import math
+    assert math.isclose(pr["a.ex"], 0.05, abs_tol=1e-9)
+    assert math.isclose(pr["b.ex"], 0.238888888889, abs_tol=1e-9)
+    assert math.isclose(pr["c.ex"], 0.427777777778, abs_tol=1e-9)
