@@ -1067,6 +1067,78 @@ _SITEMAP_ORACLE = """
     SELECT * FROM urls UNION ALL SELECT * FROM shards"""
 
 
+def _q_sitemap_frontier(spark, sf_dir):
+    """The composed DISCOVERY loop in one plan: per-host sitemap XML
+    (one shard per host, sitemap <priority> on the doc_id%5 slice) ->
+    robots.parse_sitemaps -> candidates with sitemap priorities ->
+    robots gate + politeness waves + crawl-delay ETAs
+    (robots.plan_frontier). DuckDB replays sitemap fields, the RFC 9309
+    winner, and the per-host wave assignment."""
+    from fortissimo_spark.pages import HOSTS
+    from fortissimo_spark.robots import (parse_robots_txt, parse_sitemaps,
+                                         plan_frontier, robots_crawl_delays)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    hosts_arr = F.array(*[F.lit(h) for h in HOSTS])
+    host = F.element_at(hosts_arr, (d % 16 + 1).cast("int"))
+    loc = F.concat(F.lit("https://"), host, F.lit("/article/"),
+                   F.lpad(d.cast("string"), 10, "0"))
+    priority = F.when(d % 5 != 2,
+                      F.concat(F.lit("0."), (d % 10).cast("string")))
+    entry = F.concat(
+        F.lit("  <url><loc>"), loc, F.lit("</loc>"),
+        F.coalesce(F.concat(F.lit("<priority>"), priority,
+                            F.lit("</priority>")), F.lit("")),
+        F.lit("</url>\n"))
+    body = F.concat_ws("", F.transform(
+        F.array_sort(F.collect_list(F.struct(d.alias("i"),
+                                             entry.alias("e")))),
+        lambda s: s["e"]))
+    shards = (docs.groupBy(host.alias("h"))
+              .agg(body.alias("body"))
+              .select(F.concat(F.lit("https://"), F.col("h"),
+                               F.lit("/sitemap.xml")).alias("sitemap_url"),
+                      F.encode(F.concat(
+                          F.lit('<urlset xmlns="http://www.sitemaps.org'
+                                '/schemas/sitemap/0.9">\n'),
+                          F.col("body"), F.lit("</urlset>")), "utf-8")
+                      .alias("xml")))
+    cands = (parse_sitemaps(shards)
+             .filter(F.col("kind") == "url")
+             .select(F.col("loc").alias("url"),
+                     F.col("priority").alias("prio")))
+    robots = spark.createDataFrame(list(_ROBOTS_BODIES.items()),
+                                   "host string, body string")
+    fr = plan_frontier(cands, parse_robots_txt(robots),
+                       robots_crawl_delays(robots, _ROBOTS_AGENT),
+                       _ROBOTS_AGENT, priority_col="prio")
+    return (fr.select(
+        F.regexp_extract("url", _DOC_ID_FROM_URL, 1).cast("long")
+        .alias("doc_id"),
+        F.col("prio"), "wave", "eta_s"))
+
+
+def _sitemap_frontier_oracle_sql() -> str:
+    return _robots_ctes() + """,
+        cands AS (
+          SELECT p.doc_id, p.host_idx, p.path,
+                 CASE WHEN p.doc_id % 5 <> 2
+                      THEN CAST('0.' || CAST(p.doc_id % 10 AS VARCHAR)
+                                AS DOUBLE) END AS prio
+          FROM pages p LEFT JOIN winners w USING (doc_id)
+          WHERE coalesce(w.rule = 'allow', TRUE)),
+        fr AS (
+          SELECT doc_id, host_idx, prio,
+                 row_number() OVER (
+                   PARTITION BY host_idx
+                   ORDER BY prio DESC NULLS LAST, path) - 1 AS wave
+          FROM cands)
+        SELECT doc_id, prio, CAST(wave AS INTEGER) AS wave,
+               CAST(wave * (CASE host_idx WHEN 0 THEN 5.0 WHEN 4 THEN 1.5
+                            ELSE 1.0 END) AS DOUBLE) AS eta_s
+        FROM fr"""
+
+
 _LG_DAMP = 0.85
 _LG_ITERS = 3
 
@@ -1396,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_index": _q_anchor_index,
         "page_analysis": _q_page_analysis,
         "host_rank": _q_host_rank,
+        "sitemap_frontier": _q_sitemap_frontier,
         "ppl_buckets": _q_ppl_buckets,
         # (c) driver-verified r5, unchanged
         "q1_pricing_summary": _q1_pricing_summary,
@@ -2980,6 +3053,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_index": _anchor_index_oracle_sql(),
         "page_analysis": _PAGE_ANALYSIS_ORACLE,
         "host_rank": _host_rank_oracle_sql(),
+        "sitemap_frontier": _sitemap_frontier_oracle_sql(),
         "ppl_buckets": _ppl_buckets_oracle_sql(),
         "sentence_stats": _sentence_stats_oracle_sql(),
         "curate_corpus": _curate_oracle_sql(),
