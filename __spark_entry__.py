@@ -1139,6 +1139,167 @@ def _sitemap_frontier_oracle_sql() -> str:
         FROM fr"""
 
 
+def _q_canonical_dedup(spark, sf_dir):
+    """rel=canonical-aware dedup end-to-end: JVM-rendered pages where
+    every odd doc declares its even sibling as canonical; the one-pass
+    analysis kernel surfaces the link, pipeline.dedup_canonical
+    collapses each pair onto the canonical target and the later
+    capture (the odd doc, warc_ts = epoch + doc_id minutes) wins. 250
+    survivors at sf0.01, all odd, each carrying its group key and its
+    extracted text."""
+    from fortissimo_spark.kernel import page_analysis
+    from fortissimo_spark.pipeline import dedup_canonical
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    head = (F.when(d % 2 == 1, F.concat(
+        F.lit('<link rel="canonical" href="/article/'),
+        F.lpad((d - 1).cast("string"), 10, "0"), F.lit('">')))
+        .otherwise(F.lit("")))
+    html = F.concat(F.lit("<html><head>"), head,
+                    F.lit("</head><body><main><p>doc "), d.cast("string"),
+                    F.lit(" content</p></main></body></html>"))
+    pages = docs.select(
+        F.concat(F.lit("https://c.example/article/"),
+                 F.lpad(d.cast("string"), 10, "0")).alias("url"),
+        F.timestamp_seconds(F.lit(1740787200) + d * 60).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"))
+    out = dedup_canonical(page_analysis(pages))
+    return (out.select(
+        F.regexp_extract("url", _DOC_ID_FROM_URL, 1).cast("long")
+        .alias("doc_id"),
+        "canonical_key", "text"))
+
+
+_CANONICAL_DEDUP_ORACLE = """
+    SELECT doc_id,
+           'https://c.example/article/'
+             || lpad(CAST(doc_id - 1 AS VARCHAR), 10, '0')
+             AS canonical_key,
+           'doc ' || CAST(doc_id AS VARCHAR) || ' content' AS text
+    FROM documents WHERE doc_id % 2 = 1"""
+
+
+def _q_structured_data(spark, sf_dir):
+    """JSON-LD structured-data extraction (kernel.structured_data):
+    doc_id%3 slices render an Article block, an @graph with two
+    entities (list-valued @type), and a malformed block (parse_ok
+    false). DuckDB recomputes every entity row."""
+    from fortissimo_spark.kernel import structured_data
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ids = d.cast("string")
+    block = (F.when(d % 3 == 0, F.concat(
+                 F.lit('{"@type":"Article","name":"Article '), ids,
+                 F.lit('"}')))
+             .when(d % 3 == 1, F.concat(
+                 F.lit('{"@graph":[{"@type":["Organization"],'
+                       '"name":"Org '), ids,
+                 F.lit('"},{"@type":"WebSite"}]}')))
+             .otherwise(F.lit('{broken')))
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'),
+        block, F.lit("</script></head><body></body></html>"))
+    pages = docs.select(
+        F.concat(F.lit("https://sd.example/article/"),
+                 F.lpad(ids, 10, "0")).alias("url"),
+        F.encode(html, "utf-8").alias("html"))
+    out = structured_data(pages)
+    return (out.select(
+        F.regexp_extract("url", _DOC_ID_FROM_URL, 1).cast("long")
+        .alias("doc_id"),
+        "block_idx", "ld_type", "ld_name", "parse_ok"))
+
+
+_STRUCTURED_DATA_ORACLE = """
+    SELECT doc_id, CAST(0 AS INT) AS block_idx, 'Article' AS ld_type,
+           'Article ' || CAST(doc_id AS VARCHAR) AS ld_name,
+           TRUE AS parse_ok
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, CAST(0 AS INT), 'Organization',
+           'Org ' || CAST(doc_id AS VARCHAR), TRUE
+    FROM documents WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id, CAST(0 AS INT), 'WebSite',
+           CAST(NULL AS VARCHAR), TRUE
+    FROM documents WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id, CAST(0 AS INT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), FALSE
+    FROM documents WHERE doc_id % 3 = 2"""
+
+
+_FEED_EPOCH = 1740787200  # 2025-03-01T00:00:00Z
+
+
+def _q_feed_ingest(spark, sf_dir):
+    """RSS/Atom feed ingestion (robots.parse_feeds): even docs render
+    into RSS 2.0 feeds (RFC 822 pubDate; <link> is VOID in the
+    forgiving grammar, so the url rides the sibling text node), odd
+    docs into Atom feeds (ISO updated, href attr). doc_id%11==5 plants
+    malformed dates (NULL epoch). DuckDB recomputes every row."""
+    from fortissimo_spark.robots import parse_feeds
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ids = d.cast("string")
+    ts = F.timestamp_seconds(F.lit(_FEED_EPOCH) + (d * 7) % 86400)
+    bad = (d % 11 == 5)
+    rss_date = F.when(bad, F.lit("not a date")).otherwise(
+        F.concat(F.date_format(ts, "EEE, dd MMM yyyy HH:mm:ss"),
+                 F.lit(" +0000")))
+    atom_date = F.when(bad, F.lit("not a date")).otherwise(
+        F.concat(F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")))
+    link = F.concat(F.lit("https://feeds.example/article/"),
+                    F.lpad(ids, 10, "0"))
+    entry = (F.when(d % 2 == 0, F.concat(
+                 F.lit("  <item><title>Item "), ids,
+                 F.lit("</title><link>"), link,
+                 F.lit("</link><pubDate>"), rss_date,
+                 F.lit("</pubDate></item>\n")))
+             .otherwise(F.concat(
+                 F.lit("  <entry><title>Item "), ids,
+                 F.lit('</title><link href="'), link,
+                 F.lit('"/><updated>'), atom_date,
+                 F.lit("</updated></entry>\n"))))
+    kind = F.when(d % 2 == 0, F.lit("rss")).otherwise(F.lit("atom"))
+    fid = F.floor(d / 50).cast("string")
+    body = F.concat_ws("", F.transform(
+        F.array_sort(F.collect_list(F.struct(d.alias("i"),
+                                             entry.alias("e")))),
+        lambda s: s["e"]))
+    feeds = (docs.groupBy(kind.alias("k"), fid.alias("fid"))
+             .agg(body.alias("body"))
+             .select(
+                 F.concat(F.lit("https://feeds.example/"), F.col("k"),
+                          F.lit("-"), F.col("fid"), F.lit(".xml"))
+                 .alias("feed_url"),
+                 F.encode(F.when(
+                     F.col("k") == "rss",
+                     F.concat(F.lit('<?xml version="1.0"?>\n'
+                                    '<rss version="2.0"><channel>\n'),
+                              F.col("body"), F.lit("</channel></rss>")))
+                     .otherwise(F.concat(
+                         F.lit('<feed xmlns="http://www.w3.org/2005'
+                               '/Atom">\n'),
+                         F.col("body"), F.lit("</feed>"))),
+                     "utf-8").alias("xml")))
+    out = parse_feeds(feeds)
+    return (out.select(
+        F.regexp_extract("link", _DOC_ID_FROM_URL, 1).cast("long")
+        .alias("doc_id"),
+        "feed_kind", "title", "pub_epoch"))
+
+
+_FEED_INGEST_ORACLE = f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END
+             AS feed_kind,
+           'Item ' || CAST(doc_id AS VARCHAR) AS title,
+           CASE WHEN doc_id % 11 <> 5
+                THEN {_FEED_EPOCH} + (doc_id * 7) % 86400 END AS pub_epoch
+    FROM documents"""
+
+
 _LG_DAMP = 0.85
 _LG_ITERS = 3
 
@@ -1469,6 +1630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_analysis": _q_page_analysis,
         "host_rank": _q_host_rank,
         "sitemap_frontier": _q_sitemap_frontier,
+        "canonical_dedup": _q_canonical_dedup,
+        "structured_data": _q_structured_data,
+        "feed_ingest": _q_feed_ingest,
         "ppl_buckets": _q_ppl_buckets,
         # (c) driver-verified r5, unchanged
         "q1_pricing_summary": _q1_pricing_summary,
@@ -3054,6 +3218,9 @@ def oracle_sql() -> dict[str, str]:
         "page_analysis": _PAGE_ANALYSIS_ORACLE,
         "host_rank": _host_rank_oracle_sql(),
         "sitemap_frontier": _sitemap_frontier_oracle_sql(),
+        "canonical_dedup": _CANONICAL_DEDUP_ORACLE,
+        "structured_data": _STRUCTURED_DATA_ORACLE,
+        "feed_ingest": _FEED_INGEST_ORACLE,
         "ppl_buckets": _ppl_buckets_oracle_sql(),
         "sentence_stats": _sentence_stats_oracle_sql(),
         "curate_corpus": _curate_oracle_sql(),

@@ -356,9 +356,11 @@ def make_analysis_kernel(strip: str = "density"):
             if len(pdf) == 0:
                 continue
             rows = {k: [] for k in (
-                "url", "text", "text_len", "token_count", "errors",
-                "noindex", "nofollow", "title_text", "first_h1",
+                "url", "warc_ts", "text", "text_len", "token_count",
+                "errors", "noindex", "nofollow", "title_text", "first_h1",
                 "canonical", "description", "og_title", "n_links")}
+            rows["warc_ts"] = pdf["warc_ts"].tolist() \
+                if "warc_ts" in pdf.columns else [None] * len(pdf)
             for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
                 result, _, _, _ = decode_parse(bytes(raw or b""))
                 b = result.dom
@@ -387,8 +389,10 @@ def page_analysis(pages, strip: str = "density") -> "DataFrame":
         BooleanType, IntegerType, LongType, StringType, StructField,
         StructType,
     )
+    from pyspark.sql.types import TimestampType
     schema = StructType([
         StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
         StructField("text", StringType()),
         StructField("text_len", LongType()),
         StructField("token_count", LongType()),
@@ -402,7 +406,9 @@ def page_analysis(pages, strip: str = "density") -> "DataFrame":
         StructField("og_title", StringType()),
         StructField("n_links", IntegerType()),
     ])
-    return (pages.select("url", "html")
+    cols = ["url", "html"] + (["warc_ts"] if "warc_ts" in pages.columns
+                              else [])
+    return (pages.select(*cols)
             .mapInPandas(make_analysis_kernel(strip), schema))
 
 
@@ -518,3 +524,86 @@ def make_nodes_kernel():
             yield pd.DataFrame(rows)
 
     return kernel
+
+
+def make_structured_data_kernel():
+    """mapInPandas kernel: pages -> one row per JSON-LD entity
+    (``<script type="application/ld+json">`` blocks — the structured
+    data search engines and KG pipelines consume). Handles @graph
+    containers, top-level arrays, list-valued @type (first wins);
+    malformed JSON yields one parse_ok=false row so the census still
+    counts the block."""
+    import json
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in ("url", "block_idx", "ld_type",
+                                    "ld_name", "parse_ok")}
+
+            def emit(url, idx, t, name, ok):
+                rows["url"].append(url)
+                rows["block_idx"].append(idx)
+                rows["ld_type"].append(t)
+                rows["ld_name"].append(name)
+                rows["parse_ok"].append(ok)
+
+            for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+                result, _, _, _ = decode_parse(bytes(raw or b""))
+                b = result.dom
+                idx = 0
+                for s in b.query_selector_all(0, "script"):
+                    stype = _attrs_ci(b, s).get("type", "")
+                    if stype.strip().lower() != "application/ld+json":
+                        continue
+                    payload = b.text_content(s)
+                    try:
+                        data = json.loads(payload)
+                    except (ValueError, RecursionError):
+                        emit(url, idx, None, None, False)
+                        idx += 1
+                        continue
+                    if isinstance(data, dict) and isinstance(
+                            data.get("@graph"), list):
+                        objs = data["@graph"]
+                    elif isinstance(data, list):
+                        objs = data
+                    else:
+                        objs = [data]
+                    emitted = False
+                    for obj in objs:
+                        if not isinstance(obj, dict):
+                            continue
+                        t = obj.get("@type")
+                        if isinstance(t, list):
+                            t = t[0] if t else None
+                        name = obj.get("name")
+                        emit(url, idx,
+                             t if isinstance(t, str) else None,
+                             name if isinstance(name, str) else None,
+                             True)
+                        emitted = True
+                    if not emitted:  # block parsed but held no entity
+                        emit(url, idx, None, None, True)
+                    idx += 1
+            yield pd.DataFrame(rows)
+
+    return kernel
+
+
+def structured_data(pages) -> "DataFrame":
+    """One row per JSON-LD entity per page (see
+    make_structured_data_kernel). Map-side only."""
+    from pyspark.sql.types import (
+        BooleanType, IntegerType, StringType, StructField, StructType,
+    )
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("block_idx", IntegerType()),
+        StructField("ld_type", StringType()),
+        StructField("ld_name", StringType()),
+        StructField("parse_ok", BooleanType()),
+    ])
+    return (pages.select("url", "html")
+            .mapInPandas(make_structured_data_kernel(), schema))

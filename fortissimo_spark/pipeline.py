@@ -349,3 +349,24 @@ def incremental_curate(current: DataFrame, previous: DataFrame,
             + (["ppl"] if lm is not None else [])
             + [url_col, "text_hash"])
     return kept.select(*cols).unionByName(cand.select(*cols))
+
+
+def dedup_canonical(analyzed: DataFrame) -> DataFrame:
+    """rel=canonical-aware dedup over an ALREADY-ANALYZED frame
+    (kernel.page_analysis output, which carries `canonical` + warc_ts):
+    pages declaring a canonical target collapse onto it — the standard
+    search-engine consolidation rule — and the latest capture per
+    canonical group wins (url text as the deterministic tie-break).
+
+    Shape: the key is a map-side expression over columns the one-pass
+    kernel already produced (NO second parse, NO payload join-back);
+    the winner pick is the same one-exchange window as
+    dedup_latest_crawl. Adds `canonical_key` to the output."""
+    from .graph import resolve_href
+    key = F.coalesce(resolve_href(F.col("url"), F.col("canonical")),
+                     F.col("url"))
+    w = Window.partitionBy("canonical_key") \
+        .orderBy(F.col("warc_ts").desc(), F.col("url"))
+    return (analyzed.withColumn("canonical_key", key)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))

@@ -318,3 +318,126 @@ def plan_frontier(cands: DataFrame, rules: DataFrame, delays: DataFrame,
             .drop("_dhost", "crawl_delay_s", "allowed", "matched_rule",
                   "matched_pattern")
             .withColumnRenamed("_host", "host"))
+
+
+def _feed_kernel(batches):
+    """pandas batches (feed_url, xml) -> one row per RSS <item> /
+    Atom <entry>, dates normalized to epoch seconds in the kernel
+    (RFC 822 via email.utils for RSS, ISO-8601 for Atom — both C-level
+    stdlib parsers; malformed dates yield NULL)."""
+    import datetime as _dt
+    from email.utils import parsedate_to_datetime
+
+    import pandas as pd
+
+    from .dom import ELEMENT, N_CHILDREN, N_CONTENT, N_KIND, N_TAG_LC, TEXT
+    from .kernel import decode_page_bytes
+    from .parser import parse
+
+    def child(b, node, tag):
+        for c in b.nodes[node][N_CHILDREN] or []:
+            if isinstance(c, int):
+                nd = b.nodes[c]
+                if (nd[N_KIND] == ELEMENT
+                        and (nd[N_TAG_LC] or "").split(":")[-1] == tag):
+                    return c
+        return None
+
+    def text_of(b, node, tag):
+        c = child(b, node, tag)
+        return b.text_content(c).strip() if c is not None else None
+
+    def rss_epoch(s):
+        try:
+            return int(parsedate_to_datetime(s).timestamp())
+        except (TypeError, ValueError):
+            return None
+
+    def atom_epoch(s):
+        try:
+            return int(_dt.datetime.fromisoformat(
+                s.replace("Z", "+00:00")).timestamp())
+        except (TypeError, ValueError, AttributeError):
+            return None
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        rows = {k: [] for k in ("feed_url", "feed_kind", "title", "link",
+                                "pub_epoch")}
+        for fu, raw in zip(pdf["feed_url"].tolist(), pdf["xml"].tolist()):
+            text_src, _, _ = decode_page_bytes(bytes(raw or b""))
+            b = parse(text_src, positions=False).dom
+            kind = None
+            for i, nd in enumerate(b.nodes):
+                if nd[N_KIND] == ELEMENT:
+                    t = (nd[N_TAG_LC] or "").split(":")[-1]
+                    if t == "rss":
+                        kind = "rss"
+                        break
+                    if t == "feed":
+                        kind = "atom"
+                        break
+            if kind is None:
+                continue
+            entry_tag = "item" if kind == "rss" else "entry"
+            for i, nd in enumerate(b.nodes):
+                if nd[N_KIND] != ELEMENT:
+                    continue
+                if (nd[N_TAG_LC] or "").split(":")[-1] != entry_tag:
+                    continue
+                if kind == "rss":
+                    # in the forgiving HTML grammar <link> is VOID, so
+                    # the url ends up in the NEXT sibling text node
+                    link = text_of(b, i, "link") or None
+                    if link is None:
+                        kids = b.nodes[i][N_CHILDREN] or []
+                        for ki, c in enumerate(kids):
+                            nd2 = b.nodes[c] if isinstance(c, int) else None
+                            if (nd2 is not None and nd2[N_KIND] == ELEMENT
+                                    and (nd2[N_TAG_LC] or "")
+                                    .split(":")[-1] == "link"):
+                                for c2 in kids[ki + 1:]:
+                                    if isinstance(c2, int) and \
+                                            b.nodes[c2][N_KIND] == TEXT:
+                                        link = (b.nodes[c2][N_CONTENT]
+                                                or "").strip() or None
+                                        break
+                                break
+                    epoch = rss_epoch(text_of(b, i, "pubDate")
+                                      or text_of(b, i, "pubdate"))
+                else:
+                    lc = child(b, i, "link")
+                    link = (_attrs_ci_mod(b, lc).get("href")
+                            if lc is not None else None)
+                    epoch = atom_epoch(text_of(b, i, "updated"))
+                rows["feed_url"].append(fu)
+                rows["feed_kind"].append(kind)
+                rows["title"].append(text_of(b, i, "title"))
+                rows["link"].append(link)
+                rows["pub_epoch"].append(epoch)
+        yield pd.DataFrame(rows)
+
+
+def _attrs_ci_mod(b, node):
+    from .kernel import _attrs_ci
+    return _attrs_ci(b, node)
+
+
+def parse_feeds(feeds: DataFrame) -> DataFrame:
+    """Parse RSS 2.0 / Atom feed payloads — the other crawl-seed
+    discovery channel next to sitemaps — into one typed row per item:
+    (feed_url, feed_kind, title, link, pub_epoch). Namespace-prefix
+    tolerant; malformed dates are NULL; map-side only."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    schema = StructType([
+        StructField("feed_url", StringType()),
+        StructField("feed_kind", StringType()),
+        StructField("title", StringType()),
+        StructField("link", StringType()),
+        StructField("pub_epoch", LongType()),
+    ])
+    return (feeds.select("feed_url", "xml")
+            .mapInPandas(_feed_kernel, schema))

@@ -3293,3 +3293,97 @@ def test_host_graph_and_weighted_pagerank(spark):
     assert math.isclose(pr["a.ex"], 0.05, abs_tol=1e-9)
     assert math.isclose(pr["b.ex"], 0.238888888889, abs_tol=1e-9)
     assert math.isclose(pr["c.ex"], 0.427777777778, abs_tol=1e-9)
+
+
+def test_structured_data_jsonld(spark):
+    """JSON-LD extraction: plain object, @graph, top-level array,
+    list-valued @type, malformed JSON, empty-entity block, and
+    non-ld scripts ignored."""
+    from fortissimo_spark.kernel import structured_data
+    pages = spark.createDataFrame([
+        ("u1", bytearray(
+            b'<script type="application/ld+json">'
+            b'{"@type":"Article","name":"A1"}</script>'
+            b'<script>var x=1;</script>')),
+        ("u2", bytearray(
+            b'<script type="application/ld+json">{"@graph":['
+            b'{"@type":["Organization","Thing"],"name":"Org"},'
+            b'{"@type":"WebSite"}]}</script>')),
+        ("u3", bytearray(
+            b'<script type="application/ld+json">'
+            b'[{"@type":"Person","name":"P"},{"@type":"Event"}]</script>')),
+        ("u4", bytearray(b'<script type="application/ld+json">{broken'
+                         b'</script>')),
+        ("u5", bytearray(b'<script type="application/ld+json">42'
+                         b'</script>')),
+    ], "url string, html binary")
+    rows = sorted([(r.url, r.block_idx, r.ld_type, r.ld_name, r.parse_ok)
+                   for r in structured_data(pages).collect()])
+    assert rows == sorted([
+        ("u1", 0, "Article", "A1", True),
+        ("u2", 0, "Organization", "Org", True),
+        ("u2", 0, "WebSite", None, True),
+        ("u3", 0, "Person", "P", True),
+        ("u3", 0, "Event", None, True),
+        ("u4", 0, None, None, False),
+        ("u5", 0, None, None, True),   # parsed, no entity
+    ])
+
+
+def test_parse_feeds_rss_atom(spark):
+    """RSS 2.0 + Atom: link-as-sibling-text (void <link> in the HTML
+    grammar), href attr for Atom, namespace prefixes tolerated,
+    malformed dates -> NULL epoch, non-feed payload -> no rows."""
+    from fortissimo_spark.robots import parse_feeds
+    rss = (b'<?xml version="1.0"?><rss version="2.0"><channel>'
+           b'<item><title>R1</title><link>https://e.x/1</link>'
+           b'<pubDate>Sat, 01 Mar 2025 00:00:00 +0000</pubDate></item>'
+           b'<item><title>R2</title><link>https://e.x/2</link>'
+           b'<pubDate>not a date</pubDate></item>'
+           b'</channel></rss>')
+    atom = (b'<feed xmlns="http://www.w3.org/2005/Atom">'
+            b'<entry><title>A1</title><link href="https://e.x/3"/>'
+            b'<updated>2025-03-01T00:00:00Z</updated></entry>'
+            b'<atom:entry xmlns:atom="http://www.w3.org/2005/Atom">'
+            b'<atom:title>A2</atom:title>'
+            b'<atom:link href="https://e.x/4"/>'
+            b'<atom:updated>bogus</atom:updated></atom:entry>'
+            b'</feed>')
+    feeds = spark.createDataFrame(
+        [("f1", bytearray(rss)), ("f2", bytearray(atom)),
+         ("f3", bytearray(b"<html><body>not a feed</body></html>"))],
+        "feed_url string, xml binary")
+    rows = sorted([(r.feed_url, r.feed_kind, r.title, r.link, r.pub_epoch)
+                   for r in parse_feeds(feeds).collect()])
+    assert rows == [
+        ("f1", "rss", "R1", "https://e.x/1", 1740787200),
+        ("f1", "rss", "R2", "https://e.x/2", None),
+        ("f2", "atom", "A1", "https://e.x/3", 1740787200),
+        ("f2", "atom", "A2", "https://e.x/4", None),
+    ]
+
+
+def test_dedup_canonical_rel_canonical(spark):
+    """rel=canonical collapse over analyzed pages: relative hrefs
+    resolve against the page url, latest warc_ts wins the group, and
+    pages without a canonical keep their own url as the key."""
+    import datetime as dt
+    from fortissimo_spark.kernel import page_analysis
+    from fortissimo_spark.pipeline import dedup_canonical
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    mk = lambda canon, body: bytearray(
+        (('<link rel="canonical" href="%s">' % canon if canon else '')
+         + "<p>%s</p>" % body).encode())
+    pages = spark.createDataFrame([
+        ("https://h.x/a?page=2", t0, mk("/a", "v1")),
+        ("https://h.x/a", t0 + dt.timedelta(hours=1), mk(None, "v2")),
+        ("https://h.x/amp/a", t0 + dt.timedelta(hours=2),
+         mk("https://h.x/a", "v3")),
+        ("https://h.x/b", t0, mk(None, "b")),
+    ], "url string, warc_ts timestamp, html binary")
+    out = dedup_canonical(page_analysis(pages)).collect()
+    got = {r.canonical_key: (r.url, r.text) for r in out}
+    assert set(got) == {"https://h.x/a", "https://h.x/b"}
+    # latest capture (the amp variant, t0+2h) wins the /a group
+    assert got["https://h.x/a"] == ("https://h.x/amp/a", "v3")
+    assert got["https://h.x/b"] == ("https://h.x/b", "b")
