@@ -1556,6 +1556,73 @@ def _host_rank_oracle_sql() -> str:
         JOIN {prev} r ON r.id = hh.hi"""
 
 
+_HC_RADIUS = 3
+_HC_HOSTS = 64
+
+
+def _q_host_harmonic(spark, sf_dir):
+    """Bounded-radius harmonic centrality over a 64-host graph (the
+    other Common-Crawl host ranking next to PageRank). Edge rule from
+    `documents`: src = doc_id%64, dst = src + gen where gen cycles
+    {1,2,5} by doc_id%3, truncated at the line's end — an asymmetric
+    reachability structure so distances 1..3 all occur and centrality
+    varies by position. DuckDB replays the walks and takes min-dist
+    per pair; the float combine is the same single left-to-right
+    expression over integer counts on both sides."""
+    from fortissimo_spark.graph import harmonic_centrality
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = d % _HC_HOSTS
+    gen = (F.when(d % 3 == 0, F.lit(1))
+           .when(d % 3 == 1, F.lit(2)).otherwise(F.lit(5)))
+    hid = lambda c: F.concat(F.lit("h"), F.lpad(c.cast("string"), 2, "0"))
+    edges = (docs.select(hid(s).alias("src"), hid(s + gen).alias("dst"),
+                         (s + gen).alias("_t"))
+             .filter(F.col("_t") < _HC_HOSTS).drop("_t"))
+    nodes = spark.range(_HC_HOSTS).select(
+        hid(F.col("id")).alias("id"))
+    hc = harmonic_centrality(edges, nodes, radius=_HC_RADIUS)
+    return hc.select(
+        F.substring("id", 2, 2).cast("int").alias("host_idx"),
+        "reached", "harmonic")
+
+
+def _host_harmonic_oracle_sql() -> str:
+    walks = ["w1 AS (SELECT src AS u, dst AS v, 1 AS d FROM e)"]
+    for r in range(2, _HC_RADIUS + 1):
+        walks.append(f"""
+        w{r} AS (SELECT w.u, e.dst AS v, {r} AS d
+                 FROM w{r - 1} w JOIN e ON e.src = w.v
+                 WHERE w.u <> e.dst)""")
+    allw = " UNION ALL ".join(
+        f"SELECT * FROM w{r}" for r in range(1, _HC_RADIUS + 1))
+    ns = [f"count(*) FILTER (WHERE d = {r}) AS n{r}"
+          for r in range(1, _HC_RADIUS + 1)]
+    hexpr = " + ".join(
+        ["CAST(n1 AS DOUBLE)"]
+        + [f"CAST(n{r} AS DOUBLE) / {float(r)}"
+           for r in range(2, _HC_RADIUS + 1)])
+    rexpr = " + ".join(f"n{r}" for r in range(1, _HC_RADIUS + 1))
+    return f"""
+        WITH e AS (
+          SELECT DISTINCT doc_id % {_HC_HOSTS} AS src,
+                 doc_id % {_HC_HOSTS}
+                   + CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2
+                     ELSE 5 END AS dst
+          FROM documents
+          WHERE doc_id % {_HC_HOSTS}
+                  + CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2
+                    ELSE 5 END < {_HC_HOSTS}),
+        {",".join(walks)},
+        sp AS (SELECT u, v, min(d) AS d FROM ({allw}) GROUP BY u, v),
+        cnt AS (SELECT v AS id, {", ".join(ns)} FROM sp GROUP BY v),
+        hosts AS (SELECT unnest(range({_HC_HOSTS})) AS hi)
+        SELECT CAST(hh.hi AS INTEGER) AS host_idx,
+               CAST(coalesce({rexpr}, 0) AS BIGINT) AS reached,
+               round(coalesce({hexpr}, 0.0), 9) AS harmonic
+        FROM hosts hh LEFT JOIN cnt c ON c.id = hh.hi"""
+
+
 def _q_ppl_buckets(spark, sf_dir):
     """CCNet head/middle/tail split: per-language exact perplexity
     tertile cutoffs (one tiny row per language, broadcast back), each
@@ -1629,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_index": _q_anchor_index,
         "page_analysis": _q_page_analysis,
         "host_rank": _q_host_rank,
+        "host_harmonic": _q_host_harmonic,
         "sitemap_frontier": _q_sitemap_frontier,
         "canonical_dedup": _q_canonical_dedup,
         "structured_data": _q_structured_data,
@@ -3217,6 +3285,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_index": _anchor_index_oracle_sql(),
         "page_analysis": _PAGE_ANALYSIS_ORACLE,
         "host_rank": _host_rank_oracle_sql(),
+        "host_harmonic": _host_harmonic_oracle_sql(),
         "sitemap_frontier": _sitemap_frontier_oracle_sql(),
         "canonical_dedup": _CANONICAL_DEDUP_ORACLE,
         "structured_data": _STRUCTURED_DATA_ORACLE,

@@ -3387,3 +3387,33 @@ def test_dedup_canonical_rel_canonical(spark):
     # latest capture (the amp variant, t0+2h) wins the /a group
     assert got["https://h.x/a"] == ("https://h.x/amp/a", "v3")
     assert got["https://h.x/b"] == ("https://h.x/b", "b")
+
+
+def test_harmonic_centrality_hand_graph(spark):
+    """Path graph + shortcut: hand-computed truncated harmonic values,
+    min-dist wins over longer walks, radius truncation, isolated node
+    zero, duplicate edges collapse."""
+    from fortissimo_spark.graph import harmonic_centrality
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+         ("a", "c"),            # shortcut: d(a,c)=1 not 2
+         ("a", "b")],           # duplicate edge collapses
+        "src string, dst string")
+    nodes = spark.createDataFrame(
+        [(x,) for x in "abcdef"], "id string")
+    out = {r.id: (r.reached, r.harmonic)
+           for r in harmonic_centrality(edges, nodes, radius=3).collect()}
+    import math
+    # d: b<-a=1; c<-a=1(shortcut),<-b=1; d<-c=1,<-b=2,<-a=2(via shortcut)
+    # e<-d=1,<-c=2,<-b=3,<-a=3(via shortcut c,d)
+    assert out["a"] == (0, 0.0)
+    assert out["b"] == (1, 1.0)
+    assert out["c"][0] == 2 and math.isclose(out["c"][1], 2.0)
+    assert out["d"][0] == 3 and math.isclose(out["d"][1], 1 + 0.5 + 0.5)
+    assert out["e"][0] == 4 and math.isclose(
+        out["e"][1], 1 + 0.5 + 1 / 3 + 1 / 3, abs_tol=1e-9)
+    assert out["f"] == (0, 0.0)   # isolated
+    # radius=1: only direct predecessors count
+    out1 = {r.id: (r.reached, r.harmonic)
+            for r in harmonic_centrality(edges, nodes, radius=1).collect()}
+    assert out1["e"] == (1, 1.0) and out1["c"] == (2, 2.0)
