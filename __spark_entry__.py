@@ -1232,14 +1232,13 @@ _STRUCTURED_DATA_ORACLE = """
 _FEED_EPOCH = 1740787200  # 2025-03-01T00:00:00Z
 
 
-def _q_feed_ingest(spark, sf_dir):
-    """RSS/Atom feed ingestion (robots.parse_feeds): even docs render
-    into RSS 2.0 feeds (RFC 822 pubDate; <link> is VOID in the
-    forgiving grammar, so the url rides the sibling text node), odd
-    docs into Atom feeds (ISO updated, href attr). doc_id%11==5 plants
-    malformed dates (NULL epoch). DuckDB recomputes every row."""
-    from fortissimo_spark.robots import parse_feeds
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+def _feed_payloads(docs, link_id):
+    """(feed_url, xml) frame: every doc renders one item into the
+    (kind=doc_id%2, fid=doc_id//50) feed — RSS 2.0 for even docs
+    (RFC 822 pubDate; <link> is VOID in the forgiving grammar, so the
+    url rides the sibling text node), Atom for odd (ISO updated, href
+    attr). doc_id%11==5 plants malformed dates. ``link_id`` is the
+    article id column the item links to."""
     d = F.col("doc_id")
     ids = d.cast("string")
     ts = F.timestamp_seconds(F.lit(_FEED_EPOCH) + (d * 7) % 86400)
@@ -1250,7 +1249,7 @@ def _q_feed_ingest(spark, sf_dir):
     atom_date = F.when(bad, F.lit("not a date")).otherwise(
         F.concat(F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")))
     link = F.concat(F.lit("https://feeds.example/article/"),
-                    F.lpad(ids, 10, "0"))
+                    F.lpad(link_id.cast("string"), 10, "0"))
     entry = (F.when(d % 2 == 0, F.concat(
                  F.lit("  <item><title>Item "), ids,
                  F.lit("</title><link>"), link,
@@ -1262,28 +1261,35 @@ def _q_feed_ingest(spark, sf_dir):
                  F.lit('"/><updated>'), atom_date,
                  F.lit("</updated></entry>\n"))))
     kind = F.when(d % 2 == 0, F.lit("rss")).otherwise(F.lit("atom"))
-    fid = F.floor(d / 50).cast("string")
+    fid = F.floor(d / 50).cast("long").cast("string")
     body = F.concat_ws("", F.transform(
         F.array_sort(F.collect_list(F.struct(d.alias("i"),
                                              entry.alias("e")))),
         lambda s: s["e"]))
-    feeds = (docs.groupBy(kind.alias("k"), fid.alias("fid"))
-             .agg(body.alias("body"))
-             .select(
-                 F.concat(F.lit("https://feeds.example/"), F.col("k"),
-                          F.lit("-"), F.col("fid"), F.lit(".xml"))
-                 .alias("feed_url"),
-                 F.encode(F.when(
-                     F.col("k") == "rss",
-                     F.concat(F.lit('<?xml version="1.0"?>\n'
-                                    '<rss version="2.0"><channel>\n'),
-                              F.col("body"), F.lit("</channel></rss>")))
-                     .otherwise(F.concat(
-                         F.lit('<feed xmlns="http://www.w3.org/2005'
-                               '/Atom">\n'),
-                         F.col("body"), F.lit("</feed>"))),
-                     "utf-8").alias("xml")))
-    out = parse_feeds(feeds)
+    return (docs.groupBy(kind.alias("k"), fid.alias("fid"))
+            .agg(body.alias("body"))
+            .select(
+                F.concat(F.lit("https://feeds.example/"), F.col("k"),
+                         F.lit("-"), F.col("fid"), F.lit(".xml"))
+                .alias("feed_url"),
+                F.encode(F.when(
+                    F.col("k") == "rss",
+                    F.concat(F.lit('<?xml version="1.0"?>\n'
+                                   '<rss version="2.0"><channel>\n'),
+                             F.col("body"), F.lit("</channel></rss>")))
+                    .otherwise(F.concat(
+                        F.lit('<feed xmlns="http://www.w3.org/2005'
+                              '/Atom">\n'),
+                        F.col("body"), F.lit("</feed>"))),
+                    "utf-8").alias("xml")))
+
+
+def _q_feed_ingest(spark, sf_dir):
+    """RSS/Atom feed ingestion (robots.parse_feeds) over the
+    `_feed_payloads` fixture corpus; DuckDB recomputes every row."""
+    from fortissimo_spark.robots import parse_feeds
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = parse_feeds(_feed_payloads(docs, F.col("doc_id")))
     return (out.select(
         F.regexp_extract("link", _DOC_ID_FROM_URL, 1).cast("long")
         .alias("doc_id"),
@@ -1298,6 +1304,70 @@ _FEED_INGEST_ORACLE = f"""
            CASE WHEN doc_id % 11 <> 5
                 THEN {_FEED_EPOCH} + (doc_id * 7) % 86400 END AS pub_epoch
     FROM documents"""
+
+
+def _q_feed_frontier(spark, sf_dir):
+    """The feed-side discovery loop composed in ONE plan (the RSS
+    mirror of sitemap_frontier): pages declare their feeds via
+    ``<link rel="alternate">`` (only doc_id%4<2 declare, and fid%3==1
+    feeds are never declared -> never fetched), robots.discover_feeds
+    surfaces them, the DISCOVERED payloads broadcast-join to the
+    fetched set, robots.parse_feeds yields items linking to
+    (doc_id*3)%(2n) — half beyond the known corpus — and the frontier
+    is the anti-joined NEW targets with item counts and the latest
+    pub date. DuckDB replays discovery, the fetch gate, and the
+    grouped frontier."""
+    from fortissimo_spark.graph import resolve_href
+    from fortissimo_spark.robots import discover_feeds, parse_feeds
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    kind = F.when(d % 2 == 0, F.lit("rss")).otherwise(F.lit("atom"))
+    mime = (F.when(d % 2 == 0, F.lit("application/rss+xml"))
+            .otherwise(F.lit("application/atom+xml")))
+    fid = F.floor(d / 50).cast("long")
+    declares = (d % 4 < 2) & (fid % 3 != 1)
+    head = F.when(declares, F.concat(
+        F.lit('<link rel="alternate" type="'), mime,
+        F.lit('" title="Feed" href="/'), kind, F.lit("-"),
+        fid.cast("string"), F.lit('.xml">'))).otherwise(F.lit(""))
+    page_url = F.concat(F.lit("https://feeds.example/article/"),
+                        F.lpad(d.cast("string"), 10, "0"))
+    pages = docs.select(
+        page_url.alias("url"),
+        F.encode(F.concat(F.lit("<html><head>"), head,
+                          F.lit("</head><body></body></html>")),
+                 "utf-8").alias("html"))
+    disc = (discover_feeds(pages)
+            .select(resolve_href(F.col("url"), F.col("feed_href"))
+                    .alias("feed_url"))
+            .distinct())
+    feeds = _feed_payloads(docs, (d * 3) % (2 * n))
+    items = parse_feeds(feeds.join(F.broadcast(disc), "feed_url"))
+    known = docs.select(page_url.alias("link"))
+    return (items.join(known, "link", "left_anti")
+            .groupBy("link")
+            .agg(F.count("*").alias("n_items"),
+                 F.max("pub_epoch").alias("latest_epoch"))
+            .select(F.regexp_extract("link", _DOC_ID_FROM_URL, 1)
+                    .cast("long").alias("target_id"),
+                    "n_items", "latest_epoch"))
+
+
+_FEED_FRONTIER_ORACLE = f"""
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    disc AS (SELECT DISTINCT doc_id % 2 AS k, doc_id // 50 AS fid
+             FROM documents
+             WHERE doc_id % 4 < 2 AND (doc_id // 50) % 3 <> 1),
+    items AS (
+      SELECT (dd.doc_id * 3) % (2 * (SELECT n FROM nn)) AS m,
+             CASE WHEN dd.doc_id % 11 <> 5
+                  THEN {_FEED_EPOCH} + (dd.doc_id * 7) % 86400 END AS pe
+      FROM documents dd JOIN disc
+        ON disc.k = dd.doc_id % 2 AND disc.fid = dd.doc_id // 50)
+    SELECT m AS target_id, count(*) AS n_items, max(pe) AS latest_epoch
+    FROM items WHERE m >= (SELECT n FROM nn)
+    GROUP BY m"""
 
 
 _LG_DAMP = 0.85
@@ -1701,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_dedup": _q_canonical_dedup,
         "structured_data": _q_structured_data,
         "feed_ingest": _q_feed_ingest,
+        "feed_frontier": _q_feed_frontier,
         "ppl_buckets": _q_ppl_buckets,
         # (c) driver-verified r5, unchanged
         "q1_pricing_summary": _q1_pricing_summary,
@@ -3290,6 +3361,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_dedup": _CANONICAL_DEDUP_ORACLE,
         "structured_data": _STRUCTURED_DATA_ORACLE,
         "feed_ingest": _FEED_INGEST_ORACLE,
+        "feed_frontier": _FEED_FRONTIER_ORACLE,
         "ppl_buckets": _ppl_buckets_oracle_sql(),
         "sentence_stats": _sentence_stats_oracle_sql(),
         "curate_corpus": _curate_oracle_sql(),

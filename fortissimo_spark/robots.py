@@ -441,3 +441,55 @@ def parse_feeds(feeds: DataFrame) -> DataFrame:
     ])
     return (feeds.select("feed_url", "xml")
             .mapInPandas(_feed_kernel, schema))
+
+
+def _discover_feeds_kernel(batches):
+    """pandas batches (url, html) -> one row per declared feed:
+    ``<link rel="alternate">`` whose type is a feed mime — the way
+    browsers and crawlers find a site's RSS/Atom feeds. rel matching
+    is token-based case-insensitive; href-less links drop."""
+    import pandas as pd
+
+    from .dom import ELEMENT, N_KIND, N_TAG_LC
+    from .kernel import _attrs_ci, decode_page_bytes
+    from .parser import parse
+
+    mimes = {"application/rss+xml": "rss", "application/atom+xml": "atom"}
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        rows = {k: [] for k in ("url", "feed_href", "feed_kind",
+                                "feed_title")}
+        for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+            text_src, _, _ = decode_page_bytes(bytes(raw or b""))
+            b = parse(text_src, positions=False).dom
+            for i, nd in enumerate(b.nodes):
+                if nd[N_KIND] != ELEMENT or nd[N_TAG_LC] != "link":
+                    continue
+                attrs = _attrs_ci(b, i)
+                rel = (attrs.get("rel") or "").lower().split()
+                kind = mimes.get((attrs.get("type") or "").strip().lower())
+                href = attrs.get("href")
+                if "alternate" not in rel or kind is None or not href:
+                    continue
+                rows["url"].append(url)
+                rows["feed_href"].append(href)
+                rows["feed_kind"].append(kind)
+                rows["feed_title"].append(attrs.get("title"))
+        yield pd.DataFrame(rows)
+
+
+def discover_feeds(pages: DataFrame) -> DataFrame:
+    """Feed autodiscovery over crawled pages: one row per declared
+    RSS/Atom ``<link rel="alternate">`` — (url, feed_href, feed_kind,
+    feed_title). Map-side only; resolve feed_href against url with
+    graph.resolve_href downstream."""
+    from pyspark.sql.types import StringType, StructField, StructType
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("feed_href", StringType()),
+        StructField("feed_kind", StringType()),
+        StructField("feed_title", StringType()),
+    ])
+    return (pages.select("url", "html")
+            .mapInPandas(_discover_feeds_kernel, schema))

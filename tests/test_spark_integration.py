@@ -3417,3 +3417,29 @@ def test_harmonic_centrality_hand_graph(spark):
     out1 = {r.id: (r.reached, r.harmonic)
             for r in harmonic_centrality(edges, nodes, radius=1).collect()}
     assert out1["e"] == (1, 1.0) and out1["c"] == (2, 2.0)
+
+
+def test_discover_feeds(spark):
+    """Feed autodiscovery: token-based rel match, case-insensitive
+    type, title capture; stylesheets / href-less / wrong-mime links
+    ignored."""
+    from fortissimo_spark.robots import discover_feeds
+    html = (b'<html><head>'
+            b'<link rel="alternate" type="application/rss+xml"'
+            b' title="Main" href="/feed.xml">'
+            b'<link rel="ALTERNATE stylesheet" type="Application/ATOM+xml"'
+            b' href="atom.xml">'
+            b'<link rel="alternate" type="application/rss+xml">'  # no href
+            b'<link rel="stylesheet" type="text/css" href="/s.css">'
+            b'<link rel="alternate" type="text/html" href="/mobile">'
+            b'</head><body></body></html>')
+    pages = spark.createDataFrame(
+        [("https://h.x/page", bytearray(html)),
+         ("https://h.x/empty", bytearray(b"<p>no feeds</p>"))],
+        "url string, html binary")
+    rows = sorted([(r.url, r.feed_href, r.feed_kind, r.feed_title)
+                   for r in discover_feeds(pages).collect()])
+    assert rows == [
+        ("https://h.x/page", "/feed.xml", "rss", "Main"),
+        ("https://h.x/page", "atom.xml", "atom", None),
+    ]
