@@ -1630,16 +1630,11 @@ _HC_RADIUS = 3
 _HC_HOSTS = 64
 
 
-def _q_host_harmonic(spark, sf_dir):
-    """Bounded-radius harmonic centrality over a 64-host graph (the
-    other Common-Crawl host ranking next to PageRank). Edge rule from
-    `documents`: src = doc_id%64, dst = src + gen where gen cycles
-    {1,2,5} by doc_id%3, truncated at the line's end — an asymmetric
-    reachability structure so distances 1..3 all occur and centrality
-    varies by position. DuckDB replays the walks and takes min-dist
-    per pair; the float combine is the same single left-to-right
-    expression over integer counts on both sides."""
-    from fortissimo_spark.graph import harmonic_centrality
+def _hc_fixture(spark, sf_dir):
+    """64-host asymmetric line graph from `documents`: src = doc_id%64,
+    dst = src + gen where gen cycles {1,2,5} by doc_id%3, truncated at
+    the line's end — distances 1..3 all occur and centrality varies by
+    position. Returns (edges, nodes) with ids 'hNN'."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
     s = d % _HC_HOSTS
@@ -1651,13 +1646,42 @@ def _q_host_harmonic(spark, sf_dir):
              .filter(F.col("_t") < _HC_HOSTS).drop("_t"))
     nodes = spark.range(_HC_HOSTS).select(
         hid(F.col("id")).alias("id"))
+    return edges, nodes
+
+
+def _q_host_harmonic(spark, sf_dir):
+    """Bounded-radius harmonic centrality over the `_hc_fixture` host
+    graph (the other Common-Crawl host ranking next to PageRank).
+    DuckDB replays the walks and takes min-dist per pair; the float
+    combine is the same single left-to-right expression over integer
+    counts on both sides."""
+    from fortissimo_spark.graph import harmonic_centrality
+    edges, nodes = _hc_fixture(spark, sf_dir)
     hc = harmonic_centrality(edges, nodes, radius=_HC_RADIUS)
     return hc.select(
         F.substring("id", 2, 2).cast("int").alias("host_idx"),
         "reached", "harmonic")
 
 
-def _host_harmonic_oracle_sql() -> str:
+def _q_host_harmonic_hb(spark, sf_dir):
+    """HyperBall APPROXIMATE harmonic centrality on the same fixture
+    graph — the 10^12-node scale path (O(nodes x m) sparse-register
+    state instead of exact pair state). Every arithmetic step is
+    engine-replayable: md5-prefix 60-bit register hash, exact integer
+    HLL denominators, fixed IEEE expressions rounded 6 dp per round —
+    so DuckDB recomputes the ESTIMATES bit-for-bit from the ball
+    relation, not just approximately."""
+    from fortissimo_spark.graph import hyperball_harmonic
+    edges, nodes = _hc_fixture(spark, sf_dir)
+    hb = hyperball_harmonic(edges, nodes, radius=_HC_RADIUS, log2m=6)
+    return hb.select(
+        F.substring("id", 2, 2).cast("int").alias("host_idx"),
+        "hb_reached", "hb_harmonic")
+
+
+def _hc_walks_ctes() -> str:
+    """Shared oracle CTEs: the fixture edge set, bounded walks, and
+    min-dist shortest pairs `sp` plus the `hosts` relation."""
     walks = ["w1 AS (SELECT src AS u, dst AS v, 1 AS d FROM e)"]
     for r in range(2, _HC_RADIUS + 1):
         walks.append(f"""
@@ -1666,13 +1690,6 @@ def _host_harmonic_oracle_sql() -> str:
                  WHERE w.u <> e.dst)""")
     allw = " UNION ALL ".join(
         f"SELECT * FROM w{r}" for r in range(1, _HC_RADIUS + 1))
-    ns = [f"count(*) FILTER (WHERE d = {r}) AS n{r}"
-          for r in range(1, _HC_RADIUS + 1)]
-    hexpr = " + ".join(
-        ["CAST(n1 AS DOUBLE)"]
-        + [f"CAST(n{r} AS DOUBLE) / {float(r)}"
-           for r in range(2, _HC_RADIUS + 1)])
-    rexpr = " + ".join(f"n{r}" for r in range(1, _HC_RADIUS + 1))
     return f"""
         WITH e AS (
           SELECT DISTINCT doc_id % {_HC_HOSTS} AS src,
@@ -1685,12 +1702,72 @@ def _host_harmonic_oracle_sql() -> str:
                     ELSE 5 END < {_HC_HOSTS}),
         {",".join(walks)},
         sp AS (SELECT u, v, min(d) AS d FROM ({allw}) GROUP BY u, v),
-        cnt AS (SELECT v AS id, {", ".join(ns)} FROM sp GROUP BY v),
-        hosts AS (SELECT unnest(range({_HC_HOSTS})) AS hi)
+        hosts AS (SELECT unnest(range({_HC_HOSTS})) AS hi)"""
+
+
+def _host_harmonic_oracle_sql() -> str:
+    ns = [f"count(*) FILTER (WHERE d = {r}) AS n{r}"
+          for r in range(1, _HC_RADIUS + 1)]
+    hexpr = " + ".join(
+        ["CAST(n1 AS DOUBLE)"]
+        + [f"CAST(n{r} AS DOUBLE) / {float(r)}"
+           for r in range(2, _HC_RADIUS + 1)])
+    rexpr = " + ".join(f"n{r}" for r in range(1, _HC_RADIUS + 1))
+    return _hc_walks_ctes() + f""",
+        cnt AS (SELECT v AS id, {", ".join(ns)} FROM sp GROUP BY v)
         SELECT CAST(hh.hi AS INTEGER) AS host_idx,
                CAST(coalesce({rexpr}, 0) AS BIGINT) AS reached,
                round(coalesce({hexpr}, 0.0), 9) AS harmonic
         FROM hosts hh LEFT JOIN cnt c ON c.id = hh.hi"""
+
+
+def _host_harmonic_hb_oracle_sql() -> str:
+    from fortissimo_spark.graph import hyperball_alpha
+    log2m, m = 6, 64
+    s1 = 60 - log2m + 1                     # S + 1
+    scale_a = hyperball_alpha(m) * m * m * float(2 ** s1)
+    # per-(v, radius) registers from the ball relation (self at d=0),
+    # then the IDENTICAL estimate expression the engine evaluates
+    eraw = (f"{scale_a!r} / CAST(sp + ({m} - cnt) * "
+            f"(CAST(1 AS BIGINT) << {s1}) AS DOUBLE)")
+    est = (f"round(CASE WHEN {eraw} <= {2.5 * m!r} AND ({m} - cnt) > 0 "
+           f"THEN {float(m)!r} * ln({float(m)!r} "
+           f"/ CAST({m} - cnt AS DOUBLE)) "
+           f"ELSE {eraw} END, 6)")
+    hterms = " + ".join(
+        f"(e{r}.est - e{r - 1}.est) / {float(r)!r}"
+        for r in range(1, _HC_RADIUS + 1))
+    ejoins = "\n".join(
+        f"        JOIN est e{r} ON e{r}.v = hh.hi AND e{r}.r = {r}"
+        for r in range(_HC_RADIUS + 1))
+    return _hc_walks_ctes() + f""",
+        ball AS (SELECT u, v, d FROM sp
+                 UNION ALL SELECT hi, hi, 0 FROM hosts),
+        hreg AS (
+          SELECT hi,
+                 CAST(h % {m} AS INT) AS idx,
+                 CAST({s1} - CASE WHEN h // {m} > 0
+                      THEN length(format('{{:b}}', h // {m}))
+                      ELSE 0 END AS INT) AS rank
+          FROM (SELECT hi, CAST(concat('0x', substr(md5(
+                  'h' || lpad(CAST(hi AS VARCHAR), 2, '0')), 1, 15))
+                  AS BIGINT) AS h FROM hosts)),
+        regs AS (
+          SELECT b.v, rr.r, hr.idx, max(hr.rank) AS rank
+          FROM (SELECT unnest(range({_HC_RADIUS + 1})) AS r) rr
+          JOIN ball b ON b.d <= rr.r
+          JOIN hreg hr ON hr.hi = b.u
+          GROUP BY b.v, rr.r, hr.idx),
+        agg AS (
+          SELECT v, r, count(*) AS cnt,
+                 sum(CAST(1 AS BIGINT) << ({s1} - rank)) AS sp
+          FROM regs GROUP BY v, r),
+        est AS (SELECT v, r, {est} AS est FROM agg)
+        SELECT CAST(hh.hi AS INTEGER) AS host_idx,
+               e{_HC_RADIUS}.est AS hb_reached,
+               round({hterms}, 6) AS hb_harmonic
+        FROM hosts hh
+{ejoins}"""
 
 
 def _q_ppl_buckets(spark, sf_dir):
@@ -1767,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_analysis": _q_page_analysis,
         "host_rank": _q_host_rank,
         "host_harmonic": _q_host_harmonic,
+        "host_harmonic_hb": _q_host_harmonic_hb,
         "sitemap_frontier": _q_sitemap_frontier,
         "canonical_dedup": _q_canonical_dedup,
         "structured_data": _q_structured_data,
@@ -3357,6 +3435,7 @@ def oracle_sql() -> dict[str, str]:
         "page_analysis": _PAGE_ANALYSIS_ORACLE,
         "host_rank": _host_rank_oracle_sql(),
         "host_harmonic": _host_harmonic_oracle_sql(),
+        "host_harmonic_hb": _host_harmonic_hb_oracle_sql(),
         "sitemap_frontier": _sitemap_frontier_oracle_sql(),
         "canonical_dedup": _CANONICAL_DEDUP_ORACLE,
         "structured_data": _STRUCTURED_DATA_ORACLE,

@@ -33,7 +33,8 @@ from .kernel import decode_page_bytes
 from .parser import parse
 
 __all__ = ["extract_outlinks", "resolve_href", "link_degrees", "pagerank",
-           "anchor_text_index", "host_graph", "harmonic_centrality"]
+           "anchor_text_index", "host_graph", "harmonic_centrality",
+           "hyperball_harmonic", "hyperball_alpha"]
 
 
 def _outlinks_kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -260,3 +261,95 @@ def harmonic_centrality(edges: DataFrame, nodes: DataFrame, *,
                     F.coalesce(reached, F.lit(0)).alias("reached"),
                     F.round(F.coalesce(harmonic, F.lit(0.0)), 9)
                     .alias("harmonic")))
+
+
+_HB_HASH_HEX = 15          # md5 prefix length -> 60-bit nonneg hash
+
+
+def hyperball_alpha(m: int) -> float:
+    """Standard HLL bias constant for m registers."""
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m))
+
+
+def hyperball_harmonic(edges: DataFrame, nodes: DataFrame, *,
+                       radius: int = 3, log2m: int = 6,
+                       src_col: str = "src", dst_col: str = "dst",
+                       checkpoint: bool = True) -> DataFrame:
+    """HyperBall approximate harmonic centrality (Boldi & Vigna 2013,
+    "In-Core Computation of Geometric Centralities with HyperBall") —
+    the 10^12-node scale path where `harmonic_centrality`'s exact
+    (u, v) pair state is unaffordable: per-node HyperLogLog counters
+    estimate |B_in(v, r)| and H(v) ~= sum_r (|B_r| - |B_{r-1}|) / r.
+
+    Spark shape: counters are SPARSE rows (v, register_idx, rank) —
+    never dense arrays — so the per-round union-of-neighbors is one
+    edge join plus a partial-aggregated groupBy max over at most
+    nodes x m rows, all JVM-side, lineage cut per round. State is
+    O(nodes x m) regardless of graph density: that is the HyperBall
+    trade against the exact operator's sum-of-ball-sizes.
+
+    Determinism (cross-run AND cross-engine): the register hash is the
+    md5-prefix 60-bit integer (replayable in any engine); the HLL
+    denominator is summed in EXACT integer arithmetic (terms
+    2^(S+1-rank) with S = 60 - log2m, so the sum is order-free), and
+    each per-round estimate is a fixed literal/column IEEE expression
+    rounded to 6 dp. The one libm call (ln for the linear-counting
+    small-range correction) is 1-ulp class and absorbed by the
+    rounding grid.
+
+    Returns (id, hb_reached, hb_harmonic): the radius-R ball estimate
+    and the truncated harmonic estimate. Relative error ~1.04/sqrt(m)
+    per ball (~13% at the default m=64; raise log2m for tighter).
+    """
+    m = 1 << log2m
+    S = 60 - log2m
+    scale_a = hyperball_alpha(m) * m * m * float(2 ** (S + 1))
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct())
+    h = F.conv(F.substring(F.md5(F.col("id")), 1, _HB_HASH_HEX),
+               16, 10).cast("long")
+    w = F.shiftright(h, log2m)
+    bl = F.when(w > 0, F.length(F.bin(w))).otherwise(F.lit(0))
+    state = nodes.select(
+        F.col("id").alias("v"),
+        (h % m).cast("int").alias("idx"),
+        (F.lit(S + 1) - bl).cast("int").alias("rank"))
+
+    def estimate(st, r):
+        agg = st.groupBy("v").agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                         f"{S + 1} - rank)")).alias("sp"))
+        ds = (F.col("sp")
+              + (F.lit(m) - F.col("cnt")) * F.lit(2 ** (S + 1)))
+        eraw = F.lit(scale_a) / ds.cast("double")
+        v0 = F.lit(m) - F.col("cnt")
+        est = F.when((eraw <= F.lit(2.5 * m)) & (v0 > 0),
+                     F.lit(float(m))
+                     * F.log(F.lit(float(m)) / v0.cast("double"))) \
+            .otherwise(eraw)
+        return agg.select("v", F.round(est, 6).alias(f"est{r}"))
+
+    ests = [estimate(state, 0)]
+    for r in range(1, radius + 1):
+        moved = (state.join(e, state["v"] == e["src"])
+                 .select(F.col("dst").alias("v"), "idx", "rank"))
+        state = (state.unionByName(moved)
+                 .groupBy("v", "idx").agg(F.max("rank").alias("rank")))
+        if checkpoint:
+            state = state.localCheckpoint(eager=False)
+        ests.append(estimate(state, r))
+
+    out = nodes.select(F.col("id").alias("v"))
+    for fr in ests:
+        out = out.join(fr, "v", "left")
+    harmonic = None
+    for r in range(1, radius + 1):
+        term = (F.col(f"est{r}") - F.col(f"est{r - 1}")) / float(r)
+        harmonic = term if harmonic is None else harmonic + term
+    return out.select(
+        F.col("v").alias("id"),
+        F.col(f"est{radius}").alias("hb_reached"),
+        F.round(harmonic, 6).alias("hb_harmonic"))

@@ -3443,3 +3443,36 @@ def test_discover_feeds(spark):
         ("https://h.x/page", "/feed.xml", "rss", "Main"),
         ("https://h.x/page", "atom.xml", "atom", None),
     ]
+
+
+def test_hyperball_vs_exact_harmonic(spark):
+    """HyperBall estimates track the exact bounded-radius harmonic
+    centrality within HLL error bounds on a 150-node graph, and the
+    output is bit-identical under repartitioning (the integer-sum /
+    fixed-expression determinism claim)."""
+    from fortissimo_spark.graph import harmonic_centrality, hyperball_harmonic
+    n = 150
+    rows = []
+    for i in range(n):           # two deterministic out-edges per node
+        rows.append((f"n{i:03d}", f"n{(i * 7 + 3) % n:03d}"))
+        rows.append((f"n{i:03d}", f"n{(i * 13 + 11) % n:03d}"))
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    nodes = spark.createDataFrame([(f"n{i:03d}",) for i in range(n)],
+                                  "id string")
+    exact = {r.id: r.harmonic
+             for r in harmonic_centrality(edges, nodes, radius=3).collect()}
+    hb = {r.id: r.hb_harmonic
+          for r in hyperball_harmonic(edges, nodes, radius=3,
+                                      log2m=6).collect()}
+    assert set(hb) == set(exact)
+    # per-node within generous HLL bounds (sigma ~ 13% at m=64);
+    # corpus-level relative error much tighter
+    rel = [abs(hb[k] - exact[k]) / exact[k] for k in exact if exact[k] > 0]
+    assert max(rel) < 0.5, max(rel)
+    assert sum(rel) / len(rel) < 0.15, sum(rel) / len(rel)
+    # determinism: a different partitioning yields bit-identical output
+    hb2 = {r.id: r.hb_harmonic
+           for r in hyperball_harmonic(edges.repartition(7),
+                                       nodes.repartition(3),
+                                       radius=3, log2m=6).collect()}
+    assert hb2 == hb
