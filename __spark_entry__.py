@@ -1370,6 +1370,78 @@ _FEED_FRONTIER_ORACLE = f"""
     GROUP BY m"""
 
 
+_RD_MAX_HOPS = 8
+
+
+def _q_redirect_chains(spark, sf_dir):
+    """Redirect-chain resolution (urls.resolve_redirects, pointer
+    doubling): docs with doc_id%10<3 form /r/ chains of 1-3 hops into
+    /final/ targets; doc_id%100 in {93,94} plant 2-cycles that never
+    terminate. Resolved rows carry the terminal url + exact hop count;
+    unresolved (cyclic) rows surface as resolved=false with NULL
+    final/hops (the raw doubling internals are pinned by pytest).
+    DuckDB replays the chains with a bounded recursive CTE."""
+    from fortissimo_spark.urls import resolve_redirects
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ids = d.cast("string")
+    r_chain = (docs.filter(d % 10 < 3)
+               .select(F.concat(F.lit("/r/"), ids).alias("src"),
+                       F.when((d + 1) % 10 < 3,
+                              F.concat(F.lit("/r/"),
+                                       (d + 1).cast("string")))
+                       .otherwise(F.concat(F.lit("/final/"), ids))
+                       .alias("dst")))
+    c_fwd = (docs.filter(d % 100 == 93)
+             .select(F.concat(F.lit("/c/"), ids).alias("src"),
+                     F.concat(F.lit("/c/"), (d + 1).cast("string"))
+                     .alias("dst")))
+    c_bwd = (docs.filter(d % 100 == 94)
+             .select(F.concat(F.lit("/c/"), ids).alias("src"),
+                     F.concat(F.lit("/c/"), (d - 1).cast("string"))
+                     .alias("dst")))
+    redirects = r_chain.unionByName(c_fwd).unionByName(c_bwd)
+    out = resolve_redirects(redirects, max_hops=_RD_MAX_HOPS)
+    ok = F.col("resolved")
+    return out.select(
+        "url",
+        F.when(ok, F.col("final_url")).alias("final_url"),
+        F.when(ok, F.col("hops")).alias("hops"),
+        "resolved")
+
+
+_REDIRECT_CHAINS_ORACLE = f"""
+    WITH RECURSIVE redirects AS (
+      SELECT '/r/' || CAST(doc_id AS VARCHAR) AS src,
+             CASE WHEN (doc_id + 1) % 10 < 3
+                  THEN '/r/' || CAST(doc_id + 1 AS VARCHAR)
+                  ELSE '/final/' || CAST(doc_id AS VARCHAR) END AS dst
+      FROM documents WHERE doc_id % 10 < 3
+      UNION ALL
+      SELECT '/c/' || CAST(doc_id AS VARCHAR),
+             '/c/' || CAST(doc_id + 1 AS VARCHAR)
+      FROM documents WHERE doc_id % 100 = 93
+      UNION ALL
+      SELECT '/c/' || CAST(doc_id AS VARCHAR),
+             '/c/' || CAST(doc_id - 1 AS VARCHAR)
+      FROM documents WHERE doc_id % 100 = 94),
+    walk(src, cur, hops) AS (
+      SELECT src, dst, 1 FROM redirects
+      UNION ALL
+      SELECT w.src, r.dst, w.hops + 1
+      FROM walk w JOIN redirects r ON r.src = w.cur
+      WHERE w.hops <= {_RD_MAX_HOPS}),
+    term AS (
+      SELECT w.src, w.cur, w.hops FROM walk w
+      WHERE w.hops <= {_RD_MAX_HOPS}
+        AND NOT EXISTS (SELECT 1 FROM redirects r WHERE r.src = w.cur))
+    SELECT s.src AS url, t.cur AS final_url,
+           CAST(t.hops AS INTEGER) AS hops,
+           t.src IS NOT NULL AS resolved
+    FROM (SELECT DISTINCT src FROM redirects) s
+    LEFT JOIN term t ON t.src = s.src"""
+
+
 _LG_DAMP = 0.85
 _LG_ITERS = 3
 
@@ -1850,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structured_data": _q_structured_data,
         "feed_ingest": _q_feed_ingest,
         "feed_frontier": _q_feed_frontier,
+        "redirect_chains": _q_redirect_chains,
         "ppl_buckets": _q_ppl_buckets,
         # (c) driver-verified r5, unchanged
         "q1_pricing_summary": _q1_pricing_summary,
@@ -3441,6 +3514,7 @@ def oracle_sql() -> dict[str, str]:
         "structured_data": _STRUCTURED_DATA_ORACLE,
         "feed_ingest": _FEED_INGEST_ORACLE,
         "feed_frontier": _FEED_FRONTIER_ORACLE,
+        "redirect_chains": _REDIRECT_CHAINS_ORACLE,
         "ppl_buckets": _ppl_buckets_oracle_sql(),
         "sentence_stats": _sentence_stats_oracle_sql(),
         "curate_corpus": _curate_oracle_sql(),

@@ -141,3 +141,58 @@ def cap_per_host(docs, max_per_host: int, url_col: str = "url",
          .orderBy(h.asc(), F.col(id_col).asc()))
     return (docs.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= max_per_host).drop("_rn"))
+
+
+def resolve_redirects(redirects, max_hops: int = 32,
+                      src_col: str = "src", dst_col: str = "dst",
+                      checkpoint: bool = True):
+    """Resolve HTTP redirect chains — every crawl carries a large 3xx
+    population whose content lives at the END of a chain, and dedup /
+    canonicalization wants the terminal url per source.
+
+    Input: one row per redirecting url (src -> dst). Output: one row
+    per src with (final_url, hops, resolved) — ``resolved`` False when
+    the chain exceeds ``max_hops`` or loops (cycles never terminate,
+    so they surface as capped).
+
+    Shape: POINTER DOUBLING, not step-by-step following — each round
+    joins the state with ITSELF (state[u].next := state[state[u].next]
+    .next, hops add), so a chain of length h settles in O(log h)
+    self-joins instead of O(h) lookups: ceil(log2(max_hops)) shuffles
+    total, each over (src, cur, hops) rows only. Lineage is cut per
+    round. A src whose cur is not itself a redirect source is already
+    terminal and passes through the round unchanged (left join).
+    Hops saturate at max_hops + 1 as the not-resolved sentinel so
+    cycle hop counts cannot grow unboundedly through doubling."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    cap = max_hops + 1
+    state = redirects.select(F.col(src_col).alias("u"),
+                             F.col(dst_col).alias("cur"),
+                             F.lit(1).alias("hops"))
+    rounds = max(1, math.ceil(math.log2(max_hops))) if max_hops > 1 else 1
+    for _ in range(rounds):
+        nxt = state.select(F.col("u").alias("u2"),
+                           F.col("cur").alias("cur2"),
+                           F.col("hops").alias("hops2"))
+        state = (state.join(nxt, state["cur"] == nxt["u2"], "left")
+                 .select("u",
+                         F.coalesce("cur2", "cur").alias("cur"),
+                         F.when(F.col("cur2").isNull(), F.col("hops"))
+                         .otherwise(F.least(F.col("hops") + F.col("hops2"),
+                                            F.lit(cap)))
+                         .alias("hops")))
+        if checkpoint:
+            state = state.localCheckpoint(eager=False)
+    # a cur still pointing at a redirect source after the doublings is
+    # an unterminated (cyclic or over-cap) chain
+    srcs = redirects.select(F.col(src_col).alias("cur")).distinct() \
+        .withColumn("_is_src", F.lit(True))
+    return (state.join(srcs, "cur", "left")
+            .select(F.col("u").alias("url"),
+                    F.col("cur").alias("final_url"),
+                    F.least(F.col("hops"), F.lit(cap)).alias("hops"),
+                    (F.col("_is_src").isNull()
+                     & (F.col("hops") <= max_hops)).alias("resolved")))

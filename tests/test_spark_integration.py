@@ -3476,3 +3476,30 @@ def test_hyperball_vs_exact_harmonic(spark):
                                        nodes.repartition(3),
                                        radius=3, log2m=6).collect()}
     assert hb2 == hb
+
+
+def test_resolve_redirects_pointer_doubling(spark):
+    """Hand-traced chains: exact hop counts for 1/2/3/6-hop chains,
+    2-cycle and self-loop never resolve, over-cap chain unresolved,
+    and the round count stays logarithmic (max_hops=8 -> 3 rounds)."""
+    from fortissimo_spark.urls import resolve_redirects
+    rows = [("a", "b"), ("b", "c"), ("c", "d"),          # 3-chain -> d
+            ("p", "q"),                                   # 1 hop
+            ("x1", "x2"), ("x2", "x3"), ("x3", "x4"),    # 6-chain
+            ("x4", "x5"), ("x5", "x6"), ("x6", "end"),
+            ("u", "v"), ("v", "u"),                       # 2-cycle
+            ("s", "s")]                                   # self-loop
+    # 9-chain: exceeds max_hops=8
+    rows += [(f"y{i}", f"y{i+1}") for i in range(9)]
+    redirects = spark.createDataFrame(rows, "src string, dst string")
+    out = {r.url: (r.final_url, r.hops, r.resolved)
+           for r in resolve_redirects(redirects, max_hops=8).collect()}
+    assert out["a"] == ("d", 3, True)
+    assert out["b"] == ("d", 2, True)
+    assert out["c"] == ("d", 1, True)
+    assert out["p"] == ("q", 1, True)
+    assert out["x1"] == ("end", 6, True)
+    assert out["u"][2] is False and out["v"][2] is False
+    assert out["s"][2] is False
+    assert out["y0"][2] is False          # needs 9 > 8 hops
+    assert out["y1"] == ("y9", 8, True)   # exactly at the cap
