@@ -42,7 +42,12 @@ def _outlinks_kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if len(pdf) == 0:
             continue
         rows = {k: [] for k in ("url", "href", "anchor", "nofollow")}
-        for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+        has_ts = "warc_ts" in pdf.columns
+        if has_ts:
+            rows["warc_ts"] = []
+            ts_list = pdf["warc_ts"].tolist()
+        for ri, (url, raw) in enumerate(
+                zip(pdf["url"].tolist(), pdf["html"].tolist())):
             text_src, _, _ = decode_page_bytes(bytes(raw or b""))
             b = parse(text_src, positions=False).dom
             for a in b.query_selector_all(0, "a"):
@@ -61,20 +66,29 @@ def _outlinks_kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 rows["anchor"].append(b.text_content(a))
                 rows["nofollow"].append(
                     "nofollow" in (rel or "").lower().split())
+                if has_ts:
+                    rows["warc_ts"].append(ts_list[ri])
         yield pd.DataFrame(rows)
 
 
 def extract_outlinks(pages: DataFrame) -> DataFrame:
-    """One row per ``<a href>``: (url, href, anchor, nofollow)."""
+    """One row per ``<a href>``: (url, href, anchor, nofollow). When
+    the input carries ``warc_ts`` it rides along per link row — the
+    streaming frontier needs the event time to survive the kernel so
+    the candidate dedup can watermark on it."""
     from pyspark.sql.types import (
-        BooleanType, StringType, StructField, StructType,
+        BooleanType, StringType, StructField, StructType, TimestampType,
     )
-    schema = StructType([StructField("url", StringType()),
-                         StructField("href", StringType()),
-                         StructField("anchor", StringType()),
-                         StructField("nofollow", BooleanType())])
-    return (pages.select("url", "html")
-            .mapInPandas(_outlinks_kernel, schema))
+    fields = [StructField("url", StringType()),
+              StructField("href", StringType()),
+              StructField("anchor", StringType()),
+              StructField("nofollow", BooleanType())]
+    cols = ["url", "html"]
+    if "warc_ts" in pages.columns:
+        fields.append(StructField("warc_ts", TimestampType()))
+        cols.append("warc_ts")
+    return (pages.select(*cols)
+            .mapInPandas(_outlinks_kernel, StructType(fields)))
 
 
 def resolve_href(src_url: Column, href: Column) -> Column:

@@ -29,7 +29,8 @@ from .schema import PAGES_SCHEMA
 
 __all__ = ["read_pages_stream", "streaming_extract", "start_streaming_job",
            "streaming_host_stats", "streaming_crawl_rates",
-           "streaming_curate", "curation_metrics", "DOCS_STREAM_SCHEMA"]
+           "streaming_curate", "curation_metrics", "streaming_frontier",
+           "DOCS_STREAM_SCHEMA"]
 
 
 def read_pages_stream(spark: SparkSession, input_path: str,
@@ -290,3 +291,63 @@ def streaming_curate(spark: SparkSession, input_path: str, output_path: str,
         listener.query_id = str(q.id)
         q.metricsListener = listener
     return q
+
+
+def streaming_frontier(spark: SparkSession, input_path: str,
+                       output_path: str, checkpoint_path: str, *,
+                       known_urls: DataFrame | None = None,
+                       include_nofollow: bool = False,
+                       watermark: str = "1 hour",
+                       max_files_per_trigger: int = 1,
+                       trigger_seconds: int = 10):
+    """The discovery loop as an INCREMENTAL job — the streaming mirror
+    of the batch sitemap/feed frontiers: a continuous crawl discovers
+    its own next wave from the pages it just fetched.
+
+    Stream of fetched pages -> outlink extraction (the stateless
+    mapInPandas kernel runs directly on the stream; ``warc_ts`` rides
+    through it as the event time) -> JVM href resolution -> stateful
+    candidate dedup via ``dropDuplicatesWithinWatermark`` on the
+    resolved url, so each candidate is emitted ONCE per watermark
+    horizon and dedup state stays bounded by discovery rate x horizon
+    — never by frontier size (the same eviction argument as
+    :func:`streaming_extract`). Inside ``foreachBatch`` the candidates
+    anti-join the ``known_urls`` seed (already-crawled corpus) — a
+    per-batch broadcast against a static frame, stateless — and each
+    batch lands ``batch_id=N`` with overwrite (the at-least-once
+    idempotency contract shared with :func:`start_streaming_job`).
+
+    nofollow links are excluded from discovery by default (the
+    crawler-politeness convention); pass ``include_nofollow=True`` to
+    keep them. Returns the StreamingQuery handle."""
+    from .graph import extract_outlinks, resolve_href
+
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(input_path))
+    links = extract_outlinks(stream.select("url", "warc_ts", "html"))
+    if not include_nofollow:
+        links = links.filter(~F.col("nofollow"))
+    cands = (links
+             .select(resolve_href(F.col("url"), F.col("href"))
+                     .alias("cand_url"),
+                     "warc_ts")
+             .filter(F.col("cand_url").isNotNull())
+             .withWatermark("warc_ts", watermark)
+             .dropDuplicatesWithinWatermark(["cand_url"]))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df
+        if known_urls is not None:
+            out = out.join(F.broadcast(known_urls.select(
+                F.col(known_urls.columns[0]).alias("cand_url"))),
+                "cand_url", "left_anti")
+        (out.select("cand_url", "warc_ts")
+         .write.mode("overwrite")
+         .parquet(os.path.join(output_path, f"batch_id={batch_id}")))
+
+    return (cands.writeStream
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start())

@@ -3503,3 +3503,60 @@ def test_resolve_redirects_pointer_doubling(spark):
     assert out["s"][2] is False
     assert out["y0"][2] is False          # needs 9 > 8 hops
     assert out["y1"] == ("y9", 8, True)   # exactly at the cap
+
+
+def test_streaming_frontier_discovers_incrementally(spark,
+                                                    tmp_path_factory):
+    """Streaming discovery: candidates emit ONCE per watermark horizon
+    across micro-batches, known urls never emit, nofollow links are
+    excluded, and the union of batches equals the batch-computed
+    frontier on the same input."""
+    import datetime
+    import time as _time
+
+    from fortissimo_spark.streaming import streaming_frontier
+
+    base = tmp_path_factory.mktemp("stream_frontier")
+    in_dir, out_dir, ckpt = (str(base / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(in_dir)
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def page(url, links, minute):
+        body = "".join(
+            f'<a href="{h}"{" rel=nofollow" if nf else ""}>x</a>'
+            for h, nf in links)
+        return (url, t0 + datetime.timedelta(minutes=minute),
+                bytearray(body.encode()), None, "en")
+
+    drops = {
+        "d1": [page("https://h.x/a", [("/new1", False), ("/new2", False),
+                                      ("/known", False),
+                                      ("/secret", True)], 0),
+               page("https://h.x/b", [("/new1", False)], 1)],
+        # d2 re-discovers /new1 and /new2 within the horizon: no re-emit
+        "d2": [page("https://h.x/c", [("/new1", False), ("/new3", False),
+                                      ("https://h.x/new2", False)], 2)],
+    }
+
+    def write_drop(name):
+        spark.createDataFrame(drops[name], PAGES_SCHEMA_TEST).coalesce(1) \
+            .write.mode("overwrite").parquet(os.path.join(in_dir, name))
+        _time.sleep(1.1)
+
+    from fortissimo_spark.schema import PAGES_SCHEMA as PAGES_SCHEMA_TEST
+    known = spark.createDataFrame([("https://h.x/known",)], "url string")
+    write_drop("d1")
+    q = streaming_frontier(spark, in_dir + "/*", out_dir, ckpt,
+                           known_urls=known, watermark="1 hour")
+    try:
+        q.processAllAvailable()
+        write_drop("d2")
+        q.processAllAvailable()
+        rows = spark.read.parquet(out_dir + "/batch_id=*").collect()
+        got = sorted(r.cand_url for r in rows)
+        assert got == ["https://h.x/new1", "https://h.x/new2",
+                       "https://h.x/new3"]
+        # each candidate exactly once across ALL batches (state dedup)
+        assert len(got) == len(set(got))
+    finally:
+        q.stop()
