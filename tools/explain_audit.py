@@ -338,6 +338,99 @@ def main():
                                   "MapInPandas", "FlatMapGroupsInPandas"))),
     ]))
 
+    # 15. exact harmonic centrality: frontier anti-joins the seen set
+    #     (LeftAnti), final per-(v,d) counts partial-agg before the
+    #     regroup, everything JVM-side
+    from fortissimo_spark.graph import harmonic_centrality
+    p = plan_of(harmonic_centrality(edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst")),
+        nodes.select(F.col("id").cast("string").alias("id")),
+        radius=3, checkpoint=False))
+    sections.append(("harmonic_centrality (exact, radius 3)", p, [
+        ("frontier dedups against seen via anti-join", "LeftAnti" in p),
+        ("per-distance counts partial-agg (map-side combine)",
+         "partial_count" in p),
+        ("no per-row Python execution stage",
+         all(m not in p for m in ("BatchEvalPython", "ArrowEvalPython",
+                                  "MapInPandas", "FlatMapGroupsInPandas"))),
+    ]))
+
+    # 16. HyperBall: the per-round register union is a partial-agg MAX
+    #     (map-side combine before the (v, idx) shuffle); the estimate
+    #     aggregation partial-aggs too; all JVM
+    from fortissimo_spark.graph import hyperball_harmonic
+    p = plan_of(hyperball_harmonic(edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst")),
+        nodes.select(F.col("id").cast("string").alias("id")),
+        radius=2, checkpoint=False))
+    sections.append(("hyperball_harmonic (sketch, radius 2)", p, [
+        ("register max partial-aggs before the shuffle",
+         "partial_max" in p),
+        ("denominator sums partial-agg", "partial_sum" in p),
+        ("no per-row Python execution stage",
+         all(m not in p for m in ("BatchEvalPython", "ArrowEvalPython",
+                                  "MapInPandas", "FlatMapGroupsInPandas"))),
+    ]))
+
+    # 17. redirect resolution: pointer doubling. Two invariants:
+    #     (a) ONE doubling round is a plain self-join + terminal-source
+    #         marking join (2 joins, all JVM) — audited un-checkpointed
+    #         at max_hops=2 (1 round) where the plan tree is the round;
+    #     (b) the production default (checkpoint=True) CUTS lineage per
+    #         round, so 32 hops executes ceil(log2(32)) = 5 bounded
+    #         rounds rather than compiling an exponential self-join
+    #         tree — visible plan past the cut is just the terminal
+    #         marking join over the checkpointed state.
+    from fortissimo_spark.urls import resolve_redirects
+    redirects = nodes.select(
+        F.concat(F.lit("/u/"), F.col("id")).alias("src"),
+        F.concat(F.lit("/u/"), F.col("id") + 1).alias("dst"))
+    p = plan_of(resolve_redirects(redirects, max_hops=2,
+                                  checkpoint=False))
+    n_joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin"
+                             r"|ShuffledHashJoin)", p))
+    sections.append(("resolve_redirects (one doubling round, no cut)", p, [
+        ("one round = self-join + terminal marking join (2 joins)",
+         n_joins == 2),
+        ("no per-row Python execution stage",
+         all(m not in p for m in ("BatchEvalPython", "ArrowEvalPython",
+                                  "MapInPandas", "FlatMapGroupsInPandas"))),
+    ]))
+
+    p = plan_of(resolve_redirects(redirects, max_hops=32,
+                                  checkpoint=True))
+    n_joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin"
+                             r"|ShuffledHashJoin)", p))
+    sections.append(("resolve_redirects (cap 32, per-round lineage cut)",
+                     p, [
+        ("lineage cut: checkpointed state scanned as RDD",
+         "ExistingRDD" in p),
+        ("only the terminal marking join remains past the cut",
+         n_joins <= 2),
+    ]))
+
+    # 18. rel=canonical dedup over the one-pass analysis kernel: the
+    #     canonical key is a map-side expression over kernel output —
+    #     ONE analysis parse (the only MapInPandas beyond the synthetic
+    #     page builder), ONE shuffle (the winner window's; the
+    #     builder's REPARTITION_BY_NUM is fixture scaffolding), top-1
+    #     pushed down
+    from fortissimo_spark.kernel import page_analysis
+    from fortissimo_spark.pipeline import dedup_canonical
+    pages_ts = pages.select("url", "warc_ts", "html")
+    p = plan_of(dedup_canonical(page_analysis(pages_ts)))
+    sections.append(("dedup_canonical (one-pass kernel + window)", p, [
+        ("one analysis parse beyond the page builder",
+         len(re.findall(r"\(\d+\) MapInPandas", p)) == 2
+         and p.count("_pages_kernel") == 1),
+        ("one shuffle beyond the builder repartition",
+         len(re.findall(r"ENSURE_REQUIREMENTS", p)) == 1),
+        ("window top-1 pushed down (WindowGroupLimit)",
+         "WindowGroupLimit" in p),
+    ]))
+
     checks_failed = 0
     with open(OUT, "w") as f:
         for title, plan, checks in sections:
