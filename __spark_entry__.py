@@ -1618,16 +1618,10 @@ _PAGE_ANALYSIS_ORACLE = """
     FROM documents"""
 
 
-def _q_host_rank(spark, sf_dir):
-    """Host-level webgraph (the granularity Common Crawl publishes):
-    page edges on HOSTS[doc_id%16] collapse through graph.host_graph
-    (weighted, intra-host dropped) and rank via WEIGHTED PageRank
-    (contribution = pr*w/sum_out_w). DuckDB replays rollup weights and
-    all three iterations from `documents`."""
-    from fortissimo_spark.graph import host_graph, pagerank
+def _host_edge_urls(docs, n):
+    """Page-level url edges on HOSTS[doc_id%16] — the shared fixture
+    for the host-graph rankers (host_rank, host_trustrank)."""
     from fortissimo_spark.pages import HOSTS
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
     d = F.col("doc_id")
     hosts_arr = F.array(*[F.lit(h) for h in HOSTS])
 
@@ -1640,7 +1634,20 @@ def _q_host_rank(spark, sf_dir):
     parts = [docs.select(url_of(d).alias("src_url"),
                          url_of((d * a + b) % n).alias("dst_url"))
              for a, b in ((31, 7), (17, 3), (97, 11))]
-    edges_urls = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return parts[0].unionByName(parts[1]).unionByName(parts[2]), hosts_arr
+
+
+def _q_host_rank(spark, sf_dir):
+    """Host-level webgraph (the granularity Common Crawl publishes):
+    page edges on HOSTS[doc_id%16] collapse through graph.host_graph
+    (weighted, intra-host dropped) and rank via WEIGHTED PageRank
+    (contribution = pr*w/sum_out_w). DuckDB replays rollup weights and
+    all three iterations from `documents`."""
+    from fortissimo_spark.graph import host_graph, pagerank
+    from fortissimo_spark.pages import HOSTS
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges_urls, hosts_arr = _host_edge_urls(docs, n)
     hg = host_graph(edges_urls)
     nodes = spark.createDataFrame([(h,) for h in HOSTS], "id string")
     pr = pagerank(hg, nodes, num_iters=_LG_ITERS, damping=_LG_DAMP,
@@ -1696,6 +1703,96 @@ def _host_rank_oracle_sql() -> str:
         FROM hosts hh
         LEFT JOIN outw o ON o.src = hh.hi
         JOIN {prev} r ON r.id = hh.hi"""
+
+
+def _q_host_trustrank(spark, sf_dir):
+    """TrustRank + spam mass over the host graph (Gyongyi et al. VLDB
+    2004 / 2006): teleport concentrated on the hand-vetted seed hosts
+    (host_idx % 5 == 0 -> 4 seeds), trust propagated 3 weighted
+    iterations; spam_mass = (pr - trust)/pr flags hosts whose PageRank
+    is NOT backed by trusted-seed reachability. DuckDB replays both
+    iteration towers from `documents`."""
+    from fortissimo_spark.graph import host_graph, pagerank, trustrank
+    from fortissimo_spark.pages import HOSTS
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges_urls, hosts_arr = _host_edge_urls(docs, n)
+    hg = host_graph(edges_urls)
+    nodes = spark.createDataFrame([(h,) for h in HOSTS], "id string")
+    seeds = spark.createDataFrame(
+        [(h,) for i, h in enumerate(HOSTS) if i % 5 == 0], "id string")
+    kw = dict(num_iters=_LG_ITERS, damping=_LG_DAMP,
+              src_col="src_host", dst_col="dst_host", weight_col="weight")
+    pr = pagerank(hg, nodes, **kw)
+    tr = trustrank(hg, nodes, seeds, **kw)
+    return (pr.join(tr, "id")
+            .select((F.array_position(hosts_arr, F.col("id")) - 1)
+                    .cast("int").alias("host_idx"),
+                    ((F.array_position(hosts_arr, F.col("id")) - 1)
+                     % 5 == 0).alias("seed"),
+                    F.round("trust", 9).alias("trust"),
+                    F.round("pr", 9).alias("pr"),
+                    F.round((F.col("pr") - F.col("trust")) / F.col("pr"),
+                            9).alias("spam_mass")))
+
+
+def _host_trustrank_oracle_sql() -> str:
+    pr_prev, tr_prev = "h0", "t0"
+    iters = []
+    for i in range(1, _LG_ITERS + 1):
+        iters.append(f"""
+        h{i} AS (
+          SELECT hh.hi AS id,
+                 round((1.0 - {_LG_DAMP}) / 16.0
+                       + {_LG_DAMP} * coalesce(c.s, 0.0), 12) AS pr
+          FROM hosts hh LEFT JOIN (
+            SELECT e.dst AS id, sum(r.pr * e.weight / o.ow) AS s
+            FROM hedges e
+            JOIN {pr_prev} r ON r.id = e.src
+            JOIN outw o ON o.src = e.src
+            GROUP BY e.dst) c ON c.id = hh.hi),
+        t{i} AS (
+          SELECT hh.hi AS id,
+                 round((1.0 - {_LG_DAMP})
+                       * (CASE WHEN hh.hi % 5 = 0 THEN 0.25 ELSE 0 END)
+                       + {_LG_DAMP} * coalesce(c.s, 0.0), 12) AS trust
+          FROM hosts hh LEFT JOIN (
+            SELECT e.dst AS id, sum(r.trust * e.weight / o.ow) AS s
+            FROM hedges e
+            JOIN {tr_prev} r ON r.id = e.src
+            JOIN outw o ON o.src = e.src
+            GROUP BY e.dst) c ON c.id = hh.hi)""")
+        pr_prev, tr_prev = f"h{i}", f"t{i}"
+    return f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        hosts AS (SELECT unnest(range(16)) AS hi),
+        raw AS (
+          SELECT CAST(doc_id % 16 AS BIGINT) AS src,
+                 CAST(((doc_id * 31 + 7) % (SELECT n FROM nn)) % 16
+                      AS BIGINT) AS dst FROM documents
+          UNION ALL
+          SELECT doc_id % 16,
+                 ((doc_id * 17 + 3) % (SELECT n FROM nn)) % 16
+          FROM documents
+          UNION ALL
+          SELECT doc_id % 16,
+                 ((doc_id * 97 + 11) % (SELECT n FROM nn)) % 16
+          FROM documents),
+        hedges AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS weight
+                   FROM raw WHERE src <> dst GROUP BY src, dst),
+        outw AS (SELECT src, sum(weight) AS ow FROM hedges GROUP BY src),
+        h0 AS (SELECT hi AS id, 1.0 / 16.0 AS pr FROM hosts),
+        t0 AS (SELECT hi AS id,
+                      CASE WHEN hi % 5 = 0 THEN 0.25 ELSE 0.0 END AS trust
+               FROM hosts),{",".join(iters)}
+        SELECT CAST(hh.hi AS INTEGER) AS host_idx,
+               hh.hi % 5 = 0 AS seed,
+               round(t.trust, 9) AS trust,
+               round(p.pr, 9) AS pr,
+               round((p.pr - t.trust) / p.pr, 9) AS spam_mass
+        FROM hosts hh
+        JOIN {pr_prev} p ON p.id = hh.hi
+        JOIN {tr_prev} t ON t.id = hh.hi"""
 
 
 _HC_RADIUS = 3
@@ -1915,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_index": _q_anchor_index,
         "page_analysis": _q_page_analysis,
         "host_rank": _q_host_rank,
+        "host_trustrank": _q_host_trustrank,
         "host_harmonic": _q_host_harmonic,
         "host_harmonic_hb": _q_host_harmonic_hb,
         "sitemap_frontier": _q_sitemap_frontier,
@@ -3507,6 +3605,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_index": _anchor_index_oracle_sql(),
         "page_analysis": _PAGE_ANALYSIS_ORACLE,
         "host_rank": _host_rank_oracle_sql(),
+        "host_trustrank": _host_trustrank_oracle_sql(),
         "host_harmonic": _host_harmonic_oracle_sql(),
         "host_harmonic_hb": _host_harmonic_hb_oracle_sql(),
         "sitemap_frontier": _sitemap_frontier_oracle_sql(),

@@ -3190,6 +3190,34 @@ def test_pagerank_hand_graph(spark):
         assert math.isclose(pr[k], v, abs_tol=1e-9), (k, pr[k], v)
 
 
+def test_trustrank_hand_graph(spark):
+    """Seeded cycle a->b->c->a plus a 2-node spam farm d<->e with no
+    path from the seed: trust flows only along links out of {a}, so
+    the farm scores exactly 0 however well-linked it is internally —
+    the TrustRank property PageRank lacks. Hand power iteration:
+    t0=(1,0,0,0,0); t1: a=.15, b=.85; t2: a=.15, b=.1275, c=.7225."""
+    import math
+
+    from fortissimo_spark.graph import trustrank
+    nodes = spark.createDataFrame([(i,) for i in "abcde"], "id string")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"), ("e", "d")],
+        "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("zz",)], "id string")
+    out = {r.id: r.trust for r in
+           trustrank(edges, nodes, seeds, num_iters=2).collect()}
+    exp = {"a": 0.15, "b": 0.1275, "c": 0.7225, "d": 0.0, "e": 0.0}
+    for k, v in exp.items():
+        assert math.isclose(out[k], v, abs_tol=1e-9), (k, out[k], v)
+    # seed not present in nodes ("zz") was ignored: teleport mass was
+    # 1/1, not 1/2 — already pinned by the values above. Empty seed
+    # set short-circuits to all-zero trust.
+    none = trustrank(edges, nodes,
+                     spark.createDataFrame([("zz",)], "id string"),
+                     num_iters=1).collect()
+    assert {r.trust for r in none} == {0.0}
+
+
 def test_parse_sitemaps_edges(spark):
     """Namespace-prefixed tags, malformed dates/priorities (NULL via
     try-casts, never an ANSI throw), loc-less entries skipped,
