@@ -1795,6 +1795,47 @@ def _host_trustrank_oracle_sql() -> str:
         JOIN {tr_prev} t ON t.id = hh.hi"""
 
 
+def _q_inverted_index(spark, sf_dir):
+    """Positional inverted index over `documents`
+    (textstats.inverted_index): df/cf by partial-agg groupBy, the
+    stop-term posting cap via a STANDALONE row_number window so
+    WindowGroupLimit prunes hot terms map-side, postings emitted as
+    the doc_id-sorted "doc:tf:first_pos" string. Indexed at ngram=2
+    (phrase indexing) so the synthetic corpus's tiny unigram vocab
+    spreads into a real df distribution: hot phrases exercise the cap
+    (truncated=true keeps full df/cf), rare ones pass through whole.
+    DuckDB replays tokenization (per-row unnest(range) positions),
+    both branches, and the joined posting strings."""
+    from fortissimo_spark.textstats import inverted_index
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(docs, ngram=2, max_postings=20, min_df=2)
+
+
+_INVERTED_INDEX_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS term, i - 1 AS pos
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               w -> w <> '') AS arr
+            FROM documents),
+           unnest(range(1, len(arr))) AS u(i)),
+    tf AS (SELECT term, doc_id, count(*) AS tf, min(pos) AS first_pos
+           FROM toks GROUP BY term, doc_id),
+    stats AS (SELECT term, count(*) AS df,
+                     CAST(sum(tf) AS BIGINT) AS cf
+              FROM tf GROUP BY term),
+    ranked AS (SELECT *, row_number()
+                 OVER (PARTITION BY term ORDER BY doc_id) AS rn
+               FROM tf),
+    posts AS (SELECT term,
+                     string_agg(doc_id || ':' || tf || ':' || first_pos,
+                                ',' ORDER BY doc_id) AS postings
+              FROM ranked WHERE rn <= 20 GROUP BY term)
+    SELECT s.term, s.df, s.cf, s.df > 20 AS truncated, p.postings
+    FROM stats s JOIN posts p USING (term)
+    WHERE s.df >= 2"""
+
+
 _HC_RADIUS = 3
 _HC_HOSTS = 64
 
@@ -2013,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_analysis": _q_page_analysis,
         "host_rank": _q_host_rank,
         "host_trustrank": _q_host_trustrank,
+        "inverted_index": _q_inverted_index,
         "host_harmonic": _q_host_harmonic,
         "host_harmonic_hb": _q_host_harmonic_hb,
         "sitemap_frontier": _q_sitemap_frontier,
@@ -3606,6 +3648,7 @@ def oracle_sql() -> dict[str, str]:
         "page_analysis": _PAGE_ANALYSIS_ORACLE,
         "host_rank": _host_rank_oracle_sql(),
         "host_trustrank": _host_trustrank_oracle_sql(),
+        "inverted_index": _INVERTED_INDEX_ORACLE,
         "host_harmonic": _host_harmonic_oracle_sql(),
         "host_harmonic_hb": _host_harmonic_hb_oracle_sql(),
         "sitemap_frontier": _sitemap_frontier_oracle_sql(),

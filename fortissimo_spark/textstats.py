@@ -526,6 +526,65 @@ def tf_idf_top_terms(docs: DataFrame, top_n: int = 5, id_col: str = "doc_id",
             .select("doc_id", "term", "tf", "df", "tfidf", "rank"))
 
 
+def inverted_index(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", *, min_df: int = 1,
+                   max_postings: int = 1000, ngram: int = 1) -> DataFrame:
+    """Positional inverted index — the search-index build over a web
+    corpus: one row per term with (df, cf, truncated, postings), where
+    postings is the doc_id-sorted list "doc:tf:first_pos,..." capped at
+    ``max_postings`` entries (the stop-term guard: 'the' posts in most
+    of a 10^12-doc corpus; real systems block/skip-list those, here the
+    full df/cf survive and ``truncated`` flags the cap).
+
+    All JVM-side. Shuffles: one partial-agg groupBy on (doc, term) for
+    tf/first-position, then TWO branches over it joined on term —
+    df/cf by partial-agg groupBy (map-side combine), and the cap by a
+    STANDALONE row_number window so WindowGroupLimit's partial mode
+    prunes each mapper to ``max_postings`` rows per term BEFORE the
+    exchange (a df/cf window on the same shuffle would need the full
+    partition and forfeit that pruning — which is exactly the hot-term
+    skew hazard the cap exists for). Tokenization matches
+    tf_idf_top_terms (whitespace, case-preserving). ``ngram`` > 1
+    indexes space-joined word n-grams instead of unigrams (phrase
+    indexing); pos stays the gram's starting token offset."""
+    from pyspark.sql import Window
+
+    arr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                   lambda w: w != "")
+    if ngram > 1:
+        arr = F.when(
+            F.size(arr) >= ngram,
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - ngram),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(arr, i + k + 1)
+                           for k in range(ngram)]))
+        ).otherwise(F.array().cast("array<string>"))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(arr).alias("pos", "term"))
+    tf = toks.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf"), F.min("pos").alias("first_pos"))
+    stats = tf.groupBy("term").agg(F.count("*").alias("df"),
+                                   F.sum("tf").alias("cf"))
+    w_rank = Window.partitionBy("term").orderBy("doc_id")
+    postings = (tf.withColumn("_rn", F.row_number().over(w_rank))
+                .filter(F.col("_rn") <= max_postings)
+                .groupBy("term")
+                .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("doc_id", "tf", "first_pos"))),
+                        lambda p: F.concat_ws(
+                            ":", p["doc_id"], p["tf"], p["first_pos"])),
+                    ",").alias("postings")))
+    return (stats.filter(F.col("df") >= min_df)
+            .join(postings, "term")
+            .select("term", "df", "cf",
+                    (F.col("df") > max_postings).alias("truncated"),
+                    "postings"))
+
+
 def train_quality_classifier(labeled: DataFrame, label_col: str = "label",
                              text_col: str = "text"):
     """Train a logistic-regression document-quality classifier on the

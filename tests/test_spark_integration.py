@@ -3190,6 +3190,35 @@ def test_pagerank_hand_graph(spark):
         assert math.isclose(pr[k], v, abs_tol=1e-9), (k, pr[k], v)
 
 
+def test_inverted_index_hand_corpus(spark):
+    """Posting lists, df/cf, first positions, the stop-term cap, and
+    min_df — all pinned on a 3-doc hand corpus."""
+    from fortissimo_spark.textstats import inverted_index
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b b d"), (3, "a")],
+        "doc_id long, text string")
+    full = {r.term: (r.df, r.cf, r.truncated, r.postings)
+            for r in inverted_index(docs, max_postings=2).collect()}
+    assert full == {
+        "a": (2, 3, False, "1:2:0,3:1:0"),
+        "b": (2, 3, False, "1:1:1,2:2:0"),
+        "c": (1, 1, False, "1:1:3"),
+        "d": (1, 1, False, "2:1:2")}
+    # cap keeps the SMALLEST doc_ids, truncated flags it, full df/cf
+    # survive; min_df drops the singleton terms
+    capped = {r.term: (r.df, r.cf, r.truncated, r.postings)
+              for r in inverted_index(docs, max_postings=1,
+                                      min_df=2).collect()}
+    assert capped == {"a": (2, 3, True, "1:2:0"),
+                      "b": (2, 3, True, "1:1:1")}
+    # phrase indexing: bigram terms, pos = starting token offset; the
+    # 1-token doc contributes no grams
+    bi = {r.term: r.postings
+          for r in inverted_index(docs, ngram=2).collect()}
+    assert bi == {"a b": "1:1:0", "b a": "1:1:1", "a c": "1:1:2",
+                  "b b": "2:1:0", "b d": "2:1:1"}
+
+
 def test_trustrank_hand_graph(spark):
     """Seeded cycle a->b->c->a plus a 2-node spam farm d<->e with no
     path from the seed: trust flows only along links out of {a}, so
