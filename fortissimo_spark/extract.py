@@ -146,8 +146,10 @@ def _text_content_skipping(b: DocBuilder, node: int, out: list, spans: list) -> 
 def extract(b: DocBuilder, strip: str = "density",
             min_block_chars: int = _MIN_BLOCK_CHARS,
             max_link_density: float = _MAX_LINK_DENSITY) -> ExtractResult:
-    node_count = len(b.kind) - 1
-    text_node_count = sum(1 for k in b.kind if k in (TEXT, CDATA))
+    from .dom import N_KIND as _NK
+    node_count = len(b.nodes) - 1
+    text_node_count = sum(1 for nd in b.nodes
+                          if nd[_NK] == TEXT or nd[_NK] == CDATA)
 
     if strip == "none":
         spans: list = []
@@ -219,20 +221,21 @@ def extract(b: DocBuilder, strip: str = "density",
     kept_parts: list[str] = []
     kept_spans: list = []
     kept = 0
+    total = 0
     for blk in blocks:
         raw = "".join(blk["parts"])
         visible = trim(raw)
         if not visible:
             continue
+        total += 1
         chars = len(visible)
         link_density = blk["link_chars"] / chars if chars else 1.0
         if link_density > max_link_density:
             continue
         if chars >= min_block_chars or blk["tag"] in BOOST_TAGS:
             kept += 1
-            kept_parts.append(raw)
+            kept_parts.append(visible)
             kept_spans.extend(blk["spans"])
 
-    text = "\n\n".join(trim(p) for p in kept_parts)
-    total = sum(1 for blk in blocks if trim("".join(blk["parts"])))
+    text = "\n\n".join(kept_parts)
     return ExtractResult(text, kept_spans, kept, total, node_count, text_node_count)

@@ -214,6 +214,10 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
         return p
 
     find = t.find
+    add_leaf = b.add_leaf
+    open_element = b.open_element
+    pop = b.pop
+    add_attribute = b.add_attribute
     errors = 0
     charset: str | None = None
     checking_charset = False
@@ -267,7 +271,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
             if text:
                 is_all_ws = all(c in _WS_SET or ord(c) > 0xFFFF for c in text)
                 ln, col = lc(run_start)
-                node = b.add_leaf(D.TEXT, text, ln, col, poss_ent=True,
+                node = add_leaf(D.TEXT, text, ln, col, poss_ent=True,
                                   src_start=run_start, src_end=n)
                 if not is_all_ws:
                     # handleText left the parser in AT_MARKUP_START at EOF
@@ -277,7 +281,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
 
         if k > run_start:
             ln, col = lc(run_start)
-            node = b.add_leaf(D.TEXT, t[run_start:k], ln, col, poss_ent=True,
+            node = add_leaf(D.TEXT, t[run_start:k], ln, col, poss_ent=True,
                               src_start=run_start, src_end=k)
 
         mk_ln, mk_col = lc(k)
@@ -290,7 +294,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
             if iw >= n:
                 errors += 1
                 ln, col = lc(n - 1)
-                b.add_leaf(D.UNMATCHED_CLOSE, t[k:n], ln, col,
+                add_leaf(D.UNMATCHED_CLOSE, t[k:n], ln, col,
                                        src_start=k, src_end=n)
                 i = n
                 break
@@ -298,7 +302,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
             if c == ">":
                 errors += 1
                 ln, col = lc(iw)
-                b.add_leaf(D.UNMATCHED_CLOSE, t[k:iw + 1], ln, col,
+                add_leaf(D.UNMATCHED_CLOSE, t[k:iw + 1], ln, col,
                                        src_start=k, src_end=iw + 1)
                 i = iw + 1
                 continue
@@ -312,7 +316,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
             if i2 >= n:
                 errors += 1
                 ln, col = lc(n - 1)
-                b.add_leaf(D.UNMATCHED_CLOSE, t[k:n], ln, col,
+                add_leaf(D.UNMATCHED_CLOSE, t[k:n], ln, col,
                                        src_start=k, src_end=n)
                 i = n
                 break
@@ -320,19 +324,19 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
             c3 = t[i2]
             if c3 == ">":
                 # endTagText excludes whitespace after '</' (html-parser.ts:633)
-                if not b.pop(tag_lc, "</" + tag + ws2 + ">", mk_ln, mk_col, end_pos=i2 + 1):
+                if not pop(tag_lc, "</" + tag + ws2 + ">", mk_ln, mk_col, end_pos=i2 + 1):
                     errors += 1
                 i = i2 + 1
             elif xml:
                 errors += 1
-                if not b.pop(tag_lc, t[k:i2], mk_ln, mk_col):
+                if not pop(tag_lc, t[k:i2], mk_ln, mk_col):
                     errors += 1
                 i = i2  # offending char re-parsed as text
             elif i2 == n - 1:
                 # EOF right after the offending char (html-parser.ts:615-616)
                 errors += 1
                 ln, col = lc(n - 1)
-                b.add_leaf(D.UNMATCHED_CLOSE, t[k:n], ln, col,
+                add_leaf(D.UNMATCHED_CLOSE, t[k:n], ln, col,
                                        src_start=k, src_end=n)
                 i = n
                 break
@@ -345,7 +349,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                 else:
                     end_tag_text = "</" + tag + t[tag_end:g + 1]
                     i = g + 1
-                if not b.pop(tag_lc, end_tag_text, mk_ln, mk_col, end_pos=i):
+                if not pop(tag_lc, end_tag_text, mk_ln, mk_col, end_pos=i):
                     errors += 1
             continue
 
@@ -373,11 +377,11 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                     scan = g + 1
                 if e < 0:
                     errors += 1
-                    node = b.add_leaf(D.COMMENT, t[start:n], mk_ln, mk_col,
+                    node = add_leaf(D.COMMENT, t[start:n], mk_ln, mk_col,
                                       terminated=False, src_start=k, src_end=n)
                     i = n
                 else:
-                    node = b.add_leaf(D.COMMENT, t[start:e - 2], mk_ln, mk_col,
+                    node = add_leaf(D.COMMENT, t[start:e - 2], mk_ln, mk_col,
                                       src_start=k, src_end=e + 1)
                     i = e + 1
                 continue
@@ -397,11 +401,11 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                     scan = g + 1
                 if e < 0:
                     errors += 1
-                    node = b.add_leaf(D.CDATA, t[k + 9:n], mk_ln, mk_col,
+                    node = add_leaf(D.CDATA, t[k + 9:n], mk_ln, mk_col,
                                       terminated=False, src_start=k, src_end=n)
                     i = n
                 else:
-                    node = b.add_leaf(D.CDATA, t[k + 9:e - 2], mk_ln, mk_col,
+                    node = add_leaf(D.CDATA, t[k + 9:e - 2], mk_ln, mk_col,
                                       src_start=k, src_end=e + 1)
                     i = e + 1
                 continue
@@ -426,7 +430,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                     i = e + 1
 
             if D._RE_DOCTYPE.match(content):
-                node = b.add_leaf(D.DOCTYPE, content, mk_ln, mk_col,
+                node = add_leaf(D.DOCTYPE, content, mk_ln, mk_col,
                                   terminated=terminated, src_start=k, src_end=i)
                 if not terminated:
                     errors += 1
@@ -434,7 +438,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                 xml = dt_type == "xhtml"
                 b.xml_mode = xml
             else:
-                node = b.add_leaf(D.DECLARATION, content, mk_ln, mk_col,
+                node = add_leaf(D.DECLARATION, content, mk_ln, mk_col,
                                   terminated=terminated, src_start=k, src_end=i)
                 if not terminated:
                     errors += 1
@@ -463,7 +467,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                     content = t[k + 2:e]
                     terminated = True
                     i = e + 1
-            node = b.add_leaf(D.PROCESSING, content, mk_ln, mk_col,
+            node = add_leaf(D.PROCESSING, content, mk_ln, mk_col,
                               terminated=terminated, src_start=k, src_end=i)
             if not terminated:
                 errors += 1
@@ -480,7 +484,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
         tag_end = m.end()
         tag_lc = tag if xml else tag.lower()
 
-        node = b.open_element(tag, mk_ln, mk_col, case_sensitive=xml,
+        node = open_element(tag, mk_ln, mk_col, case_sensitive=xml,
                               src_start=k)
 
         checking_charset = (not charset) and tag_lc == "meta"
@@ -494,9 +498,12 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
 
         while True:
             if pend_ws is None:
-                iw = ws_end(i)
-                w = t[i:iw]
-                i = iw
+                if i < n and (t[i] in ws_set or t[i] > "\uffff"):
+                    iw = ws_end(i + 1)
+                    w = t[i:iw]
+                    i = iw
+                else:
+                    w = ""
             else:
                 w = pend_ws
                 pend_ws = None
@@ -507,7 +514,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                 b.bad_term[node] = ""
                 if w:
                     ln, col = lc(n - len(w))
-                    b.add_leaf(D.TEXT, w, ln, col, poss_ent=True,
+                    add_leaf(D.TEXT, w, ln, col, poss_ent=True,
                                            src_start=n - len(w), src_end=n)
                 tag_end_kind = "eof"
                 break
@@ -520,7 +527,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                     break
                 if not xml:
                     # stray slash becomes a valueless '/' attribute
-                    b.add_attribute("/", "", w, "", "")
+                    add_attribute("/", "", w, "", "")
                     i += 1
                     continue
                 b.add_inner_whitespace(w)
@@ -539,49 +546,55 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                 name = am.group(0)
                 i = am.end()
                 # AT_ATTRIBUTE_ASSIGNMENT
-                iw2 = ws_end(i)
-                w2 = t[i:iw2]
-                i = iw2
+                if i < n and (t[i] in ws_set or t[i] > "\uffff"):
+                    iw2 = ws_end(i + 1)
+                    w2 = t[i:iw2]
+                    i = iw2
+                else:
+                    w2 = ""
                 if i >= n:
                     errors += 1
-                    b.add_attribute(name, "", w, "", "")
+                    add_attribute(name, "", w, "", "")
                     b.bad_term[node] = ""
                     if w2:
                         ln, col = lc(n - len(w2))
-                        b.add_leaf(D.TEXT, w2, ln, col, poss_ent=True,
+                        add_leaf(D.TEXT, w2, ln, col, poss_ent=True,
                                                src_start=n - len(w2), src_end=n)
                     tag_end_kind = "eof"
                     break
                 if t[i] != "=":
-                    b.add_attribute(name, "", w, "", "")
+                    add_attribute(name, "", w, "", "")
                     pend_ws = w2
                     continue
                 pre_eq = w2
                 i += 1
                 # AT_ATTRIBUTE_VALUE
-                iw3 = ws_end(i)
-                w3 = t[i:iw3]
-                i = iw3
+                if i < n and (t[i] in ws_set or t[i] > "\uffff"):
+                    iw3 = ws_end(i + 1)
+                    w3 = t[i:iw3]
+                    i = iw3
+                else:
+                    w3 = ""
                 if i >= n:
                     errors += 1
-                    b.add_attribute(name, "", w, pre_eq + "=", "")
+                    add_attribute(name, "", w, pre_eq + "=", "")
                     b.bad_term[node] = ""
                     if w3:
                         ln, col = lc(n - len(w3))
-                        b.add_leaf(D.TEXT, w3, ln, col, poss_ent=True,
+                        add_leaf(D.TEXT, w3, ln, col, poss_ent=True,
                                                src_start=n - len(w3), src_end=n)
                     tag_end_kind = "eof"
                     break
                 c3 = t[i]
                 if c3 == ">":
-                    b.add_attribute(name, "", w, pre_eq + "=", "")
+                    add_attribute(name, "", w, pre_eq + "=", "")
                     pend_ws = w3
                     continue
                 if c3 == '"' or c3 == "'":
                     e = find(c3, i + 1)
                     if e < 0:
                         value = t[i + 1:n]
-                        b.add_attribute(name, value, w, pre_eq + "=" + w3, "_" + c3)
+                        add_attribute(name, value, w, pre_eq + "=" + w3, "_" + c3)
                         # stepTwo still runs for the unterminated value
                         # (html-parser.ts:419,721-758)
                         if checking_charset:
@@ -602,7 +615,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                         value = value[:-1]
                         i -= 1
                     quote = ""
-                b.add_attribute(name, value, w, pre_eq + "=" + w3, quote)
+                add_attribute(name, value, w, pre_eq + "=" + w3, quote)
                 if checking_charset:
                     check_charset(name, value)
                 continue
@@ -623,7 +636,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
 
         # tag ended with '>' or '/>'
         if tag_end_kind == "/>" or (not xml and tag_lc in VOID_ELEMENTS):
-            b.pop(POP_SELF if tag_end_kind == "/>" else POP_VOID, end_pos=i)
+            pop(POP_SELF if tag_end_kind == "/>" else POP_VOID, end_pos=i)
             continue
 
         if tag_lc in _RAW_TEXT_TAGS:
@@ -663,7 +676,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                 content = t[i:n]
                 if content:
                     ln, col = lc(i)
-                    tn = b.add_leaf(D.TEXT, content, ln, col,
+                    tn = add_leaf(D.TEXT, content, ln, col,
                                     poss_ent=(tag_lc == "textarea"),
                                     src_start=i, src_end=n)
                 i = n
@@ -672,11 +685,11 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
             content = t[i:match_start]
             if content:
                 ln, col = lc(i)
-                tn = b.add_leaf(D.TEXT, content, ln, col,
+                tn = add_leaf(D.TEXT, content, ln, col,
                                 poss_ent=(tag_lc == "textarea"),
                                 src_start=i, src_end=match_start)
             e_ln, e_col = lc(match_start)
-            if not b.pop(tag_lc, t[match_start:gt + 1], e_ln, e_col, end_pos=gt + 1):
+            if not pop(tag_lc, t[match_start:gt + 1], e_ln, e_col, end_pos=gt + 1):
                 errors += 1
             i = gt + 1
         # else: plain OUTSIDE_MARKUP continues
