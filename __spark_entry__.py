@@ -1836,6 +1836,56 @@ _INVERTED_INDEX_ORACLE = r"""
     WHERE s.df >= 2"""
 
 
+_BM25_QUERY_TERMS = ("spark", "merge", "window")
+
+
+def _q_bm25_search(spark, sf_dir):
+    """Top-15 BM25 retrieval over `documents`
+    (textstats.bm25_search, Lucene's non-negative idf): the scoring
+    half of the inverted index. Query-term filter lands before the tf
+    agg (only hit postings shuffle), N/avgdl broadcast scalars, df a
+    broadcast join, top-k via TakeOrderedAndProject. 9-dp component
+    grid absorbs cross-engine ln() ulp drift. DuckDB replays the full
+    formula."""
+    from fortissimo_spark.textstats import bm25_search
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, list(_BM25_QUERY_TERMS), top_k=15)
+
+
+def _bm25_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY_TERMS)
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, arr[i] AS term
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               w -> w <> '') AS arr
+            FROM documents),
+           unnest(range(1, len(arr) + 1)) AS u(i)),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ({terms}) GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    comp AS (SELECT t.doc_id,
+                    round(ln(1 + (c.n_docs - q.df + 0.5) / (q.df + 0.5))
+                          * (t.tf * 2.2)
+                          / (t.tf + 1.2 * (1 - 0.75
+                                           + 0.75 * d.dl / c.avgdl)),
+                          9) AS comp
+             FROM tf t
+             JOIN dfq q USING (term)
+             JOIN dl d USING (doc_id)
+             CROSS JOIN corpus c),
+    scored AS (SELECT doc_id, count(*) AS n_hits,
+                      round(sum(comp), 9) AS score
+               FROM comp GROUP BY doc_id)
+    SELECT doc_id, n_hits, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                AS INTEGER) AS rank
+    FROM scored ORDER BY score DESC, doc_id LIMIT 15"""
+
+
 _HC_RADIUS = 3
 _HC_HOSTS = 64
 
@@ -2055,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": _q_host_rank,
         "host_trustrank": _q_host_trustrank,
         "inverted_index": _q_inverted_index,
+        "bm25_search": _q_bm25_search,
         "host_harmonic": _q_host_harmonic,
         "host_harmonic_hb": _q_host_harmonic_hb,
         "sitemap_frontier": _q_sitemap_frontier,
@@ -3649,6 +3700,7 @@ def oracle_sql() -> dict[str, str]:
         "host_rank": _host_rank_oracle_sql(),
         "host_trustrank": _host_trustrank_oracle_sql(),
         "inverted_index": _INVERTED_INDEX_ORACLE,
+        "bm25_search": _bm25_oracle_sql(),
         "host_harmonic": _host_harmonic_oracle_sql(),
         "host_harmonic_hb": _host_harmonic_hb_oracle_sql(),
         "sitemap_frontier": _sitemap_frontier_oracle_sql(),

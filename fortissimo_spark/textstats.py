@@ -585,6 +585,61 @@ def inverted_index(docs: DataFrame, id_col: str = "doc_id",
                     "postings"))
 
 
+def bm25_search(docs: DataFrame, query_terms: list[str], *, top_k: int = 10,
+                k1: float = 1.2, b: float = 0.75, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Top-k BM25 retrieval (Robertson/Sparck Jones probabilistic
+    ranking — the scoring half of the inverted index): returns
+    (doc_id, n_hits, score, rank) for the ``top_k`` best-scoring
+    documents containing at least one query term.
+
+    score = sum over hit terms of idf(t) * tf*(k1+1) /
+    (tf + k1*(1 - b + b*dl/avgdl)), idf = ln(1 + (N-df+0.5)/(df+0.5))
+    (the non-negative variant Lucene uses). Per-(doc,term) components
+    round to 9 dp before the sum and the sum to 9 dp: ln() is not
+    correctly-rounded in either engine (~1e-16 ulp drift), so the grid
+    must sit >= 7 orders above it to make boundary flips negligible
+    across partitionings and engine replays.
+
+    Scale shape, all JVM: the query-term filter lands BEFORE the tf
+    aggregation so only hit postings shuffle; doc length and N/avgdl
+    come from a partial-agg groupBy with the two corpus scalars
+    broadcast via crossJoin; df per query term is a tiny broadcast
+    join; final top-k is orderBy+limit (TakeOrderedAndProject — per-
+    partition heaps, no global sort)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")) \
+        .filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(F.count("*").alias("n_docs"),
+                    F.avg("dl").alias("avgdl"))
+    hits = toks.filter(F.col("term").isin(list(query_terms)))
+    tf = hits.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    comp = (tf.join(F.broadcast(df_), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(corpus))
+            .withColumn(
+                "c",
+                F.round(
+                    F.log(F.lit(1.0)
+                          + (F.col("n_docs") - F.col("df") + 0.5)
+                          / (F.col("df") + 0.5))
+                    * (F.col("tf") * (k1 + 1))
+                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl")
+                                           / F.col("avgdl"))), 9)))
+    scored = comp.groupBy("doc_id").agg(
+        F.count("*").alias("n_hits"),
+        F.round(F.sum("c"), 9).alias("score"))
+    top = (scored.orderBy(F.desc("score"), "doc_id").limit(top_k)
+           .select("doc_id", "n_hits", "score"))
+    # rank over the already-reduced top_k rows only (single tiny task)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def train_quality_classifier(labeled: DataFrame, label_col: str = "label",
                              text_col: str = "text"):
     """Train a logistic-regression document-quality classifier on the

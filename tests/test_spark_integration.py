@@ -3219,6 +3219,43 @@ def test_inverted_index_hand_corpus(spark):
                   "b b": "2:1:0", "b d": "2:1:1"}
 
 
+def test_bm25_search_hand_corpus(spark):
+    """BM25 scores against a plain-Python replay of the formula
+    (Lucene's non-negative idf variant), top-k cut and rank order."""
+    import math
+
+    from fortissimo_spark.textstats import bm25_search
+    corpus = [(1, "a b a c"), (2, "b b d"), (3, "a")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = bm25_search(docs, ["a", "d"], top_k=2)
+    rows = {r.doc_id: (r.n_hits, r.score, r.rank) for r in out.collect()}
+
+    toks = {i: t.split() for i, t in corpus}
+    n, avgdl = len(toks), sum(map(len, toks.values())) / len(toks)
+    df = {"a": 2, "d": 1}
+    k1, b = 1.2, 0.75
+
+    def score(doc, terms):
+        s = 0.0
+        for t in terms:
+            tf = toks[doc].count(t)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += round(idf * tf * (k1 + 1)
+                       / (tf + k1 * (1 - b + b * len(toks[doc]) / avgdl)), 9)
+        return round(s, 9)
+
+    # doc2 hits d (rare, high idf); doc1 hits a twice; doc3 once. Only
+    # the top 2 survive the cut.
+    exp = sorted(((d, score(d, ["a", "d"])) for d in (1, 2, 3)),
+                 key=lambda p: (-p[1], p[0]))[:2]
+    assert set(rows) == {d for d, _ in exp}
+    for rank, (d, s) in enumerate(exp, 1):
+        n_hits = sum(1 for t in ("a", "d") if t in toks[d])
+        assert rows[d] == (n_hits, s, rank), (d, rows[d], (n_hits, s, rank))
+
+
 def test_trustrank_hand_graph(spark):
     """Seeded cycle a->b->c->a plus a 2-node spam farm d<->e with no
     path from the seed: trust flows only along links out of {a}, so

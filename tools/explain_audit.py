@@ -431,6 +431,25 @@ def main():
          "WindowGroupLimit" in p),
     ]))
 
+    # 19. BM25 retrieval: the query-term IN filter must land BEFORE the
+    #     tf aggregation (only hit postings shuffle), corpus scalars and
+    #     df arrive by broadcast, and the top-k compiles to
+    #     TakeOrderedAndProject (per-partition heaps, no global sort)
+    from fortissimo_spark.textstats import bm25_search
+    docs_tbl = load_table(spark, SF_DIR, "documents")
+    p = plan_of(bm25_search(docs_tbl, ["spark", "merge", "window"],
+                            top_k=15))
+    sections.append(("bm25_search (filter-early retrieval)", p, [
+        ("query-term IN filter present pre-agg",
+         "term#" in p and " IN " in p),
+        ("corpus scalars + df broadcast",
+         p.count("BroadcastExchange") >= 2),
+        ("top-k is TakeOrderedAndProject", "TakeOrderedAndProject" in p),
+        ("no per-row Python execution stage",
+         all(m not in p for m in ("BatchEvalPython", "ArrowEvalPython",
+                                  "MapInPandas", "FlatMapGroupsInPandas"))),
+    ]))
+
     checks_failed = 0
     with open(OUT, "w") as f:
         for title, plan, checks in sections:
