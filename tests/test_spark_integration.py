@@ -3219,6 +3219,35 @@ def test_inverted_index_hand_corpus(spark):
                   "b b": "2:1:0", "b d": "2:1:1"}
 
 
+def test_hits_hand_graph(spark):
+    """a->b, a->c, b->c: a is the pure hub (links both authorities,
+    never linked), c the top authority. One sweep, L1-normalized,
+    replayed in plain Python with the same 12-dp grid."""
+    import math
+
+    from fortissimo_spark.graph import hits
+    nodes = spark.createDataFrame([(i,) for i in "abc"], "id string")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string")
+    out = {r.id: (r.hub, r.authority)
+           for r in hits(edges, nodes, num_iters=1).collect()}
+    # auth raw: b=1, c=2 -> /3; hub raw: a=auth(b)+auth(c)=1, b=auth(c)
+    third = round(1 / 3, 12)
+    two3 = round(2 / 3, 12)
+    tot = third + two3 + 0.0
+    exp = {"a": (round(1.0 / (1.0 + two3), 12), 0.0),
+           "b": (round(two3 / (1.0 + two3), 12), third),
+           "c": (0.0, two3)}
+    for k, (h, a) in exp.items():
+        assert math.isclose(out[k][0], h, abs_tol=1e-9), (k, out[k], h)
+        assert math.isclose(out[k][1], a, abs_tol=1e-9), (k, out[k], a)
+    # edgeless graph: all zeros, no division blow-up
+    none = hits(spark.createDataFrame([("x", "y")],
+                                      "src string, dst string").limit(0),
+                nodes, num_iters=1).collect()
+    assert {(r.hub, r.authority) for r in none} == {(0.0, 0.0)}
+
+
 def test_bm25_search_hand_corpus(spark):
     """BM25 scores against a plain-Python replay of the formula
     (Lucene's non-negative idf variant), top-k cut and rank order."""
