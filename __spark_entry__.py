@@ -1912,6 +1912,22 @@ _INVERTED_INDEX_ORACLE = r"""
     WHERE s.df >= 2"""
 
 
+def _q_index_compaction(spark, sf_dir):
+    """Log-structured index maintenance, batch-replayable: `documents`
+    split into two disjoint segment builds (doc_id parity — standing
+    in for two streaming micro-batches; textstats.index_segment is the
+    stateless per-batch stage streaming_index runs verbatim), then
+    compacted with textstats.index_from_segments. Compaction over a
+    disjoint split is EXACTLY the one-shot bigram inverted_index, so
+    the oracle is the same SQL — which is the claim being checked."""
+    from fortissimo_spark.textstats import index_from_segments, index_segment
+    docs = load_table(spark, sf_dir, "documents")
+    segs = index_segment(docs.filter(F.col("doc_id") % 2 == 0), ngram=2) \
+        .unionByName(
+            index_segment(docs.filter(F.col("doc_id") % 2 == 1), ngram=2))
+    return index_from_segments(segs, max_postings=20, min_df=2)
+
+
 _BM25_QUERY_TERMS = ("spark", "merge", "window")
 
 
@@ -2183,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_hits": _q_host_hits,
         "inverted_index": _q_inverted_index,
         "bm25_search": _q_bm25_search,
+        "index_compaction": _q_index_compaction,
         "host_harmonic": _q_host_harmonic,
         "host_harmonic_hb": _q_host_harmonic_hb,
         "sitemap_frontier": _q_sitemap_frontier,
@@ -3779,6 +3796,7 @@ def oracle_sql() -> dict[str, str]:
         "host_hits": _host_hits_oracle_sql(),
         "inverted_index": _INVERTED_INDEX_ORACLE,
         "bm25_search": _bm25_oracle_sql(),
+        "index_compaction": _INVERTED_INDEX_ORACLE,
         "host_harmonic": _host_harmonic_oracle_sql(),
         "host_harmonic_hb": _host_harmonic_hb_oracle_sql(),
         "sitemap_frontier": _sitemap_frontier_oracle_sql(),

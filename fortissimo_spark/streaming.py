@@ -30,7 +30,7 @@ from .schema import PAGES_SCHEMA
 __all__ = ["read_pages_stream", "streaming_extract", "start_streaming_job",
            "streaming_host_stats", "streaming_crawl_rates",
            "streaming_curate", "curation_metrics", "streaming_frontier",
-           "DOCS_STREAM_SCHEMA"]
+           "streaming_index", "DOCS_STREAM_SCHEMA"]
 
 
 def read_pages_stream(spark: SparkSession, input_path: str,
@@ -291,6 +291,41 @@ def streaming_curate(spark: SparkSession, input_path: str, output_path: str,
         listener.query_id = str(q.id)
         q.metricsListener = listener
     return q
+
+
+def streaming_index(spark: SparkSession, input_path: str,
+                    segments_path: str, checkpoint_path: str, *,
+                    ngram: int = 1, max_files_per_trigger: int = 1,
+                    trigger_seconds: int = 10):
+    """Incremental inverted-index maintenance — the log-structured
+    segment model every production search index uses (Lucene): each
+    micro-batch of documents lands one IMMUTABLE posting segment
+    (``textstats.index_segment`` — stateless map + partial-agg, no
+    streaming state at all), written as ``batch_id=N`` with overwrite
+    (the shared at-least-once idempotency contract). The queryable
+    index is produced at read/compaction time by
+    ``textstats.index_from_segments`` over the accumulated segment
+    rows — identical semantics to a one-shot ``inverted_index`` over
+    the full corpus by construction, since both run the same
+    compaction code over the same segment shape.
+
+    Returns the StreamingQuery handle."""
+    from .textstats import index_segment
+
+    stream = (spark.readStream.schema(DOCS_STREAM_SCHEMA)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(input_path))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (index_segment(batch_df, ngram=ngram)
+         .write.mode("overwrite")
+         .parquet(os.path.join(segments_path, f"batch_id={batch_id}")))
+
+    return (stream.writeStream
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start())
 
 
 def streaming_frontier(spark: SparkSession, input_path: str,

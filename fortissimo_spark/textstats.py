@@ -15,6 +15,8 @@ __all__ = ["with_token_counts", "with_quality_features", "with_langid",
            "remove_duplicate_paragraphs", "train_quality_classifier",
            "score_quality", "with_script_ratios", "redact_pii",
            "with_sentence_stats", "normalize_text",
+           "inverted_index", "index_segment", "index_from_segments",
+           "bm25_search",
            "LANG_MARKERS", "SCRIPT_CLASSES", "PII_PATTERNS"]
 
 # C0 controls except \t \n \r, plus DEL and the C1 block — the bytes a
@@ -547,8 +549,19 @@ def inverted_index(docs: DataFrame, id_col: str = "doc_id",
     tf_idf_top_terms (whitespace, case-preserving). ``ngram`` > 1
     indexes space-joined word n-grams instead of unigrams (phrase
     indexing); pos stays the gram's starting token offset."""
-    from pyspark.sql import Window
+    return index_from_segments(
+        index_segment(docs, id_col=id_col, text_col=text_col, ngram=ngram),
+        min_df=min_df, max_postings=max_postings)
 
+
+def index_segment(docs: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text", ngram: int = 1) -> DataFrame:
+    """The per-corpus-slice half of the index build: one
+    (term, doc_id, tf, first_pos) row per posting — the IMMUTABLE
+    SEGMENT shape of log-structured search indexes (Lucene's segment
+    model). Stateless map + one partial-agg groupBy, so it runs
+    unchanged inside a streaming micro-batch; segments from successive
+    batches merge at read time via :func:`index_from_segments`."""
     arr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
                    lambda w: w != "")
     if ngram > 1:
@@ -563,8 +576,21 @@ def inverted_index(docs: DataFrame, id_col: str = "doc_id",
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(arr).alias("pos", "term"))
-    tf = toks.groupBy("term", "doc_id").agg(
+    return toks.groupBy("term", "doc_id").agg(
         F.count("*").alias("tf"), F.min("pos").alias("first_pos"))
+
+
+def index_from_segments(segments: DataFrame, *, min_df: int = 1,
+                        max_postings: int = 1000) -> DataFrame:
+    """Compact (term, doc_id, tf, first_pos) segment rows into the
+    final index (see :func:`inverted_index` for the output contract).
+    A doc split across segments (same doc re-emitted) re-merges by
+    summing tf and taking the earliest first_pos — segment merge
+    semantics; version supersession is the upstream dedup's job."""
+    from pyspark.sql import Window
+
+    tf = segments.groupBy("term", "doc_id").agg(
+        F.sum("tf").alias("tf"), F.min("first_pos").alias("first_pos"))
     stats = tf.groupBy("term").agg(F.count("*").alias("df"),
                                    F.sum("tf").alias("cf"))
     w_rank = Window.partitionBy("term").orderBy("doc_id")

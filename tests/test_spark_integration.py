@@ -3628,6 +3628,55 @@ def test_resolve_redirects_pointer_doubling(spark):
     assert out["y1"] == ("y9", 8, True)   # exactly at the cap
 
 
+def test_streaming_index_segments_compact_to_batch_index(
+        spark, tmp_path_factory):
+    """Log-structured index maintenance: each micro-batch lands an
+    immutable posting segment; compacting the accumulated segments
+    yields EXACTLY the one-shot inverted_index over the same corpus
+    (same code path by construction — the test pins the contract)."""
+    import datetime
+    import time as _time
+
+    from fortissimo_spark.streaming import streaming_index
+    from fortissimo_spark.textstats import index_from_segments, inverted_index
+
+    base = tmp_path_factory.mktemp("stream_index")
+    in_dir, seg_dir, ckpt = (str(base / d) for d in ("in", "seg", "ckpt"))
+    os.makedirs(in_dir)
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    drops = {
+        "d1": [(1, "en", "a b a c", t0), (2, "en", "b b d", t0)],
+        "d2": [(3, "en", "a", t0), (4, "en", "c a c", t0)],
+    }
+    schema = "doc_id long, lang string, text string, crawl_ts timestamp"
+
+    def write_drop(name):
+        spark.createDataFrame(drops[name], schema).coalesce(1) \
+            .write.mode("overwrite").parquet(os.path.join(in_dir, name))
+        _time.sleep(1.1)
+
+    write_drop("d1")
+    q = streaming_index(spark, in_dir + "/*", seg_dir, ckpt)
+    try:
+        q.processAllAvailable()
+        write_drop("d2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    seg = spark.read.parquet(seg_dir + "/batch_id=*")
+    # incremental evidence: the corpus arrived as >= 2 immutable segments
+    n_batches = len(spark.read.option("basePath", seg_dir)
+                    .parquet(seg_dir + "/batch_id=*")
+                    .select("batch_id").distinct().collect())
+    assert n_batches >= 2
+    compacted = {tuple(r) for r in
+                 index_from_segments(seg, max_postings=2).collect()}
+    all_docs = spark.createDataFrame(drops["d1"] + drops["d2"], schema)
+    batch = {tuple(r) for r in
+             inverted_index(all_docs, max_postings=2).collect()}
+    assert compacted == batch and len(batch) > 0
+
+
 def test_streaming_frontier_discovers_incrementally(spark,
                                                     tmp_path_factory):
     """Streaming discovery: candidates emit ONCE per watermark horizon
