@@ -2209,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_frontier": _q_feed_frontier,
         "redirect_chains": _q_redirect_chains,
         "ppl_buckets": _q_ppl_buckets,
+        "host_boilerplate": _q_host_boilerplate,
         # (c) driver-verified r5, unchanged
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -2322,6 +2323,32 @@ def _q_redact_pii(spark, sf_dir):
     return (redact_pii(docs.union(fixtures))
             .select("doc_id", "text_redacted", "n_email", "n_ipv4",
                     "n_phone"))
+
+
+def _q_host_boilerplate(spark, sf_dir):
+    """Host-template boilerplate strip (RefinedWeb line-wise rule) over
+    a planted page corpus on hosts doc_id % 16: a nav line on EVERY page
+    of its host (stripped), a copyright footer on the ~2/3 of pages with
+    doc_id % 3 != 0 (above the 50% floor — stripped), a newsletter pitch
+    on the ~1/7 with doc_id % 7 == 0 (below it — MUST survive), body =
+    the document text (unique — survives). Moduli 3 and 7 are coprime
+    with 16 so every host sees the same fractions."""
+    from fortissimo_spark.textstats import strip_host_boilerplate
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = (F.col("doc_id") % 16).cast("string")
+    corpus = docs.select(
+        "doc_id", hi.alias("host"),
+        F.concat(
+            F.lit("HOME | NEWS | SECTION "), hi, F.lit("\n"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("Subscribe to our newsletter\n"))
+             .otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 != 0,
+                   F.concat(F.lit("\nCopyright host "), hi))
+             .otherwise(F.lit(""))).alias("text"))
+    out = strip_host_boilerplate(corpus, min_docs=2, frac=0.5)
+    return out.select("doc_id", "text_main", "n_lines_removed")
 
 
 def _q_remove_dup_paragraphs(spark, sf_dir):
@@ -4384,6 +4411,48 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ivf_oracle_sql(),
         "warc_extract": """
             SELECT doc_id, text FROM documents WHERE doc_id < 200""",
+        "host_boilerplate": """
+            WITH d AS (
+              SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS h,
+                     'HOME | NEWS | SECTION ' ||
+                       CAST(doc_id % 16 AS VARCHAR) || chr(10)
+                     || CASE WHEN doc_id % 7 = 0
+                        THEN 'Subscribe to our newsletter' || chr(10)
+                        ELSE '' END
+                     || text
+                     || CASE WHEN doc_id % 3 <> 0
+                        THEN chr(10) || 'Copyright host ' ||
+                             CAST(doc_id % 16 AS VARCHAR)
+                        ELSE '' END AS text
+              FROM documents),
+            arrs AS (
+              SELECT doc_id, h, string_split(text, chr(10)) AS arr FROM d),
+            lines AS (
+              SELECT doc_id, h, unnest(arr) AS line,
+                     generate_subscripts(arr, 1) AS pos
+              FROM arrs),
+            keyed AS (
+              SELECT doc_id, h, pos, line, trim(line) AS k FROM lines),
+            ld AS (
+              SELECT h, k, count(DISTINCT doc_id) AS nd
+              FROM keyed WHERE length(k) > 0 GROUP BY h, k),
+            hd AS (SELECT h, count(*) AS n FROM d GROUP BY h),
+            boiler AS (
+              SELECT h, k FROM ld JOIN hd USING (h)
+              WHERE nd >= 2 AND nd >= n * 0.5),
+            kept AS (
+              SELECT doc_id, pos, line FROM keyed
+              WHERE NOT EXISTS (SELECT 1 FROM boiler b
+                                WHERE b.h = keyed.h AND b.k = keyed.k)),
+            reb AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS text_main,
+                     count(*) AS kn
+              FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, len(arr) AS t FROM arrs)
+            SELECT t.doc_id, coalesce(r.text_main, '') AS text_main,
+                   CAST(t.t - coalesce(r.kn, 0) AS INT) AS n_lines_removed
+            FROM tot t LEFT JOIN reb r USING (doc_id)""",
         "remove_dup_paragraphs": """
             WITH corpus AS (
               SELECT doc_id,

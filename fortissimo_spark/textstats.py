@@ -12,7 +12,8 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["with_token_counts", "with_quality_features", "with_langid",
            "with_fingerprints", "tf_idf_top_terms", "gopher_quality_filter",
            "decontaminate", "collapse_repeated_tokens",
-           "remove_duplicate_paragraphs", "train_quality_classifier",
+           "remove_duplicate_paragraphs", "strip_host_boilerplate",
+           "train_quality_classifier",
            "score_quality", "with_script_ratios", "redact_pii",
            "with_sentence_stats", "normalize_text",
            "inverted_index", "index_segment", "index_from_segments",
@@ -427,6 +428,71 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
         prev = nxt
     return (out.withColumn(out_col, F.col(prev))
             .drop(*stage_cols))
+
+
+def strip_host_boilerplate(docs: DataFrame, id_col: str = "doc_id",
+                           host_col: str = "host",
+                           text_col: str = "text", *,
+                           min_docs: int = 2, frac: float = 0.5,
+                           out_col: str = "text_main") -> DataFrame:
+    """RefinedWeb-style HOST-TEMPLATE boilerplate strip: a line that
+    recurs (whitespace-trimmed) on at least ``min_docs`` pages AND at
+    least ``frac`` of all pages of the SAME host is site chrome — nav
+    bars, cookie banners, copyright footers — and is removed from every
+    page of that host. This is the inter-document signal the per-page
+    density heuristic (extract.py) cannot see: a nav line can be locally
+    text-dense yet appear on 100% of the host's pages. Corpus-wide
+    paragraph dedup (remove_duplicate_paragraphs) is the complementary
+    global rule; this one catches per-site templates whose absolute
+    frequency never crosses a global threshold. Adds ``out_col``
+    (surviving lines rejoined with ``\\n``, original order; blank lines
+    always survive) and ``n_lines_removed``.
+
+    Scale shape: line frequencies are a ``groupBy(host, line_hash)``
+    over per-doc-DISTINCT lines (map-side partial agg collapses repeated
+    chrome before the exchange); per-host page totals are a second
+    partial agg on host alone. The flagged set joins back on
+    ``(host, line_hash)`` — an anti-join whose build side holds only
+    lines ABOVE the frequency floor, a tiny fraction of distinct lines —
+    and AQE's skew-join splits any mega-host key. The doc regroup for
+    reassembly is one exchange on the doc id with per-doc bounded state.
+    No window over the line hash (a 10^9-copy banner would funnel into
+    one task), no driver-side state.
+    """
+    d = docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(host_col).alias("host"),
+                    F.col(text_col).alias("text"))
+    lines = d.select(
+        "doc_id", "host",
+        F.posexplode(F.split(F.col("text"), "\n", -1)).alias("pos", "line"))
+    keyed = lines.withColumn("_k", F.sha2(F.trim(F.col("line")), 256)) \
+                 .withColumn("_blank",
+                             F.length(F.trim(F.col("line"))) == 0)
+    line_docs = (keyed.filter(~F.col("_blank"))
+                 .select("host", "_k", "doc_id").distinct()
+                 .groupBy("host", "_k").agg(F.count("*").alias("_nd")))
+    host_docs = d.groupBy("host").agg(F.count("*").alias("_hd"))
+    boiler = (line_docs.join(host_docs, "host")
+              .filter((F.col("_nd") >= min_docs) &
+                      (F.col("_nd") >= F.col("_hd") * frac))
+              .select("host", "_k"))
+    kept = keyed.join(boiler, ["host", "_k"], "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct(F.col("pos"), F.col("line")))),
+                            lambda s: s["line"]),
+                        "\n").alias(out_col),
+                    F.count("*").alias("_kept")))
+    totals = d.select("doc_id", "host",
+                      F.size(F.split(F.col("text"), "\n", -1))
+                      .alias("_total"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id", "host",
+                    F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+                    (F.col("_total") - F.coalesce(F.col("_kept"), F.lit(0)))
+                    .cast("int").alias("n_lines_removed")))
 
 
 def remove_duplicate_paragraphs(docs: DataFrame, id_col: str = "doc_id",

@@ -1752,6 +1752,41 @@ def test_remove_duplicate_paragraphs(spark):
     assert all(v == 0 for v in out3.values())
 
 
+def test_strip_host_boilerplate(spark):
+    """Host-template line strip: chrome repeated across a host's pages
+    is removed from all of them, the same line on a DIFFERENT host with
+    too few occurrences survives, blank lines survive, trimming
+    normalizes the match key, and per-doc line order is preserved."""
+    from fortissimo_spark.textstats import strip_host_boilerplate
+    rows = [
+        (1, "a.com", "NAV | HOME\nbody one\nFOOTER (c)"),
+        (2, "a.com", "  NAV | HOME  \n\nbody two"),
+        (3, "a.com", "NAV | HOME\nbody three\nFOOTER (c)"),
+        (4, "a.com", "body four\nNAV | HOME"),
+        # b.com has ONE page with the same nav line: below min_docs,
+        # so on this host it is content, not chrome.
+        (5, "b.com", "NAV | HOME\nbody five"),
+        (6, "b.com", "body six"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "host", "text"])
+    out = {r.doc_id: (r.text_main, r.n_lines_removed)
+           for r in strip_host_boilerplate(df, frac=0.5).collect()}
+    # FOOTER is on 2/4 of a.com pages: exactly at the frac=0.5 floor,
+    # so it is chrome here
+    assert out[1] == ("body one", 2)
+    # trimmed variant matches the key; blank line survives
+    assert out[2] == ("\nbody two", 1)
+    assert out[3] == ("body three", 2)
+    assert out[4] == ("body four", 1)
+    assert out[5] == ("NAV | HOME\nbody five", 0)
+    assert out[6] == ("body six", 0)
+    # ... but survives a 0.75 floor (2 < 3)
+    loose = {r.doc_id: (r.text_main, r.n_lines_removed)
+             for r in strip_host_boilerplate(df, frac=0.75).collect()}
+    assert loose[1] == ("body one\nFOOTER (c)", 1)
+    assert loose[3] == ("body three\nFOOTER (c)", 1)
+
+
 def test_quality_classifier_train_and_score(spark):
     """Weak-label quality classifier: train LR on gibberish-vs-prose
     labels, score held-out docs distributed; gibberish must score low,
