@@ -1795,6 +1795,89 @@ def _host_trustrank_oracle_sql() -> str:
         JOIN {tr_prev} t ON t.id = hh.hi"""
 
 
+def _q_host_communities(spark, sf_dir):
+    """Community detection over a PLANTED 4-block host graph: hosts
+    doc_id % 16 fall in four groups of four; three intra-group edge
+    generators per doc plus a sparse cross-group edge on doc_id % 13
+    == 0 whose target offset (4, 8, or 12 by doc_id % 3) always LEAVES
+    the block — intra-block weights stay exactly tied, so the min-label
+    rule merges each block instead of entering the synchronous-LPA
+    two-cycle that asymmetric intra weights would cause. LPA must
+    recover the four blocks (community = 4*(host//4), stable from
+    sweep 2); DuckDB replays all three sweeps via unrolled CTEs."""
+    from fortissimo_spark.graph import label_propagation
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    src = d % 16
+    base = src - d % 4
+    parts = [docs.select(src.alias("src"),
+                         (base + (d * a + b) % 4).alias("dst"))
+             for a, b in ((7, 1), (5, 2), (11, 3))]
+    cross = docs.filter(d % 13 == 0).select(
+        src.alias("src"),
+        ((src + 4 + 4 * (d % 3)) % 16).alias("dst"))
+    raw = parts[0].unionByName(parts[1]).unionByName(parts[2]) \
+        .unionByName(cross)
+    hedges = (raw.filter(F.col("src") != F.col("dst"))
+              .groupBy("src", "dst")
+              .agg(F.count("*").cast("double").alias("weight")))
+    nodes = spark.range(16).select("id")
+    lp = label_propagation(hedges, nodes, num_iters=_LG_ITERS,
+                           weight_col="weight")
+    return lp.select(F.col("id").cast("int").alias("host_idx"),
+                     F.col("label").cast("int").alias("community"))
+
+
+def _host_communities_oracle_sql() -> str:
+    prev = "l0"
+    iters = []
+    for i in range(1, _LG_ITERS + 1):
+        iters.append(f"""
+        v{i} AS (
+          SELECT u.src AS node, l.label, sum(u.w) AS wsum
+          FROM und u JOIN {prev} l ON l.id = u.dst
+          GROUP BY u.src, l.label),
+        w{i} AS (
+          SELECT node, label,
+                 row_number() OVER (PARTITION BY node
+                                    ORDER BY wsum DESC, label) AS rn
+          FROM v{i}),
+        l{i} AS (
+          SELECT h.hi AS id, coalesce(w.label, h.hi) AS label
+          FROM hosts h LEFT JOIN (SELECT node, label FROM w{i}
+                                  WHERE rn = 1) w ON w.node = h.hi)""")
+        prev = f"l{i}"
+    return f"""
+        WITH hosts AS (SELECT unnest(range(16)) AS hi),
+        raw AS (
+          SELECT doc_id % 16 AS src,
+                 doc_id % 16 - doc_id % 4 + (doc_id * 7 + 1) % 4 AS dst
+          FROM documents
+          UNION ALL
+          SELECT doc_id % 16,
+                 doc_id % 16 - doc_id % 4 + (doc_id * 5 + 2) % 4
+          FROM documents
+          UNION ALL
+          SELECT doc_id % 16,
+                 doc_id % 16 - doc_id % 4 + (doc_id * 11 + 3) % 4
+          FROM documents
+          UNION ALL
+          SELECT doc_id % 16,
+                 (doc_id % 16 + 4 + 4 * (doc_id % 3)) % 16
+          FROM documents WHERE doc_id % 13 = 0),
+        hedges AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+                   FROM raw WHERE src <> dst GROUP BY src, dst),
+        und AS (SELECT src, dst, sum(w) AS w FROM (
+                  SELECT src, dst, w FROM hedges
+                  UNION ALL
+                  SELECT dst AS src, src AS dst, w FROM hedges)
+                GROUP BY src, dst),
+        l0 AS (SELECT hi AS id, hi AS label FROM hosts),{",".join(iters)}
+        SELECT CAST(id AS INTEGER) AS host_idx,
+               CAST(label AS INTEGER) AS community
+        FROM {prev}"""
+
+
 def _q_host_hits(spark, sf_dir):
     """HITS hubs-and-authorities (Kleinberg JACM 1999) over the same
     weighted host graph as host_rank: 3 mutual-reinforcement sweeps,
@@ -2210,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_chains": _q_redirect_chains,
         "ppl_buckets": _q_ppl_buckets,
         "host_boilerplate": _q_host_boilerplate,
+        "host_communities": _q_host_communities,
         # (c) driver-verified r5, unchanged
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -3820,6 +3904,7 @@ def oracle_sql() -> dict[str, str]:
         "page_analysis": _PAGE_ANALYSIS_ORACLE,
         "host_rank": _host_rank_oracle_sql(),
         "host_trustrank": _host_trustrank_oracle_sql(),
+        "host_communities": _host_communities_oracle_sql(),
         "host_hits": _host_hits_oracle_sql(),
         "inverted_index": _INVERTED_INDEX_ORACLE,
         "bm25_search": _bm25_oracle_sql(),

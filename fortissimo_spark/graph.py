@@ -34,6 +34,7 @@ from .parser import parse
 
 __all__ = ["extract_outlinks", "resolve_href", "link_degrees", "pagerank",
            "trustrank", "hits", "anchor_text_index", "host_graph",
+           "label_propagation",
            "harmonic_centrality", "hyperball_harmonic", "hyperball_alpha"]
 
 
@@ -317,6 +318,65 @@ def anchor_text_index(links: DataFrame, top_k: int = 3) -> DataFrame:
                                              "anchor_text")
     return (counts.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_k))
+
+
+def label_propagation(edges: DataFrame, nodes: DataFrame, *,
+                      num_iters: int = 3, src_col: str = "src",
+                      dst_col: str = "dst",
+                      weight_col: str | None = None,
+                      checkpoint: bool = True) -> DataFrame:
+    """(id, label) — synchronous weighted label propagation (Raghavan
+    et al. 2007) for community detection: every node starts labeled
+    with its own id; each sweep it adopts the label with the LARGEST
+    summed edge weight among its neighbors (graph treated as
+    undirected), ties broken by smallest label, isolated nodes keep
+    their current label. Unlike the paper's randomized asynchronous
+    scan, sweeps here are fully synchronous with a deterministic tie
+    rule, so two engines (or two partitionings) produce bit-identical
+    labels — the same replayability convention as :func:`pagerank`.
+
+    Scale shape per sweep: ONE shuffle — votes partial-aggregate
+    map-side on ``(node, neighbor_label)`` before the exchange, so a
+    celebrity host's million same-label in-edges collapse early; the
+    winner pick is a row_number window whose partition (one row per
+    DISTINCT neighbor label of one node) is degree-bounded. Label
+    state is (id, label) rows only; lineage is cut per sweep with a
+    lazy localCheckpoint. Symmetrization doubles the edge list once
+    up front and re-aggregates parallel edges."""
+    from pyspark.sql import Window
+    if weight_col is None:
+        e0 = edges.select(F.col(src_col).alias("src"),
+                          F.col(dst_col).alias("dst"),
+                          F.lit(1.0).alias("w")).distinct()
+    else:
+        e0 = edges.select(F.col(src_col).alias("src"),
+                          F.col(dst_col).alias("dst"),
+                          F.col(weight_col).cast("double").alias("w"))
+    und = (e0.filter(F.col("src") != F.col("dst"))
+           .unionByName(e0.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst"), "w")
+                        .filter(F.col("src") != F.col("dst")))
+           .groupBy("src", "dst").agg(F.sum("w").alias("w")))
+    if checkpoint:
+        # the symmetrized edge frame re-enters every sweep — pin it
+        und = und.localCheckpoint(eager=False)
+    labels = nodes.select("id", F.col("id").alias("label"))
+    w_win = Window.partitionBy("_node").orderBy(F.col("_wsum").desc(),
+                                                F.col("label").asc())
+    for _ in range(num_iters):
+        votes = (und.join(labels, und["dst"] == labels["id"])
+                 .groupBy(F.col("src").alias("_node"), "label")
+                 .agg(F.sum("w").alias("_wsum")))
+        winners = (votes.withColumn("_rn", F.row_number().over(w_win))
+                   .filter(F.col("_rn") == 1)
+                   .select(F.col("_node").alias("id"),
+                           F.col("label").alias("_new")))
+        labels = (nodes.join(winners, "id", "left")
+                  .select("id", F.coalesce(F.col("_new"), F.col("id"))
+                          .alias("label")))
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=False)
+    return labels
 
 
 def host_graph(edges_urls: DataFrame, src_col: str = "src_url",

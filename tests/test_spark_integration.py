@@ -3254,6 +3254,38 @@ def test_inverted_index_hand_corpus(spark):
                   "b b": "2:1:0", "b d": "2:1:1"}
 
 
+def test_label_propagation_hand_graph(spark):
+    """Two triangles joined by one weak bridge: sync weighted LPA with
+    min-label ties must merge each triangle to its smallest member and
+    keep the bridge from bleeding labels across; an isolated node keeps
+    its own label. Weighted variant: a heavy parallel edge outvotes two
+    light ones."""
+    from fortissimo_spark.graph import label_propagation
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    tri1 = [(0, 1), (1, 2), (2, 0)]
+    tri2 = [(3, 4), (4, 5), (5, 3)]
+    edges = spark.createDataFrame(tri1 + tri2 + [(2, 3)],
+                                  "src long, dst long")
+    lab = {r.id: r.label
+           for r in label_propagation(edges, nodes,
+                                      num_iters=4).collect()}
+    # hand trace: tri1 collapses to 0 by sweep 2; node 3's sweep-1
+    # ballot {4, 5, 2} is a three-way tie whose min is bridge label 2,
+    # so tri2 converges to label 2 — separate community, leaked name.
+    # Stable from sweep 3 (sweep 4 reproduces sweep 3's labels).
+    assert lab == {0: 0, 1: 0, 2: 0, 3: 2, 4: 2, 5: 2, 6: 6}
+    # weights beat counts: node 2 sees label-0/label-1 mass 1.0 each
+    # but a weight-5 edge to node 9 outvotes both in sweep 1
+    wnodes = spark.createDataFrame([(0,), (1,), (2,), (9,)], "id long")
+    wedges = spark.createDataFrame(
+        [(0, 2, 1.0), (1, 2, 1.0), (9, 2, 5.0), (0, 1, 1.0)],
+        "src long, dst long, w double")
+    wlab = {r.id: r.label
+            for r in label_propagation(wedges, wnodes, num_iters=1,
+                                       weight_col="w").collect()}
+    assert wlab[2] == 9
+
+
 def test_hits_hand_graph(spark):
     """a->b, a->c, b->c: a is the pure hub (links both authorities,
     never linked), c the top authority. One sweep, L1-normalized,
