@@ -2061,6 +2061,87 @@ def _bm25_oracle_sql() -> str:
     FROM scored ORDER BY score DESC, doc_id LIMIT 15"""
 
 
+def _q_search_snippets(spark, sf_dir):
+    """The full search-results experience: BM25 top-15 (same query as
+    bm25_search) + the highlight snippet for each hit — the best
+    12-token window by (distinct query terms, total hits, earliest),
+    picked entirely with JVM array ops anchored at hit positions
+    (textstats.best_snippet; no shuffle beyond BM25's own). DuckDB
+    replays the window argmax relationally: hit self-join within the
+    window span, rank, then string_agg the winning span."""
+    from fortissimo_spark.textstats import best_snippet, bm25_search
+    docs = load_table(spark, sf_dir, "documents")
+    top = bm25_search(docs, list(_BM25_QUERY_TERMS), top_k=15) \
+        .select("doc_id", "rank", "score")
+    sn = best_snippet(docs.join(top.select("doc_id"), "doc_id"),
+                      list(_BM25_QUERY_TERMS), window=12) \
+        .select("doc_id", "start_pos",
+                F.col("n_distinct").alias("win_distinct"),
+                F.col("n_hits").alias("win_hits"), "snippet")
+    return top.join(sn, "doc_id") \
+        .select("doc_id", "rank", "score", "start_pos",
+                "win_distinct", "win_hits", "snippet")
+
+
+def _search_snippets_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY_TERMS)
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, i - 1 AS pos, arr[i] AS term
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               w -> w <> '') AS arr
+            FROM documents),
+           unnest(range(1, len(arr) + 1)) AS u(i)),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ({terms}) GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    comp AS (SELECT t.doc_id,
+                    round(ln(1 + (c.n_docs - q.df + 0.5) / (q.df + 0.5))
+                          * (t.tf * 2.2)
+                          / (t.tf + 1.2 * (1 - 0.75
+                                           + 0.75 * d.dl / c.avgdl)),
+                          9) AS comp
+             FROM tf t
+             JOIN dfq q USING (term)
+             JOIN dl d USING (doc_id)
+             CROSS JOIN corpus c),
+    scored AS (SELECT doc_id, count(*) AS n_hits,
+                      round(sum(comp), 9) AS score
+               FROM comp GROUP BY doc_id),
+    top AS (SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS INTEGER) AS rank
+            FROM scored ORDER BY score DESC, doc_id LIMIT 15),
+    h AS (SELECT t.doc_id, t.pos, t.term
+          FROM toks t JOIN top USING (doc_id)
+          WHERE t.term IN ({terms})),
+    cand AS (SELECT a.doc_id, a.pos AS start,
+                    count(DISTINCT b.term) AS nd, count(*) AS nh
+             FROM h a JOIN h b ON b.doc_id = a.doc_id
+                  AND b.pos >= a.pos AND b.pos < a.pos + 12
+             GROUP BY a.doc_id, a.pos),
+    best AS (SELECT doc_id, start, nd, nh,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY nd DESC, nh DESC,
+                                                start) AS rn
+             FROM cand),
+    snip AS (SELECT b.doc_id, b.start, b.nd, b.nh,
+                    string_agg(t.term, ' ' ORDER BY t.pos) AS snippet
+             FROM best b JOIN toks t ON t.doc_id = b.doc_id
+                  AND t.pos >= b.start AND t.pos < b.start + 12
+             WHERE b.rn = 1
+             GROUP BY b.doc_id, b.start, b.nd, b.nh)
+    SELECT p.doc_id, p.rank, p.score,
+           CAST(s.start AS INTEGER) AS start_pos,
+           CAST(s.nd AS INTEGER) AS win_distinct,
+           CAST(s.nh AS INTEGER) AS win_hits,
+           s.snippet
+    FROM top p JOIN snip s USING (doc_id)"""
+
+
 _HC_RADIUS = 3
 _HC_HOSTS = 64
 
@@ -2294,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": _q_ppl_buckets,
         "host_boilerplate": _q_host_boilerplate,
         "host_communities": _q_host_communities,
+        "search_snippets": _q_search_snippets,
         # (c) driver-verified r5, unchanged
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -3908,6 +3990,7 @@ def oracle_sql() -> dict[str, str]:
         "host_hits": _host_hits_oracle_sql(),
         "inverted_index": _INVERTED_INDEX_ORACLE,
         "bm25_search": _bm25_oracle_sql(),
+        "search_snippets": _search_snippets_oracle_sql(),
         "index_compaction": _INVERTED_INDEX_ORACLE,
         "host_harmonic": _host_harmonic_oracle_sql(),
         "host_harmonic_hb": _host_harmonic_hb_oracle_sql(),

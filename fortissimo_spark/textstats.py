@@ -17,7 +17,7 @@ __all__ = ["with_token_counts", "with_quality_features", "with_langid",
            "score_quality", "with_script_ratios", "redact_pii",
            "with_sentence_stats", "normalize_text",
            "inverted_index", "index_segment", "index_from_segments",
-           "bm25_search",
+           "bm25_search", "best_snippet",
            "LANG_MARKERS", "SCRIPT_CLASSES", "PII_PATTERNS"]
 
 # C0 controls except \t \n \r, plus DEL and the C1 block — the bytes a
@@ -730,6 +730,62 @@ def bm25_search(docs: DataFrame, query_terms: list[str], *, top_k: int = 10,
     from pyspark.sql import Window
     w = Window.orderBy(F.desc("score"), "doc_id")
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def best_snippet(docs: DataFrame, query_terms: list[str], *,
+                 window: int = 12, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Search-result snippet selection — the highlight window a results
+    page shows under each BM25 hit: among all windows of ``window``
+    tokens anchored at a query-term occurrence, pick the one covering
+    the most DISTINCT query terms, then the most total hits, then the
+    earliest start. Returns (doc_id, start_pos, n_distinct, n_hits,
+    snippet) for documents with at least one hit; tokenization matches
+    the inverted index (whitespace, case-preserving).
+
+    Entirely JVM higher-order functions over the token array — a pure
+    map, no shuffle, no Python: hit positions are one filtered
+    transform, each anchor's window stats are nested array ops (O(h²)
+    in the doc's HIT count only, not its length), and the argmax is a
+    lexicographic ``array_max`` over (n_distinct, n_hits, -start)
+    structs, which makes the tie rule explicit and engine-replayable.
+    Anchoring at hits loses nothing: a window whose start is not a hit
+    slides right to its first hit keeping every hit it contained (and
+    possibly gaining some), so some hit-anchored window always ties or
+    beats it."""
+    terms_arr = F.array(*[F.lit(t) for t in query_terms])
+    arr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                   lambda w: w != "")
+    d = docs.select(F.col(id_col).alias("doc_id"), arr.alias("_toks"))
+    hits = F.filter(
+        F.transform(F.col("_toks"),
+                    lambda x, i: F.struct(i.alias("pos"),
+                                          x.alias("term"))),
+        lambda s: F.array_contains(terms_arr, s["term"]))
+    d = d.withColumn("_hits", hits).filter(F.size("_hits") > 0)
+
+    def in_win(a):
+        return F.filter(F.col("_hits"),
+                        lambda x: (x["pos"] >= a["pos"])
+                        & (x["pos"] < a["pos"] + window))
+
+    cands = F.transform(
+        F.col("_hits"),
+        lambda a: F.struct(
+            F.size(F.array_distinct(
+                F.transform(in_win(a), lambda x: x["term"])))
+            .alias("nd"),
+            F.size(in_win(a)).alias("nh"),
+            (-a["pos"]).alias("neg")))
+    return (d.withColumn("_best", F.array_max(cands))
+            .select("doc_id",
+                    (-F.col("_best.neg")).cast("int").alias("start_pos"),
+                    F.col("_best.nd").cast("int").alias("n_distinct"),
+                    F.col("_best.nh").cast("int").alias("n_hits"),
+                    F.array_join(
+                        F.slice(F.col("_toks"),
+                                -F.col("_best.neg") + F.lit(1),
+                                F.lit(window)), " ").alias("snippet")))
 
 
 def train_quality_classifier(labeled: DataFrame, label_col: str = "label",

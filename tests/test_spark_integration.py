@@ -3254,6 +3254,29 @@ def test_inverted_index_hand_corpus(spark):
                   "b b": "2:1:0", "b d": "2:1:1"}
 
 
+def test_best_snippet_hand_corpus(spark):
+    """Window argmax pinned by hand: distinct-coverage beats raw hits,
+    ties fall to total hits then earliest start; a hit near EOF yields
+    a short snippet; hitless docs drop."""
+    from fortissimo_spark.textstats import best_snippet
+    docs = spark.createDataFrame(
+        [(1, "x q1 x x q2 q1 x x x x x x x q2"),
+         (2, "a b q1"),
+         (3, "no hits here at all"),
+         # one q2+q1 window (nd=2) must beat a q1 q1 q1 run (nh=3)
+         (4, "q1 q1 q1 x x x x x x x q2 q1")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.start_pos, r.n_distinct, r.n_hits, r.snippet)
+           for r in best_snippet(docs, ["q1", "q2"], window=4).collect()}
+    # doc 1: anchors 1 and 4 both cover {q1,q2} with 2 hits -> earliest
+    assert out[1] == (1, 2, 2, "q1 x x q2")
+    # doc 2: window runs past EOF, snippet truncates
+    assert out[2] == (2, 1, 1, "q1")
+    assert 3 not in out
+    # doc 4: [10,14) covers q2,q1 (nd=2) over the nd=1/nh=3 run at 0
+    assert out[4] == (10, 2, 2, "q2 q1")
+
+
 def test_label_propagation_hand_graph(spark):
     """Two triangles joined by one weak bridge: sync weighted LPA with
     min-label ties must merge each triangle to its smallest member and
