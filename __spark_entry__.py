@@ -2061,6 +2061,71 @@ def _bm25_oracle_sql() -> str:
     FROM scored ORDER BY score DESC, doc_id LIMIT 15"""
 
 
+def _q_extract_tables(spark, sf_dir):
+    """HTML-table extraction through the forgiving parser: every doc
+    plants a captioned 3-row table (header th row, a rowspan/colspan
+    cell); docs with doc_id % 3 == 1 add a MALFORMED second table
+    (stray th before tbody — the parser's table repair synthesizes its
+    row, pinned by test_extract_tables_hand_pages). DuckDB recomputes
+    every cell from doc_id arithmetic."""
+    from fortissimo_spark.kernel import extract_tables
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    cap = F.concat(F.lit("Metrics "), (d % 50).cast("string"))
+    t_a = F.concat(
+        F.lit("<table><caption>"), cap, F.lit("</caption>"),
+        F.lit("<tr><th>k<th>v"),
+        F.lit("<tr><td>rows<td>"), (d % 1000).cast("string"),
+        F.lit("<tr><td>score<td rowspan=2 colspan='3'>"),
+        (d % 7).cast("string"), F.lit("</table>"))
+    t_b = F.when(d % 3 == 1, F.concat(
+        F.lit("<table><th>hdr "), (d % 5).cast("string"),
+        F.lit("<tbody><tr><td>c1<td>c2</table>"))).otherwise(F.lit(""))
+    html = F.concat(F.lit("<html><body><p>x</p>"), t_a, t_b,
+                    F.lit("</body></html>"))
+    pages = docs.select(d.cast("string").alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    return extract_tables(pages)
+
+
+def _extract_tables_oracle_sql() -> str:
+    return """
+    WITH base AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS url,
+             'Metrics ' || CAST(doc_id % 50 AS VARCHAR) AS cap
+      FROM documents),
+    shape_a(ti, ri, ci, hdr, rs, cs, kind) AS (VALUES
+      (0, 0, 0, TRUE,  1, 1, 'k'),
+      (0, 0, 1, TRUE,  1, 1, 'v'),
+      (0, 1, 0, FALSE, 1, 1, 'rows'),
+      (0, 1, 1, FALSE, 1, 1, '__m1000'),
+      (0, 2, 0, FALSE, 1, 1, 'score'),
+      (0, 2, 1, FALSE, 2, 3, '__m7')),
+    shape_b(ti, ri, ci, hdr, rs, cs, kind) AS (VALUES
+      (1, 0, 0, TRUE,  1, 1, '__hdr5'),
+      (1, 1, 0, FALSE, 1, 1, 'c1'),
+      (1, 1, 1, FALSE, 1, 1, 'c2')),
+    cells AS (
+      SELECT b.url, s.ti, b.cap AS caption, s.ri, s.ci, s.hdr,
+             s.rs, s.cs, s.kind, b.doc_id
+      FROM base b CROSS JOIN shape_a s
+      UNION ALL
+      SELECT b.url, s.ti, NULL, s.ri, s.ci, s.hdr, s.rs, s.cs,
+             s.kind, b.doc_id
+      FROM base b CROSS JOIN shape_b s
+      WHERE b.doc_id % 3 = 1)
+    SELECT url, CAST(ti AS INTEGER) AS table_idx, caption,
+           CAST(ri AS INTEGER) AS row_idx, CAST(ci AS INTEGER) AS col_idx,
+           hdr AS is_header, CAST(rs AS INTEGER) AS rowspan,
+           CAST(cs AS INTEGER) AS colspan,
+           CASE kind
+             WHEN '__m1000' THEN CAST(doc_id % 1000 AS VARCHAR)
+             WHEN '__m7' THEN CAST(doc_id % 7 AS VARCHAR)
+             WHEN '__hdr5' THEN 'hdr ' || CAST(doc_id % 5 AS VARCHAR)
+             ELSE kind END AS cell
+    FROM cells"""
+
+
 def _q_search_snippets(spark, sf_dir):
     """The full search-results experience: BM25 top-15 (same query as
     bm25_search) + the highlight snippet for each hit — the best
@@ -2376,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_boilerplate": _q_host_boilerplate,
         "host_communities": _q_host_communities,
         "search_snippets": _q_search_snippets,
+        "extract_tables": _q_extract_tables,
         # (c) driver-verified r5, unchanged
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -3991,6 +4057,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _INVERTED_INDEX_ORACLE,
         "bm25_search": _bm25_oracle_sql(),
         "search_snippets": _search_snippets_oracle_sql(),
+        "extract_tables": _extract_tables_oracle_sql(),
         "index_compaction": _INVERTED_INDEX_ORACLE,
         "host_harmonic": _host_harmonic_oracle_sql(),
         "host_harmonic_hb": _host_harmonic_hb_oracle_sql(),

@@ -25,7 +25,8 @@ from typing import Iterable, Iterator
 
 import pandas as pd
 
-from .dom import N_ATTR_NAMES, N_ATTR_VALUES
+from .dom import ELEMENT, N_ATTR_NAMES, N_ATTR_VALUES, N_KIND, N_PARENT, \
+    N_TAG_LC
 from .extract import extract
 from .parser import parse
 
@@ -444,6 +445,104 @@ def page_metadata(pages) -> "DataFrame":
                           "description", "og_title")])
     return (pages.select("url", "html")
             .mapInPandas(make_page_meta_kernel(), schema))
+
+
+def _tables_from_dom(b) -> list[tuple]:
+    """All table cells of one parsed DOM, in document order:
+    (table_idx, caption, row_idx, col_idx, is_header, rowspan, colspan,
+    cell). Rows/cells attach to their NEAREST enclosing table/tr, so
+    nested tables don't double-count, and the DOM's table repair
+    (synthetic tr for stray cells, dom.py:458) means even
+    missing-markup tables come out row-shaped. Cell text is
+    whitespace-collapsed text_content; non-numeric or sub-1 spans
+    normalize to 1 (browser behavior)."""
+    nodes = b.nodes
+
+    def nearest(node: int, tag: str) -> int:
+        p = nodes[node][N_PARENT]
+        while p >= 0:
+            nd = nodes[p]
+            if nd[N_KIND] == ELEMENT and nd[N_TAG_LC] == tag:
+                return p
+            p = nd[N_PARENT]
+        return -1
+
+    def span(v) -> int:
+        try:
+            n = int(str(v).strip())
+        except (TypeError, ValueError):
+            return 1
+        return n if n >= 1 else 1
+
+    out: list[tuple] = []
+    for t_i, t in enumerate(b.query_selector_all(0, "table")):
+        caption = None
+        for c in b.query_selector_all(t, "caption"):
+            if nearest(c, "table") == t:
+                caption = " ".join(b.text_content(c).split())
+                break
+        rows = [r for r in b.query_selector_all(t, "tr")
+                if nearest(r, "table") == t]
+        for r_i, r in enumerate(rows):
+            cells = sorted(
+                c for tag in ("td", "th")
+                for c in b.query_selector_all(r, tag)
+                if nearest(c, "tr") == r)
+            for c_i, c in enumerate(cells):
+                at = _attrs_ci(b, c)
+                out.append((t_i, caption, r_i, c_i,
+                            nodes[c][N_TAG_LC] == "th",
+                            span(at.get("rowspan")),
+                            span(at.get("colspan")),
+                            " ".join(b.text_content(c).split())))
+    return out
+
+
+def make_tables_kernel():
+    """mapInPandas kernel: pages batches -> one row per table CELL
+    (structured-table extraction — the training-data path that turns
+    web tables into relational records)."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("url", "table_idx", "caption", "row_idx", "col_idx",
+                "is_header", "rowspan", "colspan", "cell")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in cols}
+            for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+                text_src, _, _ = decode_page_bytes(bytes(raw or b""))
+                b = parse(text_src, positions=False).dom
+                for rec in _tables_from_dom(b):
+                    rows["url"].append(url)
+                    for k, v in zip(cols[1:], rec):
+                        rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return kernel
+
+
+def extract_tables(pages) -> "DataFrame":
+    """(url, table_idx, caption, row_idx, col_idx, is_header, rowspan,
+    colspan, cell) for every table cell on every page — HTML tables as
+    relational records, through the same forgiving parse (+ table
+    repair) as the text extraction. Pure map over pages: no shuffle;
+    output fan-out is bounded by page size."""
+    from pyspark.sql.types import (BooleanType, IntegerType, StringType,
+                                   StructField, StructType)
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("table_idx", IntegerType()),
+        StructField("caption", StringType()),
+        StructField("row_idx", IntegerType()),
+        StructField("col_idx", IntegerType()),
+        StructField("is_header", BooleanType()),
+        StructField("rowspan", IntegerType()),
+        StructField("colspan", IntegerType()),
+        StructField("cell", StringType()),
+    ])
+    return (pages.select("url", "html")
+            .mapInPandas(make_tables_kernel(), schema))
 
 
 def make_robots_kernel():

@@ -3254,6 +3254,41 @@ def test_inverted_index_hand_corpus(spark):
                   "b b": "2:1:0", "b d": "2:1:1"}
 
 
+def test_extract_tables_hand_pages(spark):
+    """Table cells as relational records: caption pickup, th/td flags,
+    row/colspan parsing, the synthetic-tr repair row for a stray th,
+    nested-table separation (inner cells don't double-count in the
+    outer table), and textContent bleed-through on the outer cell."""
+    from fortissimo_spark.kernel import extract_tables
+    html = ("<html><body>"
+            "<table><caption>Stats</caption>"
+            "<tr><th>name<th colspan=2>vals"
+            "<tr><td>a<td>1<td rowspan=\"2\">2"
+            "</table>"
+            "<table><th>x<tbody><tr><td>1<td>2</table>"
+            "<table><tr><td>outer <table><tr><td>inner</table> tail"
+            "</table>"
+            "</body></html>").encode()
+    pages = spark.createDataFrame([("u1", bytearray(html)),
+                                   ("u2", bytearray(b"<p>no tables</p>"))],
+                                  "url string, html binary")
+    got = sorted((r.table_idx, r.row_idx, r.col_idx, r.caption,
+                  r.is_header, r.rowspan, r.colspan, r.cell)
+                 for r in extract_tables(pages).collect())
+    assert got == [
+        (0, 0, 0, "Stats", True, 1, 1, "name"),
+        (0, 0, 1, "Stats", True, 1, 2, "vals"),
+        (0, 1, 0, "Stats", False, 1, 1, "a"),
+        (0, 1, 1, "Stats", False, 1, 1, "1"),
+        (0, 1, 2, "Stats", False, 2, 1, "2"),
+        (1, 0, 0, None, True, 1, 1, "x"),   # synthetic-tr repair row
+        (1, 1, 0, None, False, 1, 1, "1"),
+        (1, 1, 1, None, False, 1, 1, "2"),
+        (2, 0, 0, None, False, 1, 1, "outer inner tail"),
+        (3, 0, 0, None, False, 1, 1, "inner"),
+    ]
+
+
 def test_best_snippet_hand_corpus(spark):
     """Window argmax pinned by hand: distinct-coverage beats raw hits,
     ties fall to total hits then earliest start; a hit near EOF yields
