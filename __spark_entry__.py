@@ -2061,6 +2061,44 @@ def _bm25_oracle_sql() -> str:
     FROM scored ORDER BY score DESC, doc_id LIMIT 15"""
 
 
+def _q_dust_rules(spark, sf_dir):
+    """DUST url-alias rule mining over a planted crawl: every doc is
+    crawled at ?id=...; docs with doc_id % 3 == 0 are ALSO crawled with
+    a session token appended (same content -> the sid rule must be
+    mined per host with support = that host's %3 population); docs with
+    doc_id % 7 == 2 carry a ?page= url whose stripped form was never
+    crawled (no support -> must NOT be mined). DuckDB recomputes the
+    expected rule table from doc_id arithmetic; the engine has to mine
+    exactly it — nothing more."""
+    from fortissimo_spark.urls import mine_dust_rules
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    base = F.concat(F.lit("https://host"), (d % 16).cast("string"),
+                    F.lit(".example/article/"),
+                    F.lpad(d.cast("string"), 10, "0"))
+    h = F.md5(F.col("text").cast("binary"))
+    plain = docs.select(
+        F.concat(base, F.lit("?id="), (d % 100).cast("string"))
+        .alias("url"), h.alias("content_hash"))
+    sess = docs.filter(d % 3 == 0).select(
+        F.concat(base, F.lit("?id="), (d % 100).cast("string"),
+                 F.lit("&sid=s"), (d % 97).cast("string")).alias("url"),
+        h.alias("content_hash"))
+    paged = docs.filter(d % 7 == 2).select(
+        F.concat(base, F.lit("?page="), (d % 3).cast("string"))
+        .alias("url"), h.alias("content_hash"))
+    crawl = plain.unionByName(sess).unionByName(paged)
+    return mine_dust_rules(crawl, min_support=2)
+
+
+_DUST_RULES_ORACLE = """
+    SELECT 'host' || CAST(doc_id % 16 AS VARCHAR) || '.example' AS host,
+           'sid' AS param, count(*) AS support
+    FROM documents WHERE doc_id % 3 = 0
+    GROUP BY doc_id % 16
+    HAVING count(*) >= 2"""
+
+
 def _q_extract_tables(spark, sf_dir):
     """HTML-table extraction through the forgiving parser: every doc
     plants a captioned 3-row table (header th row, a rowspan/colspan
@@ -2442,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_communities": _q_host_communities,
         "search_snippets": _q_search_snippets,
         "extract_tables": _q_extract_tables,
+        "dust_rules": _q_dust_rules,
         # (c) driver-verified r5, unchanged
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -4058,6 +4097,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _bm25_oracle_sql(),
         "search_snippets": _search_snippets_oracle_sql(),
         "extract_tables": _extract_tables_oracle_sql(),
+        "dust_rules": _DUST_RULES_ORACLE,
         "index_compaction": _INVERTED_INDEX_ORACLE,
         "host_harmonic": _host_harmonic_oracle_sql(),
         "host_harmonic_hb": _host_harmonic_hb_oracle_sql(),

@@ -29,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 __all__ = ["normalize_url", "TRACKING_PARAM_PREFIXES", "url_host",
-           "host_suffixes", "filter_blocked_hosts", "cap_per_host"]
+           "host_suffixes", "filter_blocked_hosts", "cap_per_host",
+           "mine_dust_rules", "apply_dust_rules"]
 
 
 def _purl(col: Column, part: str) -> Column:
@@ -196,3 +197,90 @@ def resolve_redirects(redirects, max_hops: int = 32,
                     F.least(F.col("hops"), F.lit(cap)).alias("hops"),
                     (F.col("_is_src").isNull()
                      & (F.col("hops") <= max_hops)).alias("resolved")))
+
+
+# --- DUST: different urls, same text (Bar-Yossef et al., WWW 2007) ------
+
+def _query_params(col: Column) -> Column:
+    return F.filter(F.split(F.coalesce(_purl(col, "QUERY"), F.lit("")), "&"),
+                    lambda p: p != "")
+
+
+def _param_name(p: Column) -> Column:
+    return F.split(p, "=", 2).getItem(0)
+
+
+def _rejoin(base: Column, kept: Column) -> Column:
+    return F.when(F.size(kept) > 0,
+                  F.concat(base, F.lit("?"), F.array_join(kept, "&"))) \
+        .otherwise(base)
+
+
+def mine_dust_rules(pages, *, min_support: int = 2,
+                    url_col: str = "url", hash_col: str = "content_hash"):
+    """DUST rule mining ("Do Not Crawl in the DUST", Bar-Yossef et al.,
+    WWW 2007), specialized to the dominant modern case: per-host query
+    PARAMETERS whose removal maps a crawled url onto a DIFFERENT
+    crawled url with identical content — session ids, tracking tokens,
+    sort toggles. A (host, param) rule is supported by url u when
+    dropping every ``param=...`` pair from u yields a distinct url u'
+    that also appears in ``pages`` with the same content hash. Returns
+    (host, param, support) for rules meeting ``min_support``; feed to
+    :func:`apply_dust_rules` to canonicalize before crawl dedup.
+
+    Scale shape — NO pairwise comparison inside duplicate groups (the
+    naive DUST join is quadratic in the copy count of a hot error
+    page): each url emits one candidate per DISTINCT param name it
+    carries (O(#params), crawl urls carry a handful), and support is a
+    single equi-join of candidates against the distinct url set on
+    (host, stripped-url, hash) — AQE handles host skew — then one
+    partial-agg count. Param identity is the name before ``=``; a rule
+    drops all pairs of that name."""
+    col = F.col(url_col)
+    host = F.lower(_purl(col, "HOST"))
+    d = (pages.select(col.alias("_url"),
+                      F.col(hash_col).alias("_h"),
+                      host.alias("_host"))
+         .filter(F.col("_host").isNotNull()))
+    base = F.split(F.col("_url"), r"\?", 2).getItem(0)
+    withp = d.select("_url", "_h", "_host", base.alias("_base"),
+                     _query_params(F.col("_url")).alias("_params"))
+    names = F.array_distinct(F.transform(F.col("_params"), _param_name))
+    cand = (withp.filter(F.size("_params") > 0)
+            .select("_url", "_h", "_host", "_base", "_params",
+                    F.explode(names).alias("param")))
+    kept = F.filter(F.col("_params"),
+                    lambda p: _param_name(p) != F.col("param"))
+    cand = (cand.select("_host", "param", "_h",
+                        F.col("_url").alias("_src"),
+                        _rejoin(F.col("_base"), kept).alias("_stripped"))
+            .filter(F.col("_stripped") != F.col("_src")))
+    targets = d.select(F.col("_host").alias("_host"),
+                       F.col("_url").alias("_stripped"), "_h").distinct()
+    return (cand.join(targets, ["_host", "_stripped", "_h"])
+            .groupBy(F.col("_host").alias("host"), "param")
+            .agg(F.count_distinct("_src").alias("support"))
+            .filter(F.col("support") >= min_support))
+
+
+def apply_dust_rules(pages, rules, url_col: str = "url",
+                     out_col: str = "url_canonical"):
+    """Rewrite every url by dropping its host's mined DUST params.
+    The rule set collapses to one (host, [params]) row each and
+    BROADCASTS (bounded: hosts-with-rules x param names above the
+    support floor — planning-scale, not data-scale), so the rewrite is
+    a pure map: no shuffle of the page corpus. Urls with no rules (or
+    unparseable) pass through unchanged."""
+    per_host = rules.groupBy(F.col("host").alias("_rh")) \
+        .agg(F.collect_set("param").alias("_drop"))
+    col = F.col(url_col)
+    host = F.lower(_purl(col, "HOST"))
+    joined = pages.join(F.broadcast(per_host), host == F.col("_rh"), "left")
+    base = F.split(col, r"\?", 2).getItem(0)
+    kept = F.filter(_query_params(col),
+                    lambda p: ~F.array_contains(F.col("_drop"),
+                                                _param_name(p)))
+    new = F.when(F.col("_drop").isNotNull(), _rejoin(base, kept)) \
+        .otherwise(col)
+    return joined.withColumn(out_col, F.coalesce(new, col)) \
+        .drop("_rh", "_drop")

@@ -3254,6 +3254,38 @@ def test_inverted_index_hand_corpus(spark):
                   "b b": "2:1:0", "b d": "2:1:1"}
 
 
+def test_dust_mine_and_apply(spark):
+    """DUST param mining on a hand crawl: a session param whose
+    stripped twin exists with identical content is mined (support =
+    #alias pairs); a single-occurrence alias stays under min_support;
+    a param with no crawled stripped twin is never a rule. Applying
+    rewrites only ruled hosts/params and leaves everything else —
+    including other params on the ruled host — byte-identical."""
+    from fortissimo_spark.urls import apply_dust_rules, mine_dust_rules
+    rows = []
+    for i in range(3):
+        base = f"https://a.example/art/{i}?id={i}"
+        rows.append((base, f"h{i}"))
+        rows.append((base + f"&sessionid=s{i}", f"h{i}"))
+    rows += [("https://b.example/p?id=1&ref=x", "hb"),   # support 1
+             ("https://b.example/p?id=1", "hb"),
+             ("https://a.example/solo?id=9&tok=z", "hz")]  # no twin
+    crawl = spark.createDataFrame(rows, "url string, content_hash string")
+    rules = [(r.host, r.param, r.support)
+             for r in mine_dust_rules(crawl, min_support=2).collect()]
+    assert rules == [("a.example", "sessionid", 3)]
+    out = {r.url: r.url_canonical
+           for r in apply_dust_rules(
+               crawl, mine_dust_rules(crawl, min_support=2)).collect()}
+    for i in range(3):
+        assert out[f"https://a.example/art/{i}?id={i}&sessionid=s{i}"] \
+            == f"https://a.example/art/{i}?id={i}"
+    assert out["https://a.example/solo?id=9&tok=z"] \
+        == "https://a.example/solo?id=9&tok=z"
+    assert out["https://b.example/p?id=1&ref=x"] \
+        == "https://b.example/p?id=1&ref=x"
+
+
 def test_extract_tables_hand_pages(spark):
     """Table cells as relational records: caption pickup, th/td flags,
     row/colspan parsing, the synthetic-tr repair row for a stray th,
