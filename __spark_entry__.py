@@ -2481,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_snippets": _q_search_snippets,
         "extract_tables": _q_extract_tables,
         "dust_rules": _q_dust_rules,
+        "kn_perplexity": _q_kn_perplexity,
         # (c) driver-verified r5, unchanged
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -3004,6 +3005,93 @@ def _q_ngram_perplexity(spark, sf_dir):
     fixtures = spark.createDataFrame(_PPL_FIXTURES,
                                      "doc_id long, text string")
     return with_perplexity(docs.union(fixtures), lm)
+
+
+def _q_kn_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity (the smoothing CCNet's
+    KenLM actually uses, vs the stupid-backoff shortcut of
+    ngram_perplexity): Ney count-of-counts discount, continuation-type
+    probabilities, three bounded broadcast tables. Same fixtures as the
+    backoff gate (OOV floor, <2-token docs); same top-V truncation
+    stress. DuckDB replays discount estimation, truncation, and the
+    full interpolation."""
+    from fortissimo_spark.lm import train_kn_lm, with_perplexity_kn
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = train_kn_lm(docs, top_v=_PPL_TOPV)
+    fixtures = spark.createDataFrame(_PPL_FIXTURES,
+                                     "doc_id long, text string")
+    return with_perplexity_kn(docs.union(fixtures), lm)
+
+
+def _kn_oracle_sql() -> str:
+    vals = ",\n            ".join(
+        "({}, '{}')".format(i, t.replace("'", "''"))
+        for i, t in _PPL_FIXTURES)
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES
+            {vals}
+          ) AS f(doc_id, text)),
+        toks_t AS (
+          SELECT doc_id, list_filter(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   x -> x <> '') AS w
+          FROM documents),
+        bi_all AS (SELECT w[i] AS w1, w[i + 1] AS w2, count(*) AS c
+                   FROM toks_t, unnest(range(1, length(w))) AS t(i)
+                   GROUP BY w1, w2),
+        cc AS (SELECT sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+                      sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2,
+                      count(*) AS types
+               FROM bi_all),
+        dd AS (SELECT CASE WHEN n1 + 2 * n2 > 0
+                           THEN CAST(n1 AS DOUBLE) / (n1 + 2.0 * n2)
+                           ELSE 0.75 END AS d,
+                      CAST(greatest(types, 1) AS DOUBLE) AS t
+               FROM cc),
+        ctx AS (SELECT w1, c_ctx, n_follow FROM (
+                  SELECT w1, sum(c) AS c_ctx, count(*) AS n_follow,
+                         row_number() OVER (ORDER BY sum(c) DESC, w1) rn
+                  FROM bi_all GROUP BY w1) WHERE rn <= {_PPL_TOPV}),
+        cont AS (SELECT w2, n_prec FROM (
+                  SELECT w2, count(*) AS n_prec,
+                         row_number() OVER (ORDER BY count(*) DESC, w2) rn
+                  FROM bi_all GROUP BY w2) WHERE rn <= {_PPL_TOPV}),
+        bi AS (SELECT w1, w2, c FROM (
+                 SELECT w1, w2, c,
+                        row_number() OVER (ORDER BY c DESC, w1, w2) rn
+                 FROM bi_all) WHERE rn <= {_PPL_TOPV}),
+        toks_s AS (
+          SELECT doc_id, list_filter(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   x -> x <> '') AS w
+          FROM corpus),
+        kn_pairs AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+                     FROM toks_s, unnest(range(1, length(w))) AS t(i)),
+        kn_scored AS (
+          SELECT p.doc_id,
+                 CASE WHEN b.c IS NOT NULL AND x.c_ctx IS NOT NULL
+                      THEN (greatest(b.c - dd.d, 0)
+                            + dd.d * x.n_follow
+                              * (CAST(coalesce(ct.n_prec, 1) AS DOUBLE)
+                                 / dd.t)) / x.c_ctx
+                      ELSE CAST(coalesce(ct.n_prec, 1) AS DOUBLE) / dd.t
+                      END AS score
+          FROM kn_pairs p
+          CROSS JOIN dd
+          LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+          LEFT JOIN ctx x ON x.w1 = p.w1
+          LEFT JOIN cont ct ON ct.w2 = p.w2),
+        per_doc AS (SELECT doc_id,
+                           CAST(count(*) AS INTEGER) AS n_bigrams,
+                           round(power(10, -avg(log10(score))), 6) AS ppl
+                    FROM kn_scored GROUP BY doc_id)
+        SELECT c.doc_id,
+               coalesce(d.n_bigrams, 0) AS n_bigrams,
+               d.ppl
+        FROM corpus c LEFT JOIN per_doc d USING (doc_id)"""
 
 
 _PPL3_FIXTURES = _PPL_FIXTURES + [
@@ -4098,6 +4186,7 @@ def oracle_sql() -> dict[str, str]:
         "search_snippets": _search_snippets_oracle_sql(),
         "extract_tables": _extract_tables_oracle_sql(),
         "dust_rules": _DUST_RULES_ORACLE,
+        "kn_perplexity": _kn_oracle_sql(),
         "index_compaction": _INVERTED_INDEX_ORACLE,
         "host_harmonic": _host_harmonic_oracle_sql(),
         "host_harmonic_hb": _host_harmonic_hb_oracle_sql(),

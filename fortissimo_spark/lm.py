@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["train_bigram_lm", "with_perplexity", "BigramLM",
            "TrigramLM", "train_trigram_lm", "with_perplexity_trigram",
            "NgramLM", "train_ngram_lm", "with_perplexity_ngram",
+           "KneserNeyLM", "train_kn_lm", "with_perplexity_kn",
            "with_ppl_buckets"]
 
 _ALPHA = 0.4  # stupid-backoff weight (Brants et al. 2007)
@@ -364,3 +365,104 @@ def with_ppl_buckets(scored: DataFrame, strata_col: str = "lang",
               .otherwise(F.lit("tail")))
     return (out.withColumn("ppl_bucket", bucket)
             .drop("_cut1", "_cut2"))
+
+
+# --- Kneser-Ney (the smoothing KenLM itself uses) ------------------------
+
+class KneserNeyLM:
+    """Trained interpolated Kneser-Ney bigram handle: three bounded
+    count tables (bigrams; contexts with follower-type counts;
+    continuation-type counts), the absolute discount D, and the total
+    bigram-type count. All tables broadcast at scoring time."""
+
+    def __init__(self, bigrams: DataFrame, contexts: DataFrame,
+                 continuations: DataFrame, discount: float,
+                 n_types: int):
+        self.bigrams = bigrams
+        self.contexts = contexts
+        self.continuations = continuations
+        self.discount = discount
+        self.n_types = n_types
+
+
+def train_kn_lm(docs: DataFrame, text_col: str = "text", *,
+                top_v: int = 100_000) -> KneserNeyLM:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995, in the
+    Chen & Goodman 1999 interpolated formulation) — the smoothing the
+    CCNet gate's KenLM actually applies, where stupid backoff is its
+    web-scale shortcut:
+
+        P(w2|w1) = max(c(w1 w2) - D, 0)/c(w1)
+                   + D * N1+(w1 .)/c(w1) * Pcont(w2)
+        Pcont(w2) = N1+(. w2) / #bigram-types
+
+    with the Ney count-of-counts discount D = n1/(n1 + 2 n2). Unseen
+    contexts score Pcont(w2) directly; unseen continuations floor at
+    one type (the same bounded-OOV convention as the backoff models).
+
+    Scale shape: ONE corpus-wide bigram groupBy feeds everything — the
+    discount scalars (one 1-row agg), the context table (groupBy w1:
+    c(w1) + follower-type count), and the continuation table (groupBy
+    w2: predecessor-type count). Each table truncates to ``top_v``
+    rows under a deterministic order, the broadcast budget a scorer
+    fleet actually has; kept rows carry their FULL-corpus counts, so
+    truncation only widens the backoff path, never skews a kept
+    estimate."""
+    toks = _clean_tokens(text_col)
+    bi_all = (docs.select(F.explode(_bigram_structs(toks)).alias("p"))
+              .select("p.w1", "p.w2")
+              .groupBy("w1", "w2").agg(F.count("*").alias("c")))
+    cc = bi_all.agg(
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("n2"),
+        F.count("*").alias("types")).collect()[0]
+    n1 = int(cc["n1"] or 0)
+    n2 = int(cc["n2"] or 0)
+    types = int(cc["types"] or 0)
+    discount = n1 / (n1 + 2.0 * n2) if (n1 + 2 * n2) > 0 else 0.75
+    ctx = (bi_all.groupBy("w1")
+           .agg(F.sum("c").alias("c_ctx"),
+                F.count("*").alias("n_follow"))
+           .orderBy(F.desc("c_ctx"), F.asc("w1")).limit(top_v))
+    cont = (bi_all.groupBy("w2").agg(F.count("*").alias("n_prec"))
+            .orderBy(F.desc("n_prec"), F.asc("w2")).limit(top_v))
+    bi = bi_all.orderBy(F.desc("c"), F.asc("w1"), F.asc("w2")).limit(top_v)
+    return KneserNeyLM(bi, ctx, cont, float(discount), types)
+
+
+def with_perplexity_kn(docs: DataFrame, lm: KneserNeyLM,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id_col, n_bigrams, ppl) — interpolated Kneser-Ney bigram
+    perplexity, 6dp; <2-token docs score NULL with n_bigrams 0. Same
+    scoring shape as the backoff models: map-side bigram explode,
+    three BROADCAST joins, one per-doc regroup."""
+    toks = _clean_tokens(text_col)
+    pairs = (docs.select(F.col(id_col).alias("doc_id"),
+                         F.explode(_bigram_structs(toks)).alias("p"))
+             .select("doc_id", "p.w1", "p.w2"))
+    bi = F.broadcast(lm.bigrams.select(
+        "w1", "w2", F.col("c").alias("c_bi")))
+    ctx = F.broadcast(lm.contexts)
+    cont = F.broadcast(lm.continuations)
+    t = float(max(lm.n_types, 1))
+    d = lm.discount
+    p_cont = F.coalesce(F.col("n_prec"), F.lit(1)).cast("double") / F.lit(t)
+    score = F.when(
+        F.col("c_bi").isNotNull() & F.col("c_ctx").isNotNull(),
+        (F.greatest(F.col("c_bi") - F.lit(d), F.lit(0.0))
+         + F.lit(d) * F.col("n_follow") * p_cont) / F.col("c_ctx")
+    ).otherwise(p_cont)
+    scored = (pairs
+              .join(bi, ["w1", "w2"], "left")
+              .join(ctx, ["w1"], "left")
+              .join(cont, ["w2"], "left")
+              .groupBy("doc_id")
+              .agg(F.count("*").cast("int").alias("n_bigrams"),
+                   F.round(F.pow(F.lit(10.0),
+                                 -F.avg(F.log10(score))), 6).alias("ppl")))
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (base.join(scored, "doc_id", "left")
+            .select(F.col("doc_id").alias(id_col),
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    "ppl"))

@@ -1880,6 +1880,62 @@ def test_bigram_perplexity_ground_truth(spark):
     assert kept == {("a", "b"), ("b", "a")}
 
 
+def test_kn_perplexity_ground_truth(spark):
+    """Interpolated Kneser-Ney against an independent Python replay:
+    corpus 'a b a b' + 'a b c' + 'b a c a' gives bigram types
+    (a,b):3 (b,a):2 (b,c):1 (a,c):1 (c,a):1, so n1=3 n2=1 ->
+    D = 0.6, 5 types. Seen bigrams interpolate discounted ML with the
+    continuation term; unseen contexts score Pcont; unseen
+    continuations floor at one type. Plan must be broadcast-joined and
+    Python-free."""
+    import math
+
+    from fortissimo_spark.lm import train_kn_lm, with_perplexity_kn
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "b a c a")],
+        "doc_id long, text string")
+    lm = train_kn_lm(train)
+    assert lm.discount == 0.6 and lm.n_types == 5
+    bi = {(r.w1, r.w2): r.c for r in lm.bigrams.collect()}
+    ctx = {r.w1: (r.c_ctx, r.n_follow) for r in lm.contexts.collect()}
+    cont = {r.w2: r.n_prec for r in lm.continuations.collect()}
+    assert bi == {("a", "b"): 3, ("b", "a"): 2, ("b", "c"): 1,
+                  ("a", "c"): 1, ("c", "a"): 1}
+    assert ctx == {"a": (4, 2), "b": (3, 2), "c": (1, 1)}
+    assert cont == {"a": 2, "b": 1, "c": 2}
+
+    def p(w1, w2):
+        pc = cont.get(w2, 1) / 5.0
+        if (w1, w2) in bi and w1 in ctx:
+            c_ctx, nf = ctx[w1]
+            return (max(bi[(w1, w2)] - 0.6, 0.0)
+                    + 0.6 * nf * pc) / c_ctx
+        return pc
+
+    def ppl(*pairs):
+        return round(10 ** (-sum(math.log10(p(a, b)) for a, b in pairs)
+                            / len(pairs)), 6)
+
+    score = spark.createDataFrame(
+        [(1, "a b a b"), (2, "z a"), (3, "b q"), (4, "a"), (5, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.ppl)
+           for r in with_perplexity_kn(score, lm).collect()}
+    assert got[1] == (3, ppl(("a", "b"), ("b", "a"), ("a", "b")))
+    assert got[2] == (1, ppl(("z", "a")))      # unseen context -> Pcont
+    assert got[3] == (1, ppl(("b", "q")))      # unseen continuation floor
+    assert got[4] == (0, None) and got[5] == (0, None)
+    plan = with_perplexity_kn(score, lm)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "Python" not in plan
+    # deterministic truncation: continuation tie (a=2, c=2) falls to w2
+    lm2 = train_kn_lm(train, top_v=2)
+    assert {(r.w1, r.w2) for r in lm2.bigrams.collect()} \
+        == {("a", "b"), ("b", "a")}
+    assert {r.w2 for r in lm2.continuations.collect()} == {"a", "c"}
+    assert {r.w1 for r in lm2.contexts.collect()} == {"a", "b"}
+
+
 def test_curate_corpus_composition(spark):
     """The composed recipe: exact copies lose to the min id, OOV junk and
     1-token stubs fail the perplexity gate, quotas bind, and the stages
