@@ -2061,6 +2061,36 @@ def _bm25_oracle_sql() -> str:
     FROM scored ORDER BY score DESC, doc_id LIMIT 15"""
 
 
+def _q_importance_resample(spark, sf_dir):
+    """Deterministic weighted resampling-with-repetition: weight
+    (doc_id % 25)/10 spans drop (0), Bernoulli keep (<1), and 1-2 full
+    copies + fractional extra; the md5 coin makes the realized copies
+    engine-replayable (DuckDB recomputes every draw)."""
+    from fortissimo_spark.corpus import importance_resample
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = docs.withColumn("weight", (F.col("doc_id") % 25) / 10.0)
+    return importance_resample(d, "weight", salt="mix1") \
+        .select("doc_id", "weight", "copy_idx")
+
+
+_IMPORTANCE_ORACLE = """
+    WITH w AS (SELECT doc_id, (doc_id % 25) / 10.0 AS weight
+               FROM documents),
+    c AS (SELECT doc_id, weight,
+                 least(weight, 16.0) AS wc,
+                 (CAST('0x' || substr(md5('mix1'
+                        || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                  % 10000) / 10000.0 AS u
+          FROM w),
+    n AS (SELECT doc_id, weight,
+                 CAST(floor(wc) + CASE WHEN u < wc - floor(wc)
+                                       THEN 1 ELSE 0 END AS INTEGER) AS n
+          FROM c)
+    SELECT doc_id, weight, CAST(u.i AS INTEGER) AS copy_idx
+    FROM n, unnest(range(n.n)) AS u(i)
+    WHERE n >= 1"""
+
+
 def _q_dust_rules(spark, sf_dir):
     """DUST url-alias rule mining over a planted crawl: every doc is
     crawled at ?id=...; docs with doc_id % 3 == 0 are ALSO crawled with
@@ -2482,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_tables": _q_extract_tables,
         "dust_rules": _q_dust_rules,
         "kn_perplexity": _q_kn_perplexity,
+        "importance_resample": _q_importance_resample,
         # (c) driver-verified r5, unchanged
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -4187,6 +4218,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_tables": _extract_tables_oracle_sql(),
         "dust_rules": _DUST_RULES_ORACLE,
         "kn_perplexity": _kn_oracle_sql(),
+        "importance_resample": _IMPORTANCE_ORACLE,
         "index_compaction": _INVERTED_INDEX_ORACLE,
         "host_harmonic": _host_harmonic_oracle_sql(),
         "host_harmonic_hb": _host_harmonic_hb_oracle_sql(),

@@ -22,7 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["chunk_documents", "deterministic_sample", "pack_shards",
-           "stratified_sample", "incremental_new_pages"]
+           "stratified_sample", "incremental_new_pages",
+           "importance_resample"]
 
 
 def chunk_documents(docs: DataFrame, chunk_tokens: int = 256,
@@ -218,3 +219,41 @@ def incremental_new_pages(current: DataFrame, previous: DataFrame,
     return (joined.withColumn("change", status)
             .filter(F.col("change").isNotNull())
             .drop("_u", "_h", "_prev_hashes"))
+
+
+def importance_resample(docs: DataFrame, weight_col,
+                        id_col: str = "doc_id", salt: str = "",
+                        max_copies: int = 16,
+                        out_col: str = "copy_idx") -> DataFrame:
+    """Weighted resampling WITH repetition — the mixture step that
+    realizes per-document sampling weights (quality upsampling, domain
+    temperature mixing, DoReMi-style reweighting): a doc with weight w
+    keeps ``floor(w)`` full copies plus one more with probability
+    ``frac(w)``; w < 1 is a plain Bernoulli keep; w <= 0 or NULL drops.
+    The expected copy count is exactly w (capped), and every kept row
+    carries ``out_col`` = 0..n-1 so downstream shard packing can spread
+    the copies.
+
+    The coin is the same deterministic md5 draw as
+    :func:`deterministic_sample` — md5(salt || id) % 10000 against a
+    1e-4 probability grid — so the realized sample is stable across
+    partitioning, retries, resumes, AND engines; a fresh ``salt`` is an
+    independent draw. ``max_copies`` bounds the fan-out against a
+    runaway weight column.
+
+    Shape: pure map + bounded explode, no shuffle.
+    """
+    w = (F.col(weight_col) if isinstance(weight_col, str)
+         else weight_col).cast("double")
+    wc = F.least(F.coalesce(w, F.lit(0.0)), F.lit(float(max_copies)))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+        16, 10).cast("long")
+    u = (h % 10000) / 10000.0
+    n = (F.floor(wc)
+         + F.when(u < wc - F.floor(wc), F.lit(1)).otherwise(F.lit(0))) \
+        .cast("int")
+    return (docs.withColumn("_n", n).filter(F.col("_n") >= 1)
+            .withColumn(out_col,
+                        F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+            .drop("_n"))

@@ -3310,6 +3310,39 @@ def test_inverted_index_hand_corpus(spark):
                   "b b": "2:1:0", "b d": "2:1:1"}
 
 
+def test_importance_resample(spark):
+    """Weighted resample-with-repetition: integer weights yield exactly
+    w copies (coin-independent), zero/NULL drop, fractional weights
+    realize ~frac extra copies under the deterministic coin, the cap
+    binds, and the same salt reproduces the draw exactly."""
+    from fortissimo_spark.corpus import importance_resample
+    docs = spark.createDataFrame(
+        [(i, 2.0) for i in range(10)]
+        + [(100 + i, 0.5) for i in range(400)]
+        + [(600, 0.0), (601, None), (602, 99.0)],
+        "doc_id long, weight double")
+    out = importance_resample(docs, "weight", salt="s1", max_copies=4)
+    rows = [(r.doc_id, r.copy_idx) for r in out.collect()]
+    per_doc = {}
+    for d, c in rows:
+        per_doc.setdefault(d, []).append(c)
+    for i in range(10):
+        assert sorted(per_doc[i]) == [0, 1]
+    assert 600 not in per_doc and 601 not in per_doc
+    assert sorted(per_doc[602]) == [0, 1, 2, 3]      # capped at 4
+    frac_kept = sum(1 for d in per_doc if 100 <= d < 500)
+    assert 150 <= frac_kept <= 250                   # ~0.5 of 400
+    again = sorted((r.doc_id, r.copy_idx) for r in
+                   importance_resample(docs, "weight", salt="s1",
+                                       max_copies=4).collect())
+    assert again == sorted(rows)
+    other = {r.doc_id for r in
+             importance_resample(docs, "weight", salt="s2",
+                                 max_copies=4).collect()
+             if 100 <= r.doc_id < 500}
+    assert other != {d for d in per_doc if 100 <= d < 500}
+
+
 def test_dust_mine_and_apply(spark):
     """DUST param mining on a hand crawl: a session param whose
     stripped twin exists with identical content is mined (support =
