@@ -450,6 +450,116 @@ def main():
                                   "MapInPandas", "FlatMapGroupsInPandas"))),
     ]))
 
+    # 25. strip_host_boilerplate: partial-agg line census (no window over
+    #     the line hash), anti-join of the flagged set, no Python
+    from fortissimo_spark.textstats import strip_host_boilerplate
+    hb_in = docs_tbl.select(
+        "doc_id", (F.col("doc_id") % 16).cast("string").alias("host"),
+        F.col("text"))
+    p = plan_of(strip_host_boilerplate(hb_in))
+    sections.append(("strip_host_boilerplate (host-template line strip)", p, [
+        ("line census partial-aggregates before its exchange",
+         "partial_count" in p or "partial count" in p
+         or re.search(r"HashAggregate.*keys=\[host", p) is not None),
+        ("flagged lines rejoin as an ANTI join (no row-level window)",
+         "LeftAnti" in p),
+        ("no window function over the line hash",
+         re.search(r"Window .*_k#", p) is None),
+        ("no per-row Python execution stage",
+         all(m not in p for m in ("BatchEvalPython", "ArrowEvalPython",
+                                  "MapInPandas", "FlatMapGroupsInPandas"))),
+    ]))
+
+    # 26. best_snippet standalone: a pure map — ZERO exchanges, all JVM
+    from fortissimo_spark.textstats import best_snippet
+    p = plan_of(best_snippet(docs_tbl, ["spark", "merge", "window"]))
+    sections.append(("best_snippet (highlight window argmax)", p, [
+        ("no shuffle at all (pure map over docs)", "Exchange" not in p),
+        ("no per-row Python execution stage",
+         all(m not in p for m in ("BatchEvalPython", "ArrowEvalPython",
+                                  "MapInPandas", "FlatMapGroupsInPandas"))),
+    ]))
+
+    # 27. label_propagation (1 sweep, no lineage cut so the plan is whole):
+    #     votes partial-aggregate on (node,label); winner is a bounded
+    #     row_number window; no cartesian/nested-loop join
+    from fortissimo_spark.graph import label_propagation
+    lp_edges = docs_tbl.select((F.col("doc_id") % 16).alias("src"),
+                               ((F.col("doc_id") * 7 + 1) % 16).alias("dst"))
+    lp_nodes = spark.range(16).select("id")
+    p = plan_of(label_propagation(lp_edges, lp_nodes, num_iters=1,
+                                  checkpoint=False))
+    sections.append(("label_propagation (1 sweep, uncut lineage)", p, [
+        ("vote aggregation is a hash aggregate (map-side partial combine)",
+         "HashAggregate" in p),
+        ("winner pick is a row_number window", "row_number" in p),
+        ("no nested-loop/cartesian join",
+         "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
+        ("no per-row Python execution stage",
+         all(m not in p for m in ("BatchEvalPython", "ArrowEvalPython",
+                                  "MapInPandas", "FlatMapGroupsInPandas"))),
+    ]))
+
+    # 28. mine_dust_rules: support via EQUI-join (never nested-loop) and a
+    #     partial-agg distinct count
+    from fortissimo_spark.urls import mine_dust_rules
+    crawl = docs_tbl.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 16).cast("string"),
+                 F.lit(".example/a/"), F.col("doc_id").cast("string"),
+                 F.lit("?id=1&sid=s")).alias("url"),
+        F.md5(F.col("text").cast("binary")).alias("content_hash"))
+    p = plan_of(mine_dust_rules(crawl))
+    sections.append(("mine_dust_rules (DUST param mining)", p, [
+        ("support is an equi-join (no nested-loop over dup groups)",
+         "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
+        ("support count hash-aggregates", "HashAggregate" in p),
+        ("no per-row Python execution stage",
+         all(m not in p for m in ("BatchEvalPython", "ArrowEvalPython",
+                                  "MapInPandas", "FlatMapGroupsInPandas"))),
+    ]))
+
+    # 29. Kneser-Ney scoring: all three count tables broadcast, one doc
+    #     regroup, no Python
+    from fortissimo_spark.lm import train_kn_lm, with_perplexity_kn
+    kn = train_kn_lm(docs_tbl.limit(200))
+    p = plan_of(with_perplexity_kn(docs_tbl, kn))
+    sections.append(("with_perplexity_kn (Kneser-Ney scoring)", p, [
+        ("three broadcast hash joins (bigram/context/continuation)",
+         len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 3),
+        ("no sort-merge join anywhere in scoring",
+         re.search(r"\(\d+\) SortMergeJoin", p) is None),
+        ("no per-row Python execution stage",
+         all(m not in p for m in ("BatchEvalPython", "ArrowEvalPython",
+                                  "MapInPandas", "FlatMapGroupsInPandas"))),
+    ]))
+
+    # 30. importance_resample: pure map + bounded explode — zero exchanges
+    from fortissimo_spark.corpus import importance_resample
+    p = plan_of(importance_resample(
+        docs_tbl.select("doc_id",
+                        ((F.col("doc_id") % 25) / 10.0).alias("w")), "w"))
+    sections.append(("importance_resample (mixture realization)", p, [
+        ("no shuffle at all (map + explode)", "Exchange" not in p),
+        ("explode generates the copies", "Generate" in p),
+        ("no per-row Python execution stage",
+         all(m not in p for m in ("BatchEvalPython", "ArrowEvalPython",
+                                  "MapInPandas", "FlatMapGroupsInPandas"))),
+    ]))
+
+    # 31. extract_tables: one Arrow kernel over one scan, no shuffle
+    from fortissimo_spark.kernel import extract_tables
+    tbl_pages = docs_tbl.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(F.concat(F.lit("<table><tr><td>"), F.col("text"),
+                          F.lit("</table>")), "UTF-8").alias("html"))
+    p = plan_of(extract_tables(tbl_pages))
+    sections.append(("extract_tables (table-cell kernel)", p, [
+        ("kernel runs via MapInPandas (Arrow batches)", "MapInPandas" in p),
+        ("exactly one kernel invocation",
+         len(re.findall(r"\(\d+\) MapInPandas", p)) == 1),
+        ("no shuffle (pure map over pages)", "Exchange" not in p),
+    ]))
+
     checks_failed = 0
     with open(OUT, "w") as f:
         for title, plan, checks in sections:
