@@ -2194,6 +2194,59 @@ def _extract_tables_oracle_sql() -> str:
     FROM cells"""
 
 
+def _q_extract_sections(spark, sf_dir):
+    """Heading-outline segmentation (semantic chunking): every doc
+    plants a lede + h1 + h2 outline with minified adjacent paragraphs;
+    docs with doc_id % 3 == 1 add an h3 tail section. The kernel must
+    split at the document's own outline, collapse whitespace, and skip
+    head/style containers. DuckDB recomputes every section row from
+    doc_id arithmetic."""
+    from fortissimo_spark.kernel import extract_sections
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    html = F.concat(
+        F.lit("<html><head><title>t</title><style>p{}</style></head>"
+              "<body>\nlede "), s(d % 13),
+        F.lit("\n<h1>Doc "), s(d % 97),
+        F.lit("</h1><p>alpha "), s(d % 10),
+        F.lit("</p><p>beta</p>\n<h2>Part "), s(d % 5),
+        F.lit("</h2>body two "), s(d % 11),
+        F.when(d % 3 == 1,
+               F.concat(F.lit("\n<h3>Extra</h3>tail "), s(d % 4)))
+         .otherwise(F.lit("")),
+        F.lit("\n</body></html>"))
+    pages = docs.select(s(d).alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    return extract_sections(pages)
+
+
+def _extract_sections_oracle_sql() -> str:
+    return """
+    WITH base AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS url
+                  FROM documents),
+    rows_all AS (
+      SELECT url, 0 AS section_idx, 0 AS level,
+             CAST(NULL AS VARCHAR) AS heading,
+             'lede ' || CAST(doc_id % 13 AS VARCHAR) AS sec_text
+      FROM base JOIN documents USING (doc_id)
+      UNION ALL
+      SELECT url, 1, 1, 'Doc ' || CAST(doc_id % 97 AS VARCHAR),
+             'alpha ' || CAST(doc_id % 10 AS VARCHAR) || ' beta'
+      FROM base JOIN documents USING (doc_id)
+      UNION ALL
+      SELECT url, 2, 2, 'Part ' || CAST(doc_id % 5 AS VARCHAR),
+             'body two ' || CAST(doc_id % 11 AS VARCHAR)
+      FROM base JOIN documents USING (doc_id)
+      UNION ALL
+      SELECT url, 3, 3, 'Extra', 'tail ' || CAST(doc_id % 4 AS VARCHAR)
+      FROM base JOIN documents USING (doc_id)
+      WHERE doc_id % 3 = 1)
+    SELECT url, CAST(section_idx AS INTEGER) AS section_idx,
+           CAST(level AS INTEGER) AS level, heading, sec_text
+    FROM rows_all"""
+
+
 def _q_search_snippets(spark, sf_dir):
     """The full search-results experience: BM25 top-15 (same query as
     bm25_search) + the highlight snippet for each hit — the best
@@ -2465,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_rules": _q_dust_rules,
         "kn_perplexity": _q_kn_perplexity,
         "importance_resample": _q_importance_resample,
+        "extract_sections": _q_extract_sections,
         # (a) past r5's snapshot cap — last driver row r4, judge-green r5
         "fingerprint": _q_fingerprint,
         "quality_score": _q_quality,
@@ -4224,6 +4278,7 @@ def oracle_sql() -> dict[str, str]:
         "dust_rules": _DUST_RULES_ORACLE,
         "kn_perplexity": _kn_oracle_sql(),
         "importance_resample": _IMPORTANCE_ORACLE,
+        "extract_sections": _extract_sections_oracle_sql(),
         "index_compaction": _INVERTED_INDEX_ORACLE,
         "host_harmonic": _host_harmonic_oracle_sql(),
         "host_harmonic_hb": _host_harmonic_hb_oracle_sql(),

@@ -545,6 +545,109 @@ def extract_tables(pages) -> "DataFrame":
             .mapInPandas(make_tables_kernel(), schema))
 
 
+_HEADING_TAGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
+_SECTION_SKIP_TAGS = frozenset(["script", "style", "template", "head",
+                                "title", "noscript"])
+
+
+def _sections_from_dom(b) -> list[tuple]:
+    """Heading-outline segmentation of one parsed DOM: document-order
+    (section_idx, level, heading, text) rows — section 0 is the
+    preamble before any heading (level 0, NULL heading; emitted only
+    when it has text), and each h1-h6 opens a new section holding the
+    whitespace-collapsed text up to the next heading. Text inside
+    script/style/head containers is excluded; node indices are parse
+    order, so one linear scan with a parent-chain class check per
+    text/heading node gives document order without re-walking
+    subtrees."""
+    from .chars import unescape_entities
+    from .dom import CDATA, N_CONTENT, N_POSS_ENT, TEXT as TEXT_NODE
+    nodes = b.nodes
+
+    def blocked(node: int, *, in_heading_ok: bool) -> bool:
+        p = nodes[node][N_PARENT]
+        while p >= 0:
+            nd = nodes[p]
+            if nd[N_KIND] == ELEMENT:
+                t = nd[N_TAG_LC]
+                if t in _SECTION_SKIP_TAGS:
+                    return True
+                if not in_heading_ok and t in _HEADING_TAGS:
+                    return True
+            p = nd[N_PARENT]
+        return False
+
+    sections: list[dict] = [{"level": 0, "heading": None, "parts": []}]
+    for i in range(1, len(nodes)):
+        nd = nodes[i]
+        k = nd[N_KIND]
+        if k == ELEMENT and nd[N_TAG_LC] in _HEADING_TAGS:
+            if blocked(i, in_heading_ok=False):
+                continue
+            sections.append({
+                "level": int(nd[N_TAG_LC][1]),
+                "heading": " ".join(b.text_content(i).split()),
+                "parts": []})
+        elif k == TEXT_NODE or k == CDATA:
+            if blocked(i, in_heading_ok=False):
+                continue
+            c = nd[N_CONTENT]
+            if k == TEXT_NODE and nd[N_POSS_ENT] and "&" in c:
+                c = unescape_entities(c)
+            sections[-1]["parts"].append(c)
+    out = []
+    idx = 0
+    for s in sections:
+        # parts join on a space: adjacent minified blocks (</p><p>) must
+        # not weld words; the collapse then normalizes all whitespace
+        text = " ".join(" ".join(s["parts"]).split())
+        if s["level"] == 0 and not text:
+            continue
+        out.append((idx, s["level"], s["heading"], text))
+        idx += 1
+    return out
+
+
+def make_sections_kernel():
+    """mapInPandas kernel: pages batches -> one row per heading
+    SECTION (semantic chunking for training data: split at the
+    document's own outline instead of fixed token windows)."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("url", "section_idx", "level", "heading", "sec_text")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in cols}
+            for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+                text_src, _, _ = decode_page_bytes(bytes(raw or b""))
+                b = parse(text_src, positions=False).dom
+                for rec in _sections_from_dom(b):
+                    rows["url"].append(url)
+                    for k, v in zip(cols[1:], rec):
+                        rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return kernel
+
+
+def extract_sections(pages) -> "DataFrame":
+    """(url, section_idx, level, heading, sec_text) — the page's
+    heading outline with per-section running text, through the same
+    forgiving parse as extraction. Pure map over pages: no shuffle."""
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("section_idx", IntegerType()),
+        StructField("level", IntegerType()),
+        StructField("heading", StringType()),
+        StructField("sec_text", StringType()),
+    ])
+    return (pages.select("url", "html")
+            .mapInPandas(make_sections_kernel(), schema))
+
+
 def make_robots_kernel():
     """mapInPandas kernel: pages batches -> per-document crawl-compliance
     flags — ``<meta name="robots"|"googlebot" content="...">`` directives

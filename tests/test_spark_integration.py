@@ -3410,6 +3410,35 @@ def test_extract_tables_hand_pages(spark):
     ]
 
 
+def test_extract_sections_hand_pages(spark):
+    """Outline segmentation: preamble only when non-empty, heading text
+    through inline markup, minified adjacent blocks don't weld words,
+    script/style/head text excluded, entities decode, empty headings
+    still open sections, unterminated trailing heading swallows the
+    tail as its own text."""
+    from fortissimo_spark.kernel import extract_sections
+    html = ("<html><head><title>T</title><style>p{}</style></head><body>"
+            "intro &amp; preamble"
+            "<h1>Title <em>A</em></h1><p>para a1</p><p>a2</p>"
+            "<h2>Sub B</h2>text b <script>var x=1;</script> more b"
+            "<h2></h2>after empty"
+            "<h3>Deep C swallows tail</body></html>").encode()
+    pages = spark.createDataFrame(
+        [("u1", bytearray(html)),
+         ("u2", bytearray(b"<body><p>no headings at all</p></body>"))],
+        "url string, html binary")
+    got = {(r.url, r.section_idx): (r.level, r.heading, r.sec_text)
+           for r in extract_sections(pages).collect()}
+    assert got == {
+        ("u1", 0): (0, None, "intro & preamble"),
+        ("u1", 1): (1, "Title A", "para a1 a2"),
+        ("u1", 2): (2, "Sub B", "text b more b"),
+        ("u1", 3): (2, "", "after empty"),
+        ("u1", 4): (3, "Deep C swallows tail", ""),
+        ("u2", 0): (0, None, "no headings at all"),
+    }
+
+
 def test_best_snippet_hand_corpus(spark):
     """Window argmax pinned by hand: distinct-coverage beats raw hits,
     ties fall to total hits then earliest start; a hit near EOF yields
