@@ -2091,6 +2091,60 @@ _IMPORTANCE_ORACLE = """
     WHERE n >= 1"""
 
 
+def _p3_image(lum) -> str:
+    """18x16 ASCII-PPM (P3) body with per-pixel luma ``lum(x, y)`` —
+    r=g=b so BT.601 luma is the value itself."""
+    vals = []
+    for y in range(16):
+        for x in range(18):
+            v = lum(x, y)
+            vals += [v, v, v]
+    return "P3\n18 16\n255\n" + " ".join(map(str, vals))
+
+
+# the three planted patterns have CLOSED-FORM dHashes: a left-to-right
+# ascending gradient compares left<right everywhere (all-zero bits), the
+# descending mirror is all-one (-1 as a signed long), and a 2px-period
+# checkerboard alternates (0xAAAA... = -6148914691236517206); pinned by
+# test_image_dhash_and_near_dups
+_DHASH_PATTERNS = (
+    _p3_image(lambda x, y: x * 14),
+    _p3_image(lambda x, y: 238 - x * 14),
+    _p3_image(lambda x, y: 200 if (x // 2) % 2 == 0 else 40),
+)
+_DHASH_EXPECTED = (0, -1, -6148914691236517206)
+
+
+def _q_image_dhash(spark, sf_dir):
+    """Perceptual image hashing through the REAL pure-Python pixel
+    decoders: every doc carries one of three planted P3 images (by
+    doc_id % 3) whose 9x8 dHash has a closed form, plus a corrupt
+    payload lane (doc_id % 31 == 5) that must yield NULLs, never a
+    task failure. DuckDB recomputes the expected hash from doc_id
+    arithmetic — the kernel must actually decode to match."""
+    from fortissimo_spark.modality import with_image_dhash
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    pat = F.when(d % 31 == 5, F.lit("not an image")) \
+        .when(d % 3 == 0, F.lit(_DHASH_PATTERNS[0])) \
+        .when(d % 3 == 1, F.lit(_DHASH_PATTERNS[1])) \
+        .otherwise(F.lit(_DHASH_PATTERNS[2]))
+    media = docs.select(d.alias("media_id"),
+                        F.encode(pat, "UTF-8").alias("payload"))
+    return with_image_dhash(media)
+
+
+_IMAGE_DHASH_ORACLE = f"""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 31 = 5 THEN NULL ELSE 18 END AS width,
+           CASE WHEN doc_id % 31 = 5 THEN NULL ELSE 16 END AS height,
+           CASE WHEN doc_id % 31 = 5 THEN NULL
+                WHEN doc_id % 3 = 0 THEN {_DHASH_EXPECTED[0]}
+                WHEN doc_id % 3 = 1 THEN {_DHASH_EXPECTED[1]}
+                ELSE {_DHASH_EXPECTED[2]} END AS dhash
+    FROM documents"""
+
+
 def _q_dust_rules(spark, sf_dir):
     """DUST url-alias rule mining over a planted crawl: every doc is
     crawled at ?id=...; docs with doc_id % 3 == 0 are ALSO crawled with
@@ -2519,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_perplexity": _q_kn_perplexity,
         "importance_resample": _q_importance_resample,
         "extract_sections": _q_extract_sections,
+        "image_dhash": _q_image_dhash,
         # (a) past r5's snapshot cap — last driver row r4, judge-green r5
         "fingerprint": _q_fingerprint,
         "quality_score": _q_quality,
@@ -4279,6 +4334,7 @@ def oracle_sql() -> dict[str, str]:
         "kn_perplexity": _kn_oracle_sql(),
         "importance_resample": _IMPORTANCE_ORACLE,
         "extract_sections": _extract_sections_oracle_sql(),
+        "image_dhash": _IMAGE_DHASH_ORACLE,
         "index_compaction": _INVERTED_INDEX_ORACLE,
         "host_harmonic": _host_harmonic_oracle_sql(),
         "host_harmonic_hb": _host_harmonic_hb_oracle_sql(),

@@ -63,15 +63,17 @@ IMAGE_FEATURES_SCHEMA = StructType([
 ])
 
 
-def _gray_grid(width: int, height: int, gray_at, grid: int = 4) -> bytes:
-    """``grid``x``grid`` block-averaged grayscale summary (0-255 per cell) —
-    the content-derived feature source for decoded images."""
+def _gray_grid(width: int, height: int, gray_at, grid=4) -> bytes:
+    """Block-averaged grayscale summary (0-255 per cell), row-major —
+    the content-derived feature source for decoded images. ``grid`` is
+    an int (square) or a (cols, rows) pair (the 9x8 dHash shape)."""
+    gw, gh = (grid, grid) if isinstance(grid, int) else grid
     cells = []
-    for gy in range(grid):
-        y0, y1 = gy * height // grid, max((gy + 1) * height // grid, gy * height // grid + 1)
+    for gy in range(gh):
+        y0, y1 = gy * height // gh, max((gy + 1) * height // gh, gy * height // gh + 1)
         y1 = min(y1, height)
-        for gx in range(grid):
-            x0, x1 = gx * width // grid, max((gx + 1) * width // grid, gx * width // grid + 1)
+        for gx in range(gw):
+            x0, x1 = gx * width // gw, max((gx + 1) * width // gw, gx * width // gw + 1)
             x1 = min(x1, width)
             total = n = 0
             for y in range(y0, y1):
@@ -82,7 +84,7 @@ def _gray_grid(width: int, height: int, gray_at, grid: int = 4) -> bytes:
     return bytes(cells)
 
 
-def decode_bmp(payload: bytes):
+def decode_bmp(payload: bytes, grid=4):
     """Pure-Python decode of uncompressed 24/32-bit BI_RGB BMP →
     (width, height, 4x4 grayscale grid)."""
     if len(payload) < 54 or payload[:2] != b"BM":
@@ -105,10 +107,10 @@ def decode_bmp(payload: bytes):
         b, g, r = payload[p], payload[p + 1], payload[p + 2]
         return (r * 299 + g * 587 + b * 114) // 1000
 
-    return width, height, _gray_grid(width, height, gray_at)
+    return width, height, _gray_grid(width, height, gray_at, grid)
 
 
-def decode_ppm(payload: bytes):
+def decode_ppm(payload: bytes, grid=4):
     """Pure-Python decode of PPM P6 (binary) / P3 (ascii), maxval <= 255 →
     (width, height, 4x4 grayscale grid)."""
     if payload[:2] not in (b"P6", b"P3"):
@@ -144,7 +146,7 @@ def decode_ppm(payload: bytes):
         p = (y * width + x) * 3
         return (raster[p] * 299 + raster[p + 1] * 587 + raster[p + 2] * 114) // 1000
 
-    return width, height, _gray_grid(width, height, gray_at)
+    return width, height, _gray_grid(width, height, gray_at, grid)
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -200,7 +202,7 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
-def decode_png(payload: bytes):
+def decode_png(payload: bytes, grid=4):
     """Pure-Python PNG decode → (width, height, 4x4 grayscale grid).
 
     Dependency-free (stdlib zlib), same honest pattern as pdf.py's
@@ -310,7 +312,7 @@ def decode_png(payload: bytes):
         # sub-byte depths scale to 0..255; 16-bit stored its high byte
         return v * 255 // maxval if bit_depth < 8 else v
 
-    return width, height, _gray_grid(width, height, gray_at)
+    return width, height, _gray_grid(width, height, gray_at, grid)
 
 
 # --- header-only sniffing (codec-format metadata without decode) --------
@@ -463,7 +465,7 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytes:
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif(payload: bytes):
+def decode_gif(payload: bytes, grid=4):
     """Pure-Python GIF decode -> (width, height, 4x4 grayscale grid) for
     the FIRST image (animated GIFs summarize their first frame — the
     header-sniff columns carry the container dims). Full GIF87a/89a
@@ -535,7 +537,7 @@ def decode_gif(payload: bytes):
                 return (table[p] * 299 + table[p + 1] * 587
                         + table[p + 2] * 114) // 1000
 
-            return sw, sh, _gray_grid(sw, sh, gray_at)
+            return sw, sh, _gray_grid(sw, sh, gray_at, grid)
         elif b == 0x3B:
             break
         else:
@@ -893,7 +895,8 @@ def sniff_media(payload: bytes) -> dict | None:
     return None
 
 
-def decode_image(payload: bytes, *, deterministic_fake: bool = False):
+def decode_image(payload: bytes, *, grid=4,
+                 deterministic_fake: bool = False):
     """Decode encoded image bytes to (width, height, 16-byte pixel summary).
 
     REAL pure-Python decoders cover JPEG — baseline AND progressive
@@ -910,18 +913,18 @@ def decode_image(payload: bytes, *, deterministic_fake: bool = False):
     raw = payload or b""
     try:
         if raw[:8] == _PNG_SIG:
-            return decode_png(raw)
+            return decode_png(raw, grid)
         if raw[:2] == b"\xff\xd8":
             from .jpeg import decode_jpeg_luma
             w, h, plane = decode_jpeg_luma(raw)
             # JPEG's Y channel IS the BT.601 luma the other decoders derive
-            return w, h, _gray_grid(w, h, lambda x, y: int(plane[y, x]))
+            return w, h, _gray_grid(w, h, lambda x, y: int(plane[y, x]), grid)
         if raw[:2] == b"BM":
-            return decode_bmp(raw)
+            return decode_bmp(raw, grid)
         if raw[:2] in (b"P6", b"P3"):
-            return decode_ppm(raw)
+            return decode_ppm(raw, grid)
         if raw[:6] in (b"GIF87a", b"GIF89a"):
-            return decode_gif(raw)
+            return decode_gif(raw, grid)
         if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP" \
                 and _has_vp8l_chunk(raw):
             # lossless WebP: REAL pixel decode (vp8l.py); lossy VP8 /
@@ -934,7 +937,7 @@ def decode_image(payload: bytes, *, deterministic_fake: bool = False):
                 return ((p >> 16 & 0xFF) * 299 + (p >> 8 & 0xFF) * 587
                         + (p & 0xFF) * 114) // 1000
 
-            return w, h, _gray_grid(w, h, luma)
+            return w, h, _gray_grid(w, h, luma, grid)
         # header-sniffable codec formats: REAL dimensions from the
         # container header, digest stand-in for the pixel summary (the
         # bitstream still needs a codec library)
@@ -1264,3 +1267,119 @@ def media_metadata(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload") \
         .mapInPandas(kernel, MEDIA_METADATA_SCHEMA)
+
+
+# --- perceptual image hashing (near-duplicate images) --------------------
+
+def _dhash_decode(payload: bytes):
+    """(width, height, dhash|None) via one decode at the 9x8 dHash
+    grid. None dhash when the payload has no REAL pixel decode (codec
+    formats whose summary is a digest stand-in)."""
+    w, h, cells = decode_image(payload, grid=(9, 8))
+    if len(cells) != 72:
+        return w, h, None
+    bits = 0
+    for y in range(8):
+        row = y * 9
+        for x in range(8):
+            bits = (bits << 1) | (1 if cells[row + x] > cells[row + x + 1]
+                                  else 0)
+    if bits >= 1 << 63:
+        bits -= 1 << 64  # two's complement into a Spark LongType
+    return w, h, bits
+
+
+def image_dhash(payload: bytes):
+    """64-bit difference hash (dHash, the row-gradient perceptual hash):
+    decode -> 9x8 block-averaged luma grid -> one bit per horizontal
+    neighbor comparison. Robust to re-encoding/resizing, so
+    re-compressed copies of one crawl image land within a few bits.
+    None when the payload can't be pixel-decoded."""
+    try:
+        return _dhash_decode(payload)[2]
+    except (ValueError, NotImplementedError, IndexError):
+        return None
+
+
+IMAGE_DHASH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("dhash", LongType()),
+])
+
+
+def with_image_dhash(media: DataFrame) -> DataFrame:
+    """(media_id, width, height, dhash) for every media row — the
+    perceptual-hash pass of an image dedup pipeline. Corrupt /
+    undecodable payloads yield NULL columns (observable, never a task
+    failure); codec formats without a pixel decoder yield real header
+    dimensions with NULL dhash. mapInPandas, no shuffle."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("media_id", "width", "height", "dhash")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows: dict[str, list] = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, dh = _dhash_decode(bytes(payload or b""))
+                except Exception:  # noqa: BLE001 - corrupt payloads degrade
+                    w = h = dh = None
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["dhash"].append(dh)
+            # dhash MUST build via pd.array on the python ints: an
+            # object-column astype("Int64") detours through float64 when
+            # Nones are present and silently rounds 64-bit hashes to 53
+            # bits of mantissa
+            yield pd.DataFrame({
+                "media_id": rows["media_id"],
+                "width": pd.array(rows["width"], dtype="Int32"),
+                "height": pd.array(rows["height"], dtype="Int32"),
+                "dhash": pd.array(rows["dhash"], dtype="Int64"),
+            }, columns=cols)
+
+    return media.select("media_id", "payload") \
+        .mapInPandas(kernel, IMAGE_DHASH_SCHEMA)
+
+
+def image_near_dups(hashed: DataFrame, max_hamming: int = 3,
+                    max_bucket: int = 1000) -> DataFrame:
+    """(id_a, id_b, hamming) candidate near-duplicate image pairs from
+    a (media_id, dhash) frame: the 64-bit hash splits into four 16-bit
+    BANDS; images sharing any band value become candidates (equi-join,
+    never all-pairs), then the exact Hamming distance gates at
+    ``max_hamming`` — JVM ``bit_count(xor)``, no Python. Recall is
+    GUARANTEED for max_hamming < 4 (pigeonhole over 4 bands: 3 flipped
+    bits cannot touch every band); larger radii are best-effort, the
+    standard banding trade-off. ``max_bucket`` drops degenerate buckets
+    (a solid-color band value shared by millions of thumbnails) before
+    the self-join — the same cap-and-observe convention as the MinHash
+    LSH stage (dedup.py)."""
+    d = hashed.filter(F.col("dhash").isNotNull()) \
+        .select("media_id", "dhash")
+    bands = d.select(
+        "media_id", "dhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("band"),
+                     F.expr(f"shiftright(dhash, {16 * k}) & 65535")
+                     .alias("val"))
+            for k in range(4)])).alias("b")) \
+        .select("media_id", "dhash", "b.band", "b.val")
+    sizes = bands.groupBy("band", "val").agg(F.count("*").alias("_n"))
+    ok = bands.join(sizes.filter(F.col("_n") <= max_bucket),
+                    ["band", "val"]).drop("_n")
+    a = ok.select("band", "val", F.col("media_id").alias("id_a"),
+                  F.col("dhash").alias("_ha"))
+    b = ok.select("band", "val", F.col("media_id").alias("id_b"),
+                  F.col("dhash").alias("_hb"))
+    return (a.join(b, ["band", "val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "_ha", "_hb").distinct()
+            .withColumn("hamming",
+                        F.expr("bit_count(_ha ^ _hb)").cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

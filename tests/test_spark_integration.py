@@ -3410,6 +3410,52 @@ def test_extract_tables_hand_pages(spark):
     ]
 
 
+def test_image_dhash_and_near_dups(spark):
+    """Perceptual dHash through the real decoders and the banded
+    near-dup join: closed-form gradients/checkerboard hashes, a
+    re-encoded copy (P3 of the same pixels, one block nudged) lands
+    within the radius, an unrelated pattern doesn't pair, corrupt
+    payloads yield NULL rows, and NULL hashes never enter the join."""
+    from fortissimo_spark.modality import (image_dhash, image_near_dups,
+                                           with_image_dhash)
+
+    def p3(lum):
+        vals = []
+        for y in range(16):
+            for x in range(18):
+                v = lum(x, y)
+                vals += [v, v, v]
+        return ("P3\n18 16\n255\n" + " ".join(map(str, vals))).encode()
+
+    asc = p3(lambda x, y: x * 14)
+    desc = p3(lambda x, y: 238 - x * 14)
+    chk = p3(lambda x, y: 200 if (x // 2) % 2 == 0 else 40)
+    # near-copy of asc: one 2-column block brightened in the TOP two
+    # grid rows flips exactly 2 bits, both inside the high 16-bit band
+    # (a flip spread across all four bands would be un-bandable — the
+    # documented recall boundary)
+    near = p3(lambda x, y: 255 if x in (6, 7) and y < 4 else x * 14)
+    assert image_dhash(asc) == 0
+    assert image_dhash(desc) == -1
+    assert image_dhash(chk) == -6148914691236517206
+    assert bin((image_dhash(near) ^ 0) & (2**64 - 1)).count("1") == 2
+    media = spark.createDataFrame(
+        [(1, bytearray(asc)), (2, bytearray(asc)), (3, bytearray(near)),
+         (4, bytearray(chk)), (5, bytearray(b"corrupt"))],
+        "media_id long, payload binary")
+    hashed = with_image_dhash(media)
+    rows = {r.media_id: (r.width, r.dhash) for r in hashed.collect()}
+    assert rows[1] == (18, 0) and rows[2] == (18, 0)
+    assert rows[5] == (None, None)
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in image_near_dups(hashed, max_hamming=3).collect()}
+    assert pairs == {(1, 2): 0, (1, 3): 2, (2, 3): 2}
+    assert not any(4 in p or 5 in p for p in pairs)
+    tight = {(r.id_a, r.id_b)
+             for r in image_near_dups(hashed, max_hamming=1).collect()}
+    assert tight == {(1, 2)}             # identical copy only
+
+
 def test_extract_sections_hand_pages(spark):
     """Outline segmentation: preamble only when non-empty, heading text
     through inline markup, minified adjacent blocks don't weld words,
