@@ -2115,6 +2115,53 @@ _DHASH_PATTERNS = (
 _DHASH_EXPECTED = (0, -1, -6148914691236517206)
 
 
+def _q_wet_roundtrip(spark, sf_dir):
+    """WET serialization round-trip (the Common-Crawl extracted-text
+    output format): every doc serializes to a conversion record with
+    JVM expressions only (wet_record_col — Content-Length is the UTF-8
+    byte count; ± a planted multibyte suffix on doc_id % 9 == 4 so a
+    char-count bug would misparse), then the record PARSES BACK through
+    the real WET reader kernel and must reproduce (url, text)
+    byte-identically. DuckDB recomputes the expected rows directly."""
+    from fortissimo_spark.warc import parse_wet_pages
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://host"), (d % 16).cast("string"),
+                   F.lit(".example/article/"),
+                   F.lpad(d.cast("string"), 10, "0"))
+    text = F.when(d % 9 == 4, F.concat(F.col("text"), F.lit(" — café ✓")))\
+        .otherwise(F.col("text"))
+    from fortissimo_spark.warc import wet_record_col
+    recs = docs.select(
+        wet_record_col(url, F.lit("2024-03-01T00:00:00Z"), text)
+        .alias("payload"))
+
+    import pandas as pd  # noqa: F811
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {"url": [], "text": []}
+            for payload in pdf["payload"]:
+                for p in parse_wet_pages(bytes(payload)):
+                    rows["url"].append(p["url"])
+                    rows["text"].append(p["text"])
+            yield pd.DataFrame(rows, columns=("url", "text"))
+
+    from pyspark.sql.types import StringType, StructField, StructType
+    schema = StructType([StructField("url", StringType()),
+                         StructField("text", StringType())])
+    return recs.mapInPandas(kernel, schema)
+
+
+_WET_ROUNDTRIP_ORACLE = """
+    SELECT 'https://host' || CAST(doc_id % 16 AS VARCHAR)
+           || '.example/article/' || lpad(CAST(doc_id AS VARCHAR), 10, '0')
+             AS url,
+           CASE WHEN doc_id % 9 = 4 THEN text || ' — café ✓'
+                ELSE text END AS text
+    FROM documents"""
+
+
 def _q_image_dhash(spark, sf_dir):
     """Perceptual image hashing through the REAL pure-Python pixel
     decoders: every doc carries one of three planted P3 images (by
@@ -2574,6 +2621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_resample": _q_importance_resample,
         "extract_sections": _q_extract_sections,
         "image_dhash": _q_image_dhash,
+        "wet_roundtrip": _q_wet_roundtrip,
         # (a) past r5's snapshot cap — last driver row r4, judge-green r5
         "fingerprint": _q_fingerprint,
         "quality_score": _q_quality,
@@ -4335,6 +4383,7 @@ def oracle_sql() -> dict[str, str]:
         "importance_resample": _IMPORTANCE_ORACLE,
         "extract_sections": _extract_sections_oracle_sql(),
         "image_dhash": _IMAGE_DHASH_ORACLE,
+        "wet_roundtrip": _WET_ROUNDTRIP_ORACLE,
         "index_compaction": _INVERTED_INDEX_ORACLE,
         "host_harmonic": _host_harmonic_oracle_sql(),
         "host_harmonic_hb": _host_harmonic_hb_oracle_sql(),

@@ -34,7 +34,8 @@ from .schema import PAGES_SCHEMA
 __all__ = ["build_warc", "iter_warc_records", "parse_warc_pages",
            "read_warcs", "read_warcs_split", "iter_warc_records_range",
            "read_cdxj", "parse_cdxj_lines", "cdxj_line", "CDXJ_FIELDS",
-           "read_warc_records_by_index"]
+           "read_warc_records_by_index", "wet_record_col",
+           "parse_wet_pages", "read_wets", "write_wet"]
 
 
 def build_warc(records: list[dict], *, compress: bool = False,
@@ -817,3 +818,141 @@ def _make_index_fetch_kernel(warc_dir: str,
         if tail is not None:
             yield tail
     return kernel
+
+
+# --- WET output (Common Crawl's extracted-text distribution format) -----
+
+def wet_record_col(url_col, date_col, text_col):
+    """One WET 'conversion' record as a BINARY column, built entirely
+    from JVM expressions (concat + octet_length — Content-Length is the
+    UTF-8 BYTE count, not the char count): the serialization side of
+    the Common-Crawl loop, so a corpus this engine extracts can be
+    published in the same format the reference corpora ship in. The
+    record id is a deterministic uuid-shaped md5 of (url, date) —
+    re-runs and retries emit byte-identical records."""
+    from pyspark.sql import functions as F
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    dt = F.col(date_col) if isinstance(date_col, str) else date_col
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    h = F.md5(F.concat(u, F.lit("\n"), dt))
+    rid = F.concat(
+        F.lit("<urn:uuid:"), F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-"), F.substring(h, 13, 4),
+        F.lit("-"), F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12), F.lit(">"))
+    head = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        u, F.lit("\r\nWARC-Date: "), dt,
+        F.lit("\r\nWARC-Record-ID: "), rid,
+        F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(t).cast("string"), F.lit("\r\n\r\n"))
+    return F.encode(F.concat(head, t, F.lit("\r\n\r\n")), "UTF-8")
+
+
+def _wet_page_from_record(headers: dict, block: bytes) -> dict | None:
+    """(url, warc_ts, text) dict for a conversion record, else None."""
+    if headers.get("warc-type") != "conversion":
+        return None
+    url = headers.get("warc-target-uri")
+    date = headers.get("warc-date")
+    if not url or not date:
+        return None
+    return {"url": url, "warc_ts": _parse_warc_date(date),
+            "text": block.decode("utf-8", errors="replace")}
+
+
+def parse_wet_pages(payload: bytes) -> list[dict]:
+    """Extract (url, warc_ts, text) rows from one WET file's bytes —
+    conversion records only; warcinfo/other kinds skip; one malformed
+    record never discards its neighbors."""
+    out = []
+    for headers, block in iter_warc_records(payload):
+        try:
+            page = _wet_page_from_record(headers, block)
+        except Exception:  # noqa: BLE001 - skip the record, keep the file
+            continue
+        if page is not None:
+            out.append(page)
+    return out
+
+
+WET_SCHEMA = None  # built lazily to keep pyspark types out of import time
+
+
+def _wet_schema():
+    global WET_SCHEMA
+    if WET_SCHEMA is None:
+        from pyspark.sql.types import (StringType, StructField, StructType,
+                                       TimestampType)
+        WET_SCHEMA = StructType([
+            StructField("url", StringType()),
+            StructField("warc_ts", TimestampType()),
+            StructField("text", StringType()),
+        ])
+    return WET_SCHEMA
+
+
+def read_wets(spark: SparkSession, path_glob: str) -> DataFrame:
+    """(url, warc_ts, text) rows from a directory/glob of .warc.wet /
+    .warc.wet.gz files — one task per file, same sharding unit as
+    read_warcs."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("url", "warc_ts", "text")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for content in pdf["content"].tolist():
+                try:
+                    pages = parse_wet_pages(bytes(content))
+                except Exception:  # noqa: BLE001 - malformed shard
+                    continue
+                for p in pages:
+                    for k in cols:
+                        rows[k].append(p[k])
+            if rows["url"]:
+                yield pd.DataFrame(rows, columns=cols)
+
+    files = (spark.read.format("binaryFile").load(path_glob)
+             .select("content"))
+    return files.mapInPandas(kernel, _wet_schema())
+
+
+def write_wet(df: DataFrame, out_dir: str, *, url_col: str = "url",
+              date_col: str = "wet_date", text_col: str = "text",
+              compress: bool = True) -> int:
+    """Write (url, date, text) rows as WET shard files — one
+    ``part-NNNNN.warc.wet[.gz]`` per input partition (the Common-Crawl
+    sharding unit; partition the input by crawl shard upstream to
+    control file count/size). Records serialize JVM-side
+    (wet_record_col); the partition writer only concatenates bytes.
+    Returns the number of shards written. Paths are driver-visible
+    filesystem paths (local/NFS here; the same foreachPartition shape
+    targets HDFS/S3 client libs on a cluster)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    recs = df.select(wet_record_col(url_col, date_col, text_col)
+                     .alias("rec"),
+                     F.spark_partition_id().alias("_pid"))
+
+    def write_part(it):
+        first = next(it, None)
+        if first is None:
+            return
+        pid = first["_pid"]
+        ext = ".warc.wet.gz" if compress else ".warc.wet"
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        payload = b"".join([bytes(first["rec"])]
+                           + [bytes(r["rec"]) for r in it])
+        if compress:
+            payload = gzip.compress(payload, mtime=0)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)  # atomic: a retry never leaves half a shard
+
+    recs.rdd.foreachPartition(write_part)
+    import glob as _glob
+    return len(_glob.glob(os.path.join(out_dir, "part-*")))

@@ -3410,6 +3410,31 @@ def test_extract_tables_hand_pages(spark):
     ]
 
 
+def test_wet_write_read_roundtrip(spark, tmp_path):
+    """WET sink + reader: rows shard per partition into
+    part-NNNNN.warc.wet.gz, read back byte-identically (url, ts, text)
+    — incl. multibyte text whose Content-Length must be the byte
+    count; uncompressed flavor too."""
+    from fortissimo_spark.warc import read_wets, write_wet
+    rows = [(f"https://h{i % 3}.example/p/{i}", "2024-03-01T00:00:0%dZ" % (i % 10),
+             f"text {i} — café ✓ {'x' * i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "url string, wet_date string, "
+                               "text string").repartition(3)
+    out = str(tmp_path / "wet")
+    n = write_wet(df, out)
+    assert n == 3
+    back = {r.url: (r.warc_ts.isoformat(), r.text)
+            for r in read_wets(spark, out + "/part-*").collect()}
+    assert len(back) == 20
+    for url, date, text in rows:
+        assert back[url] == (date.replace("Z", ""), text)
+    # uncompressed flavor
+    out2 = str(tmp_path / "wet_plain")
+    write_wet(df.coalesce(1), out2, compress=False)
+    back2 = read_wets(spark, out2 + "/part-*").count()
+    assert back2 == 20
+
+
 def test_image_dhash_and_near_dups(spark):
     """Perceptual dHash through the real decoders and the banded
     near-dup join: closed-form gradients/checkerboard hashes, a
