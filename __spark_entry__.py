@@ -2115,6 +2115,41 @@ _DHASH_PATTERNS = (
 _DHASH_EXPECTED = (0, -1, -6148914691236517206)
 
 
+def _q_zipf_stats(spark, sf_dir):
+    """One-row Zipf corpus diagnostic over `documents`: log-log slope
+    of the top-100 term frequencies + vocab/token totals + top share.
+    DuckDB replays the deterministic top-N cut and the closed-form
+    least squares from the same 12-dp per-term logs."""
+    from fortissimo_spark.textstats import zipf_stats
+    return zipf_stats(load_table(spark, sf_dir, "documents"))
+
+
+_ZIPF_ORACLE = r"""
+    WITH toks AS (
+      SELECT x AS w FROM (
+        SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           t -> t <> '') AS ws
+        FROM documents), unnest(ws) AS u(x)),
+    counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    totals AS (SELECT count(*) AS vocab_size, sum(c) AS total_tokens
+               FROM counts),
+    top AS (SELECT round(ln(CAST(rn AS DOUBLE)), 12) AS x,
+                   round(ln(CAST(c AS DOUBLE)), 12) AS y, c
+            FROM (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn
+                  FROM counts) WHERE rn <= 100),
+    sums AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                    sum(x * y) AS sxy, sum(x * x) AS sxx,
+                    sum(c) AS top_c
+             FROM top)
+    SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS zipf_intercept,
+           vocab_size, total_tokens,
+           round(CAST(top_c AS DOUBLE) / total_tokens, 6) AS top_share
+    FROM sums CROSS JOIN totals"""
+
+
 def _q_wet_roundtrip(spark, sf_dir):
     """WET serialization round-trip (the Common-Crawl extracted-text
     output format): every doc serializes to a conversion record with
@@ -2622,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_sections": _q_extract_sections,
         "image_dhash": _q_image_dhash,
         "wet_roundtrip": _q_wet_roundtrip,
+        "zipf_stats": _q_zipf_stats,
         # (a) past r5's snapshot cap — last driver row r4, judge-green r5
         "fingerprint": _q_fingerprint,
         "quality_score": _q_quality,
@@ -4384,6 +4420,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_sections": _extract_sections_oracle_sql(),
         "image_dhash": _IMAGE_DHASH_ORACLE,
         "wet_roundtrip": _WET_ROUNDTRIP_ORACLE,
+        "zipf_stats": _ZIPF_ORACLE,
         "index_compaction": _INVERTED_INDEX_ORACLE,
         "host_harmonic": _host_harmonic_oracle_sql(),
         "host_harmonic_hb": _host_harmonic_hb_oracle_sql(),

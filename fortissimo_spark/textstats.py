@@ -17,7 +17,7 @@ __all__ = ["with_token_counts", "with_quality_features", "with_langid",
            "score_quality", "with_script_ratios", "redact_pii",
            "with_sentence_stats", "normalize_text",
            "inverted_index", "index_segment", "index_from_segments",
-           "bm25_search", "best_snippet",
+           "bm25_search", "best_snippet", "zipf_stats",
            "LANG_MARKERS", "SCRIPT_CLASSES", "PII_PATTERNS"]
 
 # C0 controls except \t \n \r, plus DEL and the C1 block — the bytes a
@@ -730,6 +730,57 @@ def bm25_search(docs: DataFrame, query_terms: list[str], *, top_k: int = 10,
     from pyspark.sql import Window
     w = Window.orderBy(F.desc("score"), "doc_id")
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def zipf_stats(docs: DataFrame, top_n: int = 100,
+               text_col: str = "text") -> DataFrame:
+    """One-row corpus-health diagnostic: the Zipf log-log slope of the
+    top ``top_n`` term frequencies (natural text sits near -1; template
+    spam flattens it, boilerplate floods steepen it), plus vocab size,
+    token total, and the corpus share the top terms hold. A cheap
+    whole-corpus tripwire to run per crawl snapshot before expensive
+    curation.
+
+    Shape: ONE partial-agg token count feeds everything; the top-N cut
+    is the deterministic (count desc, term) order; the regression is
+    the closed-form least squares over (ln rank, ln count) computed
+    from five scalar sums — per-term logs round to 12 dp so the only
+    cross-engine/cross-partitioning drift is sum order (~1e-14 against
+    the 6 dp output grid). No window over the full vocabulary."""
+    from pyspark.sql import Window
+    toks = docs.select(F.explode(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                 lambda x: x != "")).alias("w"))
+    counts = toks.groupBy("w").agg(F.count("*").alias("c"))
+    totals = counts.agg(F.count("*").alias("vocab_size"),
+                        F.sum("c").alias("total_tokens"))
+    w_rank = Window.orderBy(F.desc("c"), F.asc("w"))
+    top = (counts.orderBy(F.desc("c"), F.asc("w")).limit(top_n)
+           .withColumn("rn", F.row_number().over(w_rank))
+           .select(F.round(F.log(F.col("rn").cast("double")), 12).alias("x"),
+                   F.round(F.log(F.col("c").cast("double")), 12).alias("y"),
+                   "c"))
+    sums = top.agg(F.count("*").alias("n"), F.sum("x").alias("sx"),
+                   F.sum("y").alias("sy"),
+                   F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                   F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                   F.sum("c").alias("top_c"))
+    return (sums.crossJoin(totals)
+            .select(
+                F.round((F.col("n") * F.col("sxy")
+                         - F.col("sx") * F.col("sy"))
+                        / (F.col("n") * F.col("sxx")
+                           - F.col("sx") * F.col("sx")), 6)
+                .alias("zipf_slope"),
+                F.round((F.col("sy") - (F.col("n") * F.col("sxy")
+                                        - F.col("sx") * F.col("sy"))
+                         / (F.col("n") * F.col("sxx")
+                            - F.col("sx") * F.col("sx"))
+                         * F.col("sx")) / F.col("n"), 6)
+                .alias("zipf_intercept"),
+                "vocab_size", "total_tokens",
+                F.round(F.col("top_c") / F.col("total_tokens"), 6)
+                .alias("top_share")))
 
 
 def best_snippet(docs: DataFrame, query_terms: list[str], *,

@@ -3410,6 +3410,30 @@ def test_extract_tables_hand_pages(spark):
     ]
 
 
+def test_zipf_stats_hand_corpus(spark):
+    """Zipf diagnostic against an independent least-squares replay:
+    planted counts a:8 b:4 c:2 d:1, top_n cut, (count desc, term)
+    tie order, and the exact share/vocab totals."""
+    import math
+
+    from fortissimo_spark.textstats import zipf_stats
+    docs = spark.createDataFrame(
+        [(1, " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"]))],
+        "doc_id long, text string")
+    r = zipf_stats(docs, top_n=3).collect()[0]
+    xs = [round(math.log(i + 1), 12) for i in range(3)]
+    ys = [round(math.log(c), 12) for c in (8, 4, 2)]
+    n = 3
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert r.zipf_slope == round(slope, 6)
+    assert r.zipf_intercept == round((sy - slope * sx) / n, 6)
+    assert (r.vocab_size, r.total_tokens) == (4, 15)
+    assert r.top_share == round(14 / 15, 6)
+
+
 def test_wet_write_read_roundtrip(spark, tmp_path):
     """WET sink + reader: rows shard per partition into
     part-NNNNN.warc.wet.gz, read back byte-identically (url, ts, text)
