@@ -42,7 +42,9 @@ __all__ = ["MEDIA_SCHEMA", "IMAGE_FEATURES_SCHEMA", "AUDIO_FEATURES_SCHEMA",
            "sample_frames", "sniff_media", "sniff_webp", "sniff_gif",
            "sniff_avif", "sniff_mp3", "sniff_mp4", "sniff_flac",
            "sniff_ogg",
-           "media_metadata", "MEDIA_METADATA_SCHEMA"]
+           "media_metadata", "MEDIA_METADATA_SCHEMA",
+           "image_dhash", "with_image_dhash", "image_near_dups",
+           "audio_fingerprint", "with_audio_fingerprint", "audio_near_dups"]
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType()),
@@ -1036,7 +1038,7 @@ def _parse_riff_g711(payload: bytes):
     return rate, nch, len(samples) // max(nch, 1), samples
 
 
-def decode_wav(payload: bytes):
+def decode_wav(payload: bytes, n_windows: int = 16):
     """Pure-stdlib decode of RIFF/WAVE — PCM (8/16-bit) plus G.711
     A-law/µ-law (table decode; stdlib ``wave`` refuses those) →
     (sample_rate, n_channels, duration_ms, 16-window RMS profile in [0,1])."""
@@ -1067,7 +1069,7 @@ def decode_wav(payload: bytes):
     if nch > 1:
         samples = samples[::nch]  # first channel
     duration_ms = int(nframes * 1000 / rate) if rate else 0
-    return rate, nch, duration_ms, _rms_profile(samples)
+    return rate, nch, duration_ms, _rms_profile(samples, n_windows)
 
 
 def _rms_profile(samples, n_windows: int = 16) -> list[float]:
@@ -1082,7 +1084,7 @@ def _rms_profile(samples, n_windows: int = 16) -> list[float]:
     return out
 
 
-def decode_flac_audio(raw: bytes):
+def decode_flac_audio(raw: bytes, n_windows: int = 16):
     """REAL FLAC sample decode (flac.py: Rice residuals, fixed/LPC
     predictors, stereo decorrelation) -> the decode_wav output shape
     (rate, nch, duration_ms, 16-window RMS profile in [0, 1])."""
@@ -1092,10 +1094,11 @@ def decode_flac_audio(raw: bytes):
     rate, nch, bps, channels = decode_flac(raw)
     first = np.asarray(channels[0], dtype=np.float64) / float(1 << (bps - 1))
     duration_ms = int(len(first) * 1000 / rate) if rate else 0
-    return rate, nch, duration_ms, _rms_profile(first)
+    return rate, nch, duration_ms, _rms_profile(first, n_windows)
 
 
-def decode_audio(payload: bytes, *, deterministic_fake: bool = False):
+def decode_audio(payload: bytes, *, n_windows: int = 16,
+                 deterministic_fake: bool = False):
     """WAV PCM and FLAC decode for real (stdlib ``wave`` + numpy;
     flac.py for FLAC samples); other compressed formats (mp3/ogg/...)
     need a codec not in this container — they raise unless the
@@ -1103,10 +1106,10 @@ def decode_audio(payload: bytes, *, deterministic_fake: bool = False):
     raw = payload or b""
     try:
         if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
-            return decode_wav(raw)
+            return decode_wav(raw, n_windows)
         if raw[:4] == b"fLaC":
             try:
-                return decode_flac_audio(raw)
+                return decode_flac_audio(raw, n_windows)
             except ValueError:
                 # unreadable frames: fall back to the STREAMINFO
                 # metadata + digest stand-in path below
@@ -1383,3 +1386,87 @@ def image_near_dups(hashed: DataFrame, max_hamming: int = 3,
                         F.expr("bit_count(_ha ^ _hb)").cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+# --- audio fingerprinting (near-duplicate audio) -------------------------
+
+def _afp_decode(payload: bytes):
+    """(sample_rate, duration_ms, fingerprint|None) via one decode at
+    the 65-window energy profile. None fingerprint when samples aren't
+    really decodable (codec stand-in paths raise upstream)."""
+    rate, _nch, duration_ms, prof = decode_audio(payload, n_windows=65)
+    if len(prof) != 65:
+        return rate, duration_ms, None
+    bits = 0
+    for i in range(64):
+        bits = (bits << 1) | (1 if prof[i + 1] > prof[i] else 0)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return rate, duration_ms, bits
+
+
+def audio_fingerprint(payload: bytes):
+    """64-bit energy-envelope fingerprint (the dHash idea on the time
+    axis, the shape chromaprint-class fingerprints build on): decode ->
+    65-window RMS loudness profile -> one bit per consecutive-window
+    comparison. Robust to uniform gain changes (comparisons are
+    scale-invariant) and to re-encoding that preserves the envelope.
+    None when samples can't be decoded (mp3/ogg codec formats)."""
+    try:
+        return _afp_decode(payload)[2]
+    except (ValueError, NotImplementedError, IndexError):
+        return None
+
+
+AUDIO_FP_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+    StructField("afp", LongType()),
+])
+
+
+def with_audio_fingerprint(media: DataFrame) -> DataFrame:
+    """(media_id, sample_rate, duration_ms, afp) per media row — the
+    fingerprint pass of an audio dedup pipeline (WAV PCM/G.711 + FLAC
+    decode for real; codec formats and corrupt payloads yield NULL
+    fingerprints, never task failures). mapInPandas, no shuffle."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("media_id", "sample_rate", "duration_ms", "afp")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows: dict[str, list] = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, dur, fp = _afp_decode(bytes(payload or b""))
+                except Exception:  # noqa: BLE001 - undecodable degrades
+                    rate = dur = fp = None
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["duration_ms"].append(dur)
+                rows["afp"].append(fp)
+            # pd.array, NOT astype: an object column with Nones detours
+            # through float64 and rounds 64-bit ints (see with_image_dhash)
+            yield pd.DataFrame({
+                "media_id": rows["media_id"],
+                "sample_rate": pd.array(rows["sample_rate"], dtype="Int32"),
+                "duration_ms": pd.array(rows["duration_ms"], dtype="Int32"),
+                "afp": pd.array(rows["afp"], dtype="Int64"),
+            }, columns=cols)
+
+    return media.select("media_id", "payload") \
+        .mapInPandas(kernel, AUDIO_FP_SCHEMA)
+
+
+def audio_near_dups(fingerprinted: DataFrame, max_hamming: int = 3,
+                    max_bucket: int = 1000) -> DataFrame:
+    """(id_a, id_b, hamming) near-duplicate audio pairs — the same
+    4x16-bit banded equi-join + exact bit_count gate as
+    :func:`image_near_dups` (see there for the recall guarantee and the
+    bucket cap), over the ``afp`` column."""
+    return image_near_dups(
+        fingerprinted.filter(F.col("afp").isNotNull())
+        .select("media_id", F.col("afp").alias("dhash")),
+        max_hamming=max_hamming, max_bucket=max_bucket)

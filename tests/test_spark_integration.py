@@ -3459,6 +3459,60 @@ def test_wet_write_read_roundtrip(spark, tmp_path):
     assert back2 == 20
 
 
+def test_audio_fingerprint_and_near_dups(spark):
+    """Energy-envelope fingerprint: closed-form WAV envelopes, the SAME
+    envelope re-encoded as FLAC (16-bit, via the independent spec
+    encoder) fingerprints identically — the re-encoding robustness the
+    hash exists for — near-dups pair banded, corrupt payloads yield
+    NULL rows."""
+    import io
+    import wave
+
+    from fortissimo_spark.modality import (audio_fingerprint,
+                                           audio_near_dups,
+                                           with_audio_fingerprint)
+    from tests.flac_encoder import encode_flac
+
+    def wav(amps):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            frames = bytearray()
+            for a in amps:
+                for i in range(16):
+                    frames.append(128 + (a if i % 2 == 0 else -a))
+            w.writeframes(bytes(frames))
+        return buf.getvalue()
+
+    rising = [1 + i for i in range(65)]
+    asc = wav(rising)
+    desc = wav(list(reversed(rising)))
+    alt = wav([100 if i % 2 == 0 else 20 for i in range(65)])
+    assert audio_fingerprint(asc) == -1
+    assert audio_fingerprint(desc) == 0
+    assert audio_fingerprint(alt) == 6148914691236517205
+    # same envelope, different codec + bit depth: identical fingerprint
+    flac_samples = []
+    for a in rising:
+        flac_samples += [a * 256 if i % 2 == 0 else -a * 256
+                         for i in range(16)]
+    flac_asc = encode_flac([flac_samples], 8000, 16)
+    assert audio_fingerprint(flac_asc) == -1
+    media = spark.createDataFrame(
+        [(1, bytearray(asc)), (2, bytearray(flac_asc)),
+         (3, bytearray(alt)), (4, bytearray(b"junk"))],
+        "media_id long, payload binary")
+    fp = with_audio_fingerprint(media)
+    rows = {r.media_id: (r.sample_rate, r.afp) for r in fp.collect()}
+    assert rows[1] == (8000, -1) and rows[2] == (8000, -1)
+    assert rows[4] == (None, None)
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in audio_near_dups(fp).collect()}
+    assert pairs == {(1, 2): 0}
+
+
 def test_image_dhash_and_near_dups(spark):
     """Perceptual dHash through the real decoders and the banded
     near-dup join: closed-form gradients/checkerboard hashes, a
