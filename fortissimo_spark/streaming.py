@@ -30,7 +30,7 @@ from .schema import PAGES_SCHEMA
 __all__ = ["read_pages_stream", "streaming_extract", "start_streaming_job",
            "streaming_host_stats", "streaming_crawl_rates",
            "streaming_curate", "curation_metrics", "streaming_frontier",
-           "streaming_index", "DOCS_STREAM_SCHEMA"]
+           "streaming_index", "streaming_wet_sink", "DOCS_STREAM_SCHEMA"]
 
 
 def read_pages_stream(spark: SparkSession, input_path: str,
@@ -382,6 +382,44 @@ def streaming_frontier(spark: SparkSession, input_path: str,
          .parquet(os.path.join(output_path, f"batch_id={batch_id}")))
 
     return (cands.writeStream
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start())
+
+
+def streaming_wet_sink(spark: SparkSession, input_path: str,
+                       output_path: str, checkpoint_path: str, *,
+                       strip: str = "density",
+                       trigger_seconds: int = 10):
+    """Extract incrementally and publish WET shards as batches land —
+    the streaming version of the crawl loop's OUTPUT side: pages stream
+    -> extraction kernel -> warc.write_wet per micro-batch, each batch
+    into its own ``batch-N/`` directory. Idempotency follows the
+    engine's foreachBatch convention (start_streaming_job): a retried
+    batch re-runs with the SAME batch_id and rewrites its own
+    directory (write_wet's atomic per-shard rename makes the rewrite
+    safe mid-crash), so at-least-once delivery never duplicates
+    records across directories. Returns the StreamingQuery handle."""
+    import shutil
+
+    from .warc import write_wet
+
+    stream = read_pages_stream(spark, input_path)
+    extracted = streaming_extract(stream, strip=strip)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = os.path.join(output_path, f"batch-{batch_id}")
+        if os.path.isdir(out):  # retry of the same batch: replace
+            shutil.rmtree(out)
+        wet_in = batch_df.select(
+            "url",
+            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+            .alias("wet_date"),
+            "text")
+        write_wet(wet_in, out)
+
+    return (extracted.writeStream
             .foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint_path)
             .trigger(processingTime=f"{trigger_seconds} seconds")

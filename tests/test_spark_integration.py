@@ -466,6 +466,34 @@ def test_streaming_extract(spark, pages, tmp_path_factory):
     assert out.filter(F.col("text").isNull()).count() == 0
 
 
+def test_streaming_wet_sink(spark, pages, tmp_path_factory):
+    """Incremental WET publishing: pages stream -> extraction -> WET
+    shards per micro-batch; reading every batch directory back through
+    the WET reader reproduces the batch-mode extraction (url, text)
+    exactly, and records survive the wet round-trip byte-identically."""
+    base = tmp_path_factory.mktemp("wetstream")
+    in_dir, out_dir, ckpt = (str(base / "in"), str(base / "out"),
+                             str(base / "ckpt"))
+    pages.limit(40).write.mode("overwrite").parquet(in_dir)
+
+    from fortissimo_spark.pipeline import extract_df
+    from fortissimo_spark.streaming import streaming_wet_sink
+    from fortissimo_spark.warc import read_wets
+    expected = {r.url: r.text for r in
+                extract_df(spark.read.parquet(in_dir).dropDuplicates(
+                    ["url"]), "density").select("url", "text").collect()}
+
+    q = streaming_wet_sink(spark, in_dir, out_dir, ckpt,
+                           trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.url: r.text for r in
+           read_wets(spark, out_dir + "/batch-*/part-*").collect()}
+    assert got == expected
+
+
 def test_streaming_windowed_rates_drop_late_data(spark, tmp_path_factory):
     """Event-time tumbling windows + watermark: rows far behind the max
     observed warc_ts must be dropped; on-time rows aggregate per window."""
