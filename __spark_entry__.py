@@ -2115,6 +2115,92 @@ _DHASH_PATTERNS = (
 _DHASH_EXPECTED = (0, -1, -6148914691236517206)
 
 
+_FUZZY_BOILER = ("sign up here for our excellent newsletter today and "
+                 "receive many wonderful daily updates about absolutely "
+                 "everything interesting near you friend v")
+
+
+def _q_fuzzy_para_dedup(spark, sf_dir):
+    """Corpus-wide FUZZY paragraph dedup (full MinHash chain at
+    paragraph granularity): docs with doc_id % 2 == 0 append a
+    newsletter paragraph in one of four variants differing only in the
+    final token — trigram Jaccard between variants is 17/23 ~ 0.739, so
+    at threshold 0.7 ALL variants (plus their exact copies) cluster and
+    only the global min-pid copy survives; body paragraphs dedup only
+    where the corpus itself has copies. DuckDB replays shingling,
+    exact all-pairs Jaccard, the component closure, and reassembly."""
+    from fortissimo_spark.dedup import remove_near_dup_paragraphs
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    corpus = docs.select(
+        "doc_id",
+        F.when(d % 2 == 0,
+               F.concat(F.col("text"), F.lit("\n\n" + _FUZZY_BOILER),
+                        (d % 4).cast("string")))
+         .otherwise(F.col("text")).alias("text"))
+    return remove_near_dup_paragraphs(corpus, threshold=0.7) \
+        .select("doc_id", "text_clean", "n_paras_removed")
+
+
+def _fuzzy_para_oracle_sql() -> str:
+    return f"""
+        WITH RECURSIVE corpus AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 2 = 0
+                         THEN chr(10) || chr(10) || '{_FUZZY_BOILER}'
+                              || CAST(doc_id % 4 AS VARCHAR)
+                         ELSE '' END AS text
+          FROM documents),
+        arrs AS (SELECT doc_id,
+                        string_split(text, chr(10) || chr(10)) AS arr
+                 FROM corpus),
+        paras AS (SELECT doc_id,
+                         doc_id * 100000 + generate_subscripts(arr, 1) - 1
+                           AS pid,
+                         generate_subscripts(arr, 1) - 1 AS pos,
+                         unnest(arr) AS para
+                  FROM arrs),
+        elig AS (SELECT pid, para FROM paras
+                 WHERE length(list_filter(
+                         regexp_split_to_array(trim(para), '\\s+'),
+                         x -> x <> '')) >= 5),
+        sh AS (SELECT pid,
+                      list_distinct(list_transform(
+                        range(1, length(string_split(trim(para), ' ')) - 1),
+                        i -> string_split(trim(para), ' ')[i] || ' ' ||
+                             string_split(trim(para), ' ')[i+1] || ' ' ||
+                             string_split(trim(para), ' ')[i+2])) AS t
+               FROM elig),
+        pairs AS (
+          SELECT a.pid AS id_a, b.pid AS id_b
+          FROM sh a JOIN sh b ON a.pid < b.pid
+          WHERE round(CAST(length(list_intersect(a.t, b.t)) AS DOUBLE)
+                / length(list_distinct(list_concat(a.t, b.t))), 6)
+                >= 0.7),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL
+                  SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        walk(id, lab) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.a, w.lab FROM edges e JOIN walk w ON e.b = w.id),
+        clusters AS (SELECT id, min(lab) AS cid FROM walk GROUP BY id),
+        losers AS (SELECT id AS pid FROM clusters WHERE id <> cid),
+        kept AS (SELECT p.doc_id, p.pos, p.para FROM paras p
+                 WHERE NOT EXISTS (SELECT 1 FROM losers l
+                                   WHERE l.pid = p.pid)),
+        reb AS (SELECT doc_id,
+                       string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                         AS text_clean,
+                       count(*) AS kn
+                FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, len(arr) AS t FROM arrs)
+        SELECT t.doc_id, coalesce(r.text_clean, '') AS text_clean,
+               CAST(t.t - coalesce(r.kn, 0) AS INT) AS n_paras_removed
+        FROM tot t LEFT JOIN reb r USING (doc_id)"""
+
+
 def _q_zipf_stats(spark, sf_dir):
     """One-row Zipf corpus diagnostic over `documents`: log-log slope
     of the top-100 term frequencies + vocab/token totals + top share.
@@ -2721,6 +2807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": _q_wet_roundtrip,
         "zipf_stats": _q_zipf_stats,
         "audio_fingerprint": _q_audio_fingerprint,
+        "fuzzy_para_dedup": _q_fuzzy_para_dedup,
         # (a) past r5's snapshot cap — last driver row r4, judge-green r5
         "fingerprint": _q_fingerprint,
         "quality_score": _q_quality,
@@ -4485,6 +4572,7 @@ def oracle_sql() -> dict[str, str]:
         "wet_roundtrip": _WET_ROUNDTRIP_ORACLE,
         "zipf_stats": _ZIPF_ORACLE,
         "audio_fingerprint": _AFP_ORACLE,
+        "fuzzy_para_dedup": _fuzzy_para_oracle_sql(),
         "index_compaction": _INVERTED_INDEX_ORACLE,
         "host_harmonic": _host_harmonic_oracle_sql(),
         "host_harmonic_hb": _host_harmonic_hb_oracle_sql(),

@@ -27,7 +27,8 @@ __all__ = ["exact_duplicates", "shingle_sets", "minhash_signatures",
            "verified_near_duplicates", "verify_candidates_pruned",
            "simhash64", "duplicate_clusters", "canonicalize",
            "md5_word_hash", "near_duplicate_pairs",
-           "duplicate_spans", "remove_duplicate_spans"]
+           "duplicate_spans", "remove_duplicate_spans",
+           "remove_near_dup_paragraphs"]
 
 _MERSENNE_P = (1 << 31) - 1
 
@@ -569,3 +570,66 @@ def remove_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
         F.array_join(kept, " ").alias(out_col),
         (F.size("_w") - F.size(kept)).cast("int")
         .alias("n_tokens_removed"))
+
+
+def remove_near_dup_paragraphs(docs: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text", *,
+                               threshold: float = 0.8, shingle_n: int = 3,
+                               num_hashes: int = 64, bands: int = 32,
+                               min_words: int = 5,
+                               max_paras: int = 100_000,
+                               out_col: str = "text_clean") -> DataFrame:
+    """FUZZY corpus-wide paragraph dedup (the RefinedWeb/MassiveText
+    rule one level above exact paragraph matching): paragraphs whose
+    word-shingle Jaccard reaches ``threshold`` cluster across the whole
+    corpus, and only the cluster's canonical copy (smallest paragraph
+    id) survives — boilerplate that mutates a token per site (年份,
+    brand, counter) slips exact dedup but not this. Paragraphs under
+    ``min_words`` words skip dedup entirely (always kept): micro-lines
+    would otherwise cluster on trivial shingles. Returns (id, text,
+    ``out_col``, n_paras_removed) with survivors rejoined in original
+    order.
+
+    This is the document-level MinHash chain re-aimed at paragraph
+    granularity, reusing every stage unchanged — shingle_sets ->
+    minhash_signatures -> banded LSH (bucket caps + observability) ->
+    EXACT Jaccard verification -> min-label connected components — on
+    ids ``doc_id * max_paras + pos`` (documents above ``max_paras``
+    paragraphs would alias; raise it for pathological corpora). Scale
+    shape is the chain's own (no new shuffles) plus the same
+    anti-join + one doc-id regroup reassembly as
+    remove_duplicate_paragraphs."""
+    d = docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"))
+    paras = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\n\n", -1))
+        .alias("pos", "para")) \
+        .withColumn("_pid", F.col("doc_id") * max_paras + F.col("pos"))
+    nw = F.size(F.filter(F.split(F.trim(F.col("para")), r"\s+"),
+                         lambda x: x != ""))
+    elig = paras.filter(nw >= min_words)
+    sh = shingle_sets(elig, "_pid", "para", shingle_n)
+    cands = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), bands)
+    ver = verified_near_duplicates(sh, cands, threshold)
+    clusters = duplicate_clusters(ver.select("id_a", "id_b"))
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")) \
+        .select(F.col("id").alias("_pid"))
+    kept = paras.join(losers, "_pid", "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct(F.col("pos"), F.col("para")))),
+                            lambda s: s["para"]),
+                        "\n\n").alias(out_col),
+                    F.count("*").alias("_kept")))
+    totals = d.select("doc_id", "text",
+                      F.size(F.split(F.col("text"), r"\n\n", -1))
+                      .alias("_total"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select(F.col("doc_id").alias(id_col),
+                    F.col("text").alias(text_col),
+                    F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+                    (F.col("_total") - F.coalesce(F.col("_kept"), F.lit(0)))
+                    .cast("int").alias("n_paras_removed")))

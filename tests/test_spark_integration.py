@@ -3438,6 +3438,39 @@ def test_extract_tables_hand_pages(spark):
     ]
 
 
+def test_remove_near_dup_paragraphs_fuzzy(spark):
+    """Fuzzy paragraph dedup: variants of a boilerplate sentence that
+    differ in one token cluster across docs and only the smallest
+    (doc, pos) copy survives; unique bodies survive; short paragraphs
+    never enter dedup; exact paragraph copies also collapse."""
+    from fortissimo_spark.dedup import remove_near_dup_paragraphs
+    boiler = ("sign up for our excellent newsletter today and receive "
+              "many wonderful daily updates about absolutely everything "
+              "interesting near you version")
+    rows = [
+        (1, f"unique body one\n\n{boiler} A"),
+        (2, f"unique body two\n\n{boiler} B"),
+        (3, f"unique body three\n\n{boiler} A"),   # exact copy of 1's
+        (4, "all alone"),
+        (5, "short\n\nshort"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.text_clean, r.n_paras_removed)
+           for r in remove_near_dup_paragraphs(df, threshold=0.8)
+           .collect()}
+    assert out[1] == (f"unique body one\n\n{boiler} A", 0)  # canonical
+    assert out[2] == ("unique body two", 1)
+    assert out[3] == ("unique body three", 1)
+    assert out[4] == ("all alone", 0)
+    assert out[5] == ("short\n\nshort", 0)
+    # a stricter threshold separates the A/B variants but still folds
+    # the exact A copy
+    strict = {r.doc_id: r.n_paras_removed
+              for r in remove_near_dup_paragraphs(df, threshold=0.999)
+              .collect()}
+    assert strict == {1: 0, 2: 0, 3: 1, 4: 0, 5: 0}
+
+
 def test_zipf_stats_hand_corpus(spark):
     """Zipf diagnostic against an independent least-squares replay:
     planted counts a:8 b:4 c:2 d:1, top_n cut, (count desc, term)
