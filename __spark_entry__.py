@@ -2115,6 +2115,49 @@ _DHASH_PATTERNS = (
 _DHASH_EXPECTED = (0, -1, -6148914691236517206)
 
 
+def _q_template_census(spark, sf_dir):
+    """Content-blind template detection: pages synthesize per-doc TEXT
+    inside one of two structural templates (doc_id % 3: 0 = article
+    shell, 1 = nav+article shell, 2 = the article shell with UNCLOSED
+    trailing markup — the repair path must hash identically to its
+    well-formed siblings). The census groups (host, template_hash);
+    DuckDB recomputes hashes as md5 of the literal tag sequences."""
+    from fortissimo_spark.kernel import template_fingerprints
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    t = F.col("text")
+    html = F.when(d % 3 == 1, F.concat(
+        F.lit("<html><body><nav><a href=x>L</a></nav><article><p>"), t,
+        F.lit("</p><p>more</p></article></body></html>"))) \
+        .when(d % 3 == 2, F.concat(
+            F.lit("<html><head><title>Y</title></head><body><p>"), t)) \
+        .otherwise(F.concat(
+            F.lit("<html><head><title>X</title></head><body><p>"), t,
+            F.lit("</p></body></html>")))
+    pages = docs.select(
+        (d % 16).cast("string").alias("host"),
+        d.cast("string").alias("url"),
+        F.encode(html, "UTF-8").alias("html"))
+    fp = template_fingerprints(pages)
+    return (fp.join(pages.select("host", "url"), "url")
+            .groupBy("host", "template_hash")
+            .agg(F.count("*").alias("n_pages"),
+                 F.max("n_elements").alias("n_elements")))
+
+
+_TEMPLATE_ORACLE = """
+    WITH fp AS (
+      SELECT CAST(doc_id % 16 AS VARCHAR) AS host,
+             CASE WHEN doc_id % 3 = 1
+                  THEN md5('html,body,nav,a,article,p,p')
+                  ELSE md5('html,head,title,body,p') END AS template_hash,
+             CASE WHEN doc_id % 3 = 1 THEN 7 ELSE 5 END AS ne
+      FROM documents)
+    SELECT host, template_hash, count(*) AS n_pages,
+           CAST(max(ne) AS INTEGER) AS n_elements
+    FROM fp GROUP BY host, template_hash"""
+
+
 _FUZZY_BOILER = ("sign up here for our excellent newsletter today and "
                  "receive many wonderful daily updates about absolutely "
                  "everything interesting near you friend v")
@@ -2808,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_stats": _q_zipf_stats,
         "audio_fingerprint": _q_audio_fingerprint,
         "fuzzy_para_dedup": _q_fuzzy_para_dedup,
+        "template_census": _q_template_census,
         # (a) past r5's snapshot cap — last driver row r4, judge-green r5
         "fingerprint": _q_fingerprint,
         "quality_score": _q_quality,
@@ -4573,6 +4617,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_stats": _ZIPF_ORACLE,
         "audio_fingerprint": _AFP_ORACLE,
         "fuzzy_para_dedup": _fuzzy_para_oracle_sql(),
+        "template_census": _TEMPLATE_ORACLE,
         "index_compaction": _INVERTED_INDEX_ORACLE,
         "host_harmonic": _host_harmonic_oracle_sql(),
         "host_harmonic_hb": _host_harmonic_hb_oracle_sql(),

@@ -648,6 +648,70 @@ def extract_sections(pages) -> "DataFrame":
             .mapInPandas(make_sections_kernel(), schema))
 
 
+def _template_signature(b) -> tuple[str, int]:
+    """(tag-sequence md5, n_elements) for one parsed DOM: the structural
+    fingerprint of the page with ALL content ignored — two pages from
+    the same site template hash identically however much their text
+    differs. Sequence = lowercase tag names of non-synthetic elements
+    in parse (document) order, comma-joined; synthetic repair nodes are
+    excluded so a missing-markup variant of the same template still
+    matches its well-formed siblings."""
+    import hashlib
+
+    from .dom import N_SYNTHETIC
+    tags = []
+    nodes = b.nodes
+    for i in range(1, len(nodes)):
+        nd = nodes[i]
+        if nd[N_KIND] == ELEMENT and not nd[N_SYNTHETIC]:
+            tags.append(nd[N_TAG_LC])
+    seq = ",".join(tags)
+    return hashlib.md5(seq.encode()).hexdigest(), len(tags)
+
+
+def make_template_kernel():
+    """mapInPandas kernel: pages batches -> (url, template_hash,
+    n_elements) — the per-page half of template detection (group by
+    (host, template_hash) downstream to find a site's templates and
+    their page counts)."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("url", "template_hash", "n_elements")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows: dict[str, list] = {k: [] for k in cols}
+            for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+                text_src, _, _ = decode_page_bytes(bytes(raw or b""))
+                b = parse(text_src, positions=False).dom
+                th, n = _template_signature(b)
+                rows["url"].append(url)
+                rows["template_hash"].append(th)
+                rows["n_elements"].append(n)
+            out = pd.DataFrame(rows, columns=cols)
+            out["n_elements"] = out["n_elements"].astype("Int32")
+            yield out
+
+    return kernel
+
+
+def template_fingerprints(pages) -> "DataFrame":
+    """(url, template_hash, n_elements) per page — content-blind
+    structural fingerprints. Template detection is then one partial-agg
+    groupBy on (host, template_hash): a host's dominant hash IS its
+    page template, and pages outside it are the candidates for special
+    extraction handling. Pure map, no shuffle here."""
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("template_hash", StringType()),
+        StructField("n_elements", IntegerType()),
+    ])
+    return (pages.select("url", "html")
+            .mapInPandas(make_template_kernel(), schema))
+
+
 def make_robots_kernel():
     """mapInPandas kernel: pages batches -> per-document crawl-compliance
     flags — ``<meta name="robots"|"googlebot" content="...">`` directives

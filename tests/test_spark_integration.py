@@ -3438,6 +3438,36 @@ def test_extract_tables_hand_pages(spark):
     ]
 
 
+def test_template_fingerprints(spark):
+    """Structural fingerprints: same template + different text hash
+    identically, a truncated/unclosed variant matches its well-formed
+    siblings (implicit closure, non-synthetic walk), a different
+    structure diverges, and synthetic table-repair nodes don't count."""
+    import hashlib
+
+    from fortissimo_spark.kernel import template_fingerprints
+    t0a = b"<html><head><title>X</title></head><body><p>alpha</p></body></html>"
+    t0b = b"<html><head><title>Y</title></head><body><p>beta beta"
+    t1 = (b"<html><body><nav><a href=x>L</a></nav>"
+          b"<article><p>t</p><p>m</p></article></body></html>")
+    # stray th inside a table synthesizes a tr: the synthetic node must
+    # NOT enter the sequence (html,body,table,th)
+    t2 = b"<html><body><table><th>x</table></body></html>"
+    pages = spark.createDataFrame(
+        [("a", bytearray(t0a)), ("b", bytearray(t0b)),
+         ("c", bytearray(t1)), ("d", bytearray(t2))],
+        "url string, html binary")
+    got = {r.url: (r.template_hash, r.n_elements)
+           for r in template_fingerprints(pages).collect()}
+    h0 = hashlib.md5(b"html,head,title,body,p").hexdigest()
+    assert got["a"] == (h0, 5)
+    assert got["b"] == (h0, 5)
+    assert got["c"] == (hashlib.md5(
+        b"html,body,nav,a,article,p,p").hexdigest(), 7)
+    assert got["d"] == (hashlib.md5(
+        b"html,body,table,th").hexdigest(), 4)
+
+
 def test_remove_near_dup_paragraphs_fuzzy(spark):
     """Fuzzy paragraph dedup: variants of a boilerplate sentence that
     differ in one token cluster across docs and only the smallest
