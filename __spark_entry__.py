@@ -1795,6 +1795,63 @@ def _host_trustrank_oracle_sql() -> str:
         JOIN {tr_prev} t ON t.id = hh.hi"""
 
 
+def _q_host_reciprocity(spark, sf_dir):
+    """Mutual-link statistics over the shared weighted host graph
+    (same edge fixture as host_rank): per host, distinct out/in
+    degrees, reciprocated out-edges, and the reciprocity ratio — the
+    link-exchange tell. DuckDB replays the rollup and the reversed
+    EXISTS."""
+    from fortissimo_spark.graph import host_graph, link_reciprocity
+    from fortissimo_spark.pages import HOSTS
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges_urls, hosts_arr = _host_edge_urls(docs, n)
+    hg = host_graph(edges_urls)
+    nodes = spark.createDataFrame([(h,) for h in HOSTS], "id string")
+    rec = link_reciprocity(hg, nodes, "src_host", "dst_host")
+    return rec.select(
+        (F.array_position(hosts_arr, F.col("id")) - 1).cast("int")
+        .alias("host_idx"),
+        "out_deg", "in_deg", "n_reciprocal", "reciprocity")
+
+
+def _host_reciprocity_oracle_sql() -> str:
+    return """
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        hosts AS (SELECT unnest(range(16)) AS hi),
+        raw AS (
+          SELECT CAST(doc_id % 16 AS BIGINT) AS src,
+                 CAST(((doc_id * 31 + 7) % (SELECT n FROM nn)) % 16
+                      AS BIGINT) AS dst FROM documents
+          UNION ALL
+          SELECT doc_id % 16,
+                 ((doc_id * 17 + 3) % (SELECT n FROM nn)) % 16
+          FROM documents
+          UNION ALL
+          SELECT doc_id % 16,
+                 ((doc_id * 97 + 11) % (SELECT n FROM nn)) % 16
+          FROM documents),
+        e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        recip AS (SELECT a.src AS id, count(*) AS n_reciprocal
+                  FROM e a WHERE EXISTS (SELECT 1 FROM e b
+                                         WHERE b.src = a.dst
+                                           AND b.dst = a.src)
+                  GROUP BY a.src),
+        outd AS (SELECT src AS id, count(*) AS n FROM e GROUP BY src),
+        ind AS (SELECT dst AS id, count(*) AS n FROM e GROUP BY dst)
+        SELECT CAST(h.hi AS INTEGER) AS host_idx,
+               coalesce(o.n, 0) AS out_deg,
+               coalesce(i.n, 0) AS in_deg,
+               coalesce(r.n_reciprocal, 0) AS n_reciprocal,
+               CASE WHEN coalesce(o.n, 0) > 0
+                    THEN round(CAST(coalesce(r.n_reciprocal, 0) AS DOUBLE)
+                               / o.n, 6) END AS reciprocity
+        FROM hosts h
+        LEFT JOIN outd o ON o.id = h.hi
+        LEFT JOIN ind i ON i.id = h.hi
+        LEFT JOIN recip r ON r.id = h.hi"""
+
+
 def _q_host_communities(spark, sf_dir):
     """Community detection over a PLANTED 4-block host graph: hosts
     doc_id % 16 fall in four groups of four; three intra-group edge
@@ -2852,6 +2909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint": _q_audio_fingerprint,
         "fuzzy_para_dedup": _q_fuzzy_para_dedup,
         "template_census": _q_template_census,
+        "host_reciprocity": _q_host_reciprocity,
         # (a) past r5's snapshot cap — last driver row r4, judge-green r5
         "fingerprint": _q_fingerprint,
         "quality_score": _q_quality,
@@ -4618,6 +4676,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_fingerprint": _AFP_ORACLE,
         "fuzzy_para_dedup": _fuzzy_para_oracle_sql(),
         "template_census": _TEMPLATE_ORACLE,
+        "host_reciprocity": _host_reciprocity_oracle_sql(),
         "index_compaction": _INVERTED_INDEX_ORACLE,
         "host_harmonic": _host_harmonic_oracle_sql(),
         "host_harmonic_hb": _host_harmonic_hb_oracle_sql(),

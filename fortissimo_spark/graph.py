@@ -34,7 +34,7 @@ from .parser import parse
 
 __all__ = ["extract_outlinks", "resolve_href", "link_degrees", "pagerank",
            "trustrank", "hits", "anchor_text_index", "host_graph",
-           "label_propagation",
+           "label_propagation", "link_reciprocity",
            "harmonic_centrality", "hyperball_harmonic", "hyperball_alpha"]
 
 
@@ -318,6 +318,45 @@ def anchor_text_index(links: DataFrame, top_k: int = 3) -> DataFrame:
                                              "anchor_text")
     return (counts.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_k))
+
+
+def link_reciprocity(edges: DataFrame, nodes: DataFrame,
+                     src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """(id, out_deg, in_deg, n_reciprocal, reciprocity) — per-node
+    mutual-link statistics over the DISTINCT edge set: n_reciprocal
+    counts out-edges whose reverse edge also exists, reciprocity =
+    n_reciprocal / out_deg (NULL for sinks). High reciprocity across a
+    host's neighborhood is the classic link-exchange/link-farm tell the
+    TrustRank seed auditors look for; organic editorial linking is
+    mostly one-way.
+
+    Shape: dedup the edge list once, self-join it on the REVERSED key —
+    an equi-join on (src=dst, dst=src), never nested-loop — then three
+    partial-agg groupBys joined back over the node frame. Everything
+    shuffles by node id; no adjacency list is ever materialized."""
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")).distinct() \
+        .filter(F.col("src") != F.col("dst"))
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (e.join(rev, ["src", "dst"], "left_semi")
+             .groupBy(F.col("src").alias("id"))
+             .agg(F.count("*").alias("n_reciprocal")))
+    out_d = e.groupBy(F.col("src").alias("id")) \
+        .agg(F.count("*").alias("out_deg"))
+    in_d = e.groupBy(F.col("dst").alias("id")) \
+        .agg(F.count("*").alias("in_deg"))
+    return (nodes.join(out_d, "id", "left").join(in_d, "id", "left")
+            .join(recip, "id", "left")
+            .select("id",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+                    F.coalesce("n_reciprocal", F.lit(0))
+                    .alias("n_reciprocal"),
+                    F.when(F.coalesce(F.col("out_deg"), F.lit(0)) > 0,
+                           F.round(F.coalesce(F.col("n_reciprocal"),
+                                              F.lit(0))
+                                   / F.col("out_deg"), 6))
+                    .alias("reciprocity")))
 
 
 def label_propagation(edges: DataFrame, nodes: DataFrame, *,

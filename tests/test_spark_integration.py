@@ -3702,6 +3702,25 @@ def test_best_snippet_hand_corpus(spark):
     assert out[4] == (10, 2, 2, "q2 q1")
 
 
+def test_link_reciprocity_hand_graph(spark):
+    """a<->b mutual, a->c one-way, d isolated: reciprocal counts and
+    ratios by hand; duplicate and self-loop edges must not distort the
+    distinct-edge statistics."""
+    from fortissimo_spark.graph import link_reciprocity
+    nodes = spark.createDataFrame([(i,) for i in "abcd"], "id string")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("a", "b"), ("c", "c")],
+        "src string, dst string")
+    got = {r.id: (r.out_deg, r.in_deg, r.n_reciprocal, r.reciprocity)
+           for r in link_reciprocity(edges, nodes).collect()}
+    assert got == {
+        "a": (2, 1, 1, 0.5),
+        "b": (1, 1, 1, 1.0),
+        "c": (0, 1, 0, None),
+        "d": (0, 0, 0, None),
+    }
+
+
 def test_label_propagation_hand_graph(spark):
     """Two triangles joined by one weak bridge: sync weighted LPA with
     min-label ties must merge each triangle to its smallest member and
