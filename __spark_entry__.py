@@ -2652,6 +2652,90 @@ def _q_search_snippets(spark, sf_dir):
                 "win_distinct", "win_hits", "snippet")
 
 
+def _q_bm25f_search(spark, sf_dir):
+    """Fielded BM25F retrieval: the documents corpus plus a planted
+    anchor-text field (docs doc_id % 3 == 0 endorse target
+    (doc_id*31+7) % n with 'spark merge guide'; doc_id % 5 == 1 endorse
+    (doc_id*17+3) % n with 'window tips K') — anchor weight 2x, one
+    saturation over the summed field tfs, so anchor-only pages rank.
+    DuckDB replays both fields, the union df, and the combined
+    formula."""
+    from fortissimo_spark.textstats import bm25f_search
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    d = F.col("doc_id")
+    anchors = docs.filter(d % 3 == 0).select(
+        ((d * 31 + 7) % n).alias("doc_id"),
+        F.lit("spark merge guide").alias("anchor")) \
+        .unionByName(docs.filter(d % 5 == 1).select(
+            ((d * 17 + 3) % n).alias("doc_id"),
+            F.concat(F.lit("window tips "), (d % 7).cast("string"))
+            .alias("anchor")))
+    return bm25f_search(docs, anchors, list(_BM25_QUERY_TERMS), top_k=15)
+
+
+def _bm25f_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY_TERMS)
+    return rf"""
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    anchors AS (
+      SELECT (doc_id * 31 + 7) % (SELECT n FROM nn) AS doc_id,
+             'spark merge guide' AS anchor
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT (doc_id * 17 + 3) % (SELECT n FROM nn),
+             'window tips ' || CAST(doc_id % 7 AS VARCHAR)
+      FROM documents WHERE doc_id % 5 = 1),
+    toks_b AS (
+      SELECT doc_id, x AS term FROM (
+        SELECT doc_id, list_filter(
+                 regexp_split_to_array(trim(text), '\s+'),
+                 w -> w <> '') AS ws
+        FROM documents), unnest(ws) AS u(x)),
+    toks_a AS (
+      SELECT doc_id, x AS term FROM (
+        SELECT doc_id, list_filter(
+                 regexp_split_to_array(trim(anchor), '\s+'),
+                 w -> w <> '') AS ws
+        FROM anchors), unnest(ws) AS u(x)),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks_b GROUP BY doc_id),
+    al AS (SELECT doc_id, count(*) AS al FROM toks_a GROUP BY doc_id),
+    corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    a_corpus AS (SELECT avg(al) AS avgal FROM al),
+    tf_b AS (SELECT doc_id, term, count(*) AS tf_b FROM toks_b
+             WHERE term IN ({terms}) GROUP BY doc_id, term),
+    tf_a AS (SELECT doc_id, term, count(*) AS tf_a FROM toks_a
+             WHERE term IN ({terms}) GROUP BY doc_id, term),
+    hits AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+                    coalesce(b.term, a.term) AS term, b.tf_b, a.tf_a
+             FROM tf_b b FULL OUTER JOIN tf_a a
+               ON a.doc_id = b.doc_id AND a.term = b.term),
+    dfq AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+    comp AS (
+      SELECT x.doc_id,
+             round(ln(1 + (x.n_docs - q.df + 0.5) / (q.df + 0.5))
+                   * x.tff / (1.2 + x.tff), 9) AS comp
+      FROM (SELECT h.doc_id, h.term, c.n_docs,
+                   1.0 * coalesce(h.tf_b, 0)
+                     / (1 - 0.75 + 0.75 * coalesce(d.dl, 0) / c.avgdl)
+                   + 2.0 * (CASE WHEN a.al IS NOT NULL
+                            THEN coalesce(h.tf_a, 0)
+                                 / (1 - 0.5 + 0.5 * a.al / ac.avgal)
+                            ELSE 0.0 END) AS tff
+            FROM hits h
+            LEFT JOIN dl d ON d.doc_id = h.doc_id
+            LEFT JOIN al a ON a.doc_id = h.doc_id
+            CROSS JOIN corpus c CROSS JOIN a_corpus ac) x
+      JOIN dfq q ON q.term = x.term),
+    scored AS (SELECT doc_id, count(*) AS n_hits,
+                      round(sum(comp), 9) AS score
+               FROM comp GROUP BY doc_id)
+    SELECT doc_id, n_hits, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                AS INTEGER) AS rank
+    FROM scored ORDER BY score DESC, doc_id LIMIT 15"""
+
+
 def _search_snippets_oracle_sql() -> str:
     terms = ", ".join(f"'{t}'" for t in _BM25_QUERY_TERMS)
     return rf"""
@@ -2910,6 +2994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_para_dedup": _q_fuzzy_para_dedup,
         "template_census": _q_template_census,
         "host_reciprocity": _q_host_reciprocity,
+        "bm25f_search": _q_bm25f_search,
         # (a) past r5's snapshot cap — last driver row r4, judge-green r5
         "fingerprint": _q_fingerprint,
         "quality_score": _q_quality,
@@ -4677,6 +4762,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_para_dedup": _fuzzy_para_oracle_sql(),
         "template_census": _TEMPLATE_ORACLE,
         "host_reciprocity": _host_reciprocity_oracle_sql(),
+        "bm25f_search": _bm25f_oracle_sql(),
         "index_compaction": _INVERTED_INDEX_ORACLE,
         "host_harmonic": _host_harmonic_oracle_sql(),
         "host_harmonic_hb": _host_harmonic_hb_oracle_sql(),

@@ -17,7 +17,7 @@ __all__ = ["with_token_counts", "with_quality_features", "with_langid",
            "score_quality", "with_script_ratios", "redact_pii",
            "with_sentence_stats", "normalize_text",
            "inverted_index", "index_segment", "index_from_segments",
-           "bm25_search", "best_snippet", "zipf_stats",
+           "bm25_search", "bm25f_search", "best_snippet", "zipf_stats",
            "LANG_MARKERS", "SCRIPT_CLASSES", "PII_PATTERNS"]
 
 # C0 controls except \t \n \r, plus DEL and the C1 block — the bytes a
@@ -837,6 +837,80 @@ def best_snippet(docs: DataFrame, query_terms: list[str], *,
                         F.slice(F.col("_toks"),
                                 -F.col("_best.neg") + F.lit(1),
                                 F.lit(window)), " ").alias("snippet")))
+
+
+def bm25f_search(docs: DataFrame, anchors: DataFrame,
+                 query_terms: list[str], *, top_k: int = 10,
+                 k1: float = 1.2, b_body: float = 0.75,
+                 b_anchor: float = 0.5, w_body: float = 1.0,
+                 w_anchor: float = 2.0, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 anchor_col: str = "anchor") -> DataFrame:
+    """Top-k BM25F retrieval (Robertson/Zaragoza fielded BM25 — the
+    web-search form where ANCHOR TEXT pointing at a page is a second,
+    heavily-weighted field): per field, tf normalizes by its own length
+    (1 - b_f + b_f * len/avglen), the weighted field tfs SUM into one
+    pseudo-frequency, and saturation applies ONCE —
+    score = sum_t idf(t) * tfF / (k1 + tfF) — which is the crucial
+    difference from naively adding two BM25 scores (a term frequent in
+    both fields must not double-saturate). idf uses document frequency
+    over field-union presence; N is the body corpus size. A page with
+    no body hits still ranks on its anchors — the off-page relevance
+    signal. Components round to 9 dp (the bm25_search ln() grid).
+
+    Scale shape mirrors bm25_search per field: query-term filters land
+    BEFORE both tf aggs (only hit postings shuffle), field lengths are
+    partial-agg groupBys, corpus scalars and per-term dfs broadcast,
+    the field combine is a full outer join on (doc, term) — hits only —
+    and top-k is TakeOrderedAndProject."""
+    terms = list(query_terms)
+    b_toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")) \
+        .filter(F.col("term") != "")
+    a_toks = anchors.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(anchor_col)), r"\s+")).alias("term")) \
+        .filter(F.col("term") != "")
+    dl = b_toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    al = a_toks.groupBy("doc_id").agg(F.count("*").alias("al"))
+    corpus = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    a_corpus = al.agg(F.avg("al").alias("avgal"))
+    tf_b = (b_toks.filter(F.col("term").isin(terms))
+            .groupBy("doc_id", "term").agg(F.count("*").alias("tf_b")))
+    tf_a = (a_toks.filter(F.col("term").isin(terms))
+            .groupBy("doc_id", "term").agg(F.count("*").alias("tf_a")))
+    hits = tf_b.join(tf_a, ["doc_id", "term"], "full_outer")
+    df_ = hits.groupBy("term").agg(F.count("*").alias("df"))
+    comp = (hits
+            .join(F.broadcast(df_), "term")
+            .join(dl, "doc_id", "left")
+            .join(al, "doc_id", "left")
+            .crossJoin(F.broadcast(corpus))
+            .crossJoin(F.broadcast(a_corpus)))
+    tfb_n = (F.coalesce(F.col("tf_b"), F.lit(0))
+             / (1 - b_body + b_body * F.coalesce(F.col("dl"), F.lit(0))
+                / F.col("avgdl")))
+    tfa_n = F.when(
+        F.col("al").isNotNull(),
+        F.coalesce(F.col("tf_a"), F.lit(0))
+        / (1 - b_anchor + b_anchor * F.col("al") / F.col("avgal"))) \
+        .otherwise(F.lit(0.0))
+    tff = w_body * tfb_n + w_anchor * tfa_n
+    comp = comp.withColumn(
+        "c",
+        F.round(F.log(F.lit(1.0)
+                      + (F.col("n_docs") - F.col("df") + 0.5)
+                      / (F.col("df") + 0.5))
+                * tff / (F.lit(k1) + tff), 9))
+    scored = comp.groupBy("doc_id").agg(
+        F.count("*").alias("n_hits"),
+        F.round(F.sum("c"), 9).alias("score"))
+    top = (scored.orderBy(F.desc("score"), "doc_id").limit(top_k)
+           .select("doc_id", "n_hits", "score"))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def train_quality_classifier(labeled: DataFrame, label_col: str = "label",

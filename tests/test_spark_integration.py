@@ -3702,6 +3702,46 @@ def test_best_snippet_hand_corpus(spark):
     assert out[4] == (10, 2, 2, "q2 q1")
 
 
+def test_bm25f_hand_corpus(spark):
+    """BM25F against an independent Python replay: anchor-only docs
+    rank, field tfs normalize by their own lengths and saturate ONCE
+    after the weighted sum (not per field), idf uses field-union df."""
+    import math
+
+    from fortissimo_spark.textstats import bm25f_search
+    docs = spark.createDataFrame(
+        [(1, "spark x"), (2, "y z"), (3, "spark spark w q")],
+        "doc_id long, text string")
+    anchors = spark.createDataFrame(
+        [(2, "spark spark guide"), (2, "spark"), (1, "other words")],
+        "doc_id long, anchor string")
+    got = {r.doc_id: (r.n_hits, r.score, r.rank)
+           for r in bm25f_search(docs, anchors, ["spark"],
+                                 top_k=10).collect()}
+    # replay: dl = {1:2, 2:2, 3:4}, avgdl = 8/3; al = {1:2, 2:4},
+    # avgal = 3; tf_b = {1:1, 3:2}; tf_a = {2:3}; df(spark) = 3, N = 3
+    avgdl, avgal = 8 / 3, 3.0
+    idf = math.log(1 + (3 - 3 + 0.5) / (3 + 0.5))
+
+    def tff(tb, dl, ta, al):
+        v = tb / (1 - 0.75 + 0.75 * dl / avgdl)
+        if al is not None:
+            v += 2.0 * ta / (1 - 0.5 + 0.5 * al / avgal)
+        return v
+
+    def score(tb, dl, ta, al):
+        t = tff(tb, dl, ta, al)
+        return round(round(idf * t / (1.2 + t), 9), 9)
+
+    exp = {1: score(1, 2, 0, 2), 2: score(0, 2, 3, 4),
+           3: score(2, 4, 0, None)}
+    order = sorted(exp, key=lambda k: (-exp[k], k))
+    for doc in (1, 2, 3):
+        assert got[doc][1] == exp[doc], (doc, got[doc], exp[doc])
+        assert got[doc][2] == order.index(doc) + 1
+    assert got[2][0] == 1          # anchor-only hit still counts
+
+
 def test_link_reciprocity_hand_graph(spark):
     """a<->b mutual, a->c one-way, d isolated: reciprocal counts and
     ratios by hand; duplicate and self-loop edges must not distort the
