@@ -34,7 +34,7 @@ from .parser import parse
 
 __all__ = ["extract_outlinks", "resolve_href", "link_degrees", "pagerank",
            "trustrank", "hits", "anchor_text_index", "host_graph",
-           "label_propagation", "link_reciprocity",
+           "label_propagation", "link_reciprocity", "k_core",
            "harmonic_centrality", "hyperball_harmonic", "hyperball_alpha"]
 
 
@@ -357,6 +357,54 @@ def link_reciprocity(edges: DataFrame, nodes: DataFrame,
                                               F.lit(0))
                                    / F.col("out_deg"), 6))
                     .alias("reciprocity")))
+
+
+def k_core(edges: DataFrame, nodes: DataFrame, k: int, *,
+           src_col: str = "src", dst_col: str = "dst",
+           max_rounds: int = 50, checkpoint: bool = True) -> DataFrame:
+    """(id, in_core) — membership in the k-core of the UNDIRECTED
+    distinct graph: the maximal subgraph where every node keeps degree
+    >= k after everyone below is (repeatedly) peeled away. Web-graph
+    use: the dense cores separate genuinely well-embedded hosts from
+    pages whose degree comes from pendant link dust; spam farms often
+    survive high k only among themselves, which makes core membership a
+    cheap companion feature to TrustRank.
+
+    Deterministic synchronous peeling: each round recomputes degrees
+    within the surviving set and drops every node under k at once —
+    the fixpoint is the k-core regardless of peel order (standard
+    result), so two engines replay it exactly round by round. Rounds
+    needed = longest peel cascade (short in practice); raises if
+    ``max_rounds`` is hit before the fixpoint. Per round: ONE
+    partial-agg degree count + a semi-join of edges against survivors;
+    state is (id) rows only, lineage cut per round, convergence read
+    from the same action that materializes the round."""
+    e0 = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")) \
+        .filter(F.col("a") != F.col("b"))
+    und = (e0.unionByName(e0.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b")))
+           .distinct())
+    if checkpoint:
+        und = und.localCheckpoint(eager=False)
+    surv = nodes.select("id")
+    n_prev = surv.count()
+    for _ in range(max_rounds):
+        alive = (und.join(surv.withColumnRenamed("id", "a"), "a", "left_semi")
+                 .join(surv.withColumnRenamed("id", "b"), "b", "left_semi"))
+        deg = alive.groupBy(F.col("a").alias("id")) \
+            .agg(F.count("*").alias("_d"))
+        surv = deg.filter(F.col("_d") >= k).select("id")
+        if checkpoint:
+            surv = surv.localCheckpoint(eager=False)
+        n = surv.count()
+        if n == n_prev:
+            break
+        n_prev = n
+    else:
+        raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
+    return (nodes.join(surv.withColumn("_in", F.lit(True)), "id", "left")
+            .select("id", F.coalesce(F.col("_in"), F.lit(False))
+                    .alias("in_core")))
 
 
 def label_propagation(edges: DataFrame, nodes: DataFrame, *,

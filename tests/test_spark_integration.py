@@ -3702,6 +3702,27 @@ def test_best_snippet_hand_corpus(spark):
     assert out[4] == (10, 2, 2, "q2 q1")
 
 
+def test_k_core_hand_graph(spark):
+    """Peeling cascade by hand: a triangle with a 3-node pendant chain
+    — the 2-core peels the chain one node per round and keeps exactly
+    the triangle; the 4-core of the same graph is empty; an isolated
+    node never survives k=1."""
+    from fortissimo_spark.graph import k_core
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0),          # triangle
+         (2, 3), (3, 4), (4, 5),          # pendant chain
+         (1, 0)],                          # reverse dup must not inflate
+        "src long, dst long")
+    core2 = {r.id: r.in_core for r in k_core(edges, nodes, 2).collect()}
+    assert core2 == {0: True, 1: True, 2: True, 3: False, 4: False,
+                     5: False, 6: False}
+    core4 = {r.id for r in k_core(edges, nodes, 4).collect() if r.in_core}
+    assert core4 == set()
+    core1 = {r.id: r.in_core for r in k_core(edges, nodes, 1).collect()}
+    assert core1[5] is True and core1[6] is False   # isolated node out
+
+
 def test_bm25f_hand_corpus(spark):
     """BM25F against an independent Python replay: anchor-only docs
     rank, field tfs normalize by their own lengths and saturate ONCE
