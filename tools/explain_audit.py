@@ -560,6 +560,59 @@ def main():
         ("no shuffle (pure map over pages)", "Exchange" not in p),
     ]))
 
+    # 32. bm25f: both field filters pre-agg, scalars/dfs broadcast,
+    #     top-k via ordered limit, no Python
+    from fortissimo_spark.textstats import bm25f_search
+    anch = docs_tbl.select("doc_id",
+                           F.lit("spark merge guide").alias("anchor"))
+    p = plan_of(bm25f_search(docs_tbl, anch, ["spark", "merge", "window"],
+                             top_k=15))
+    sections.append(("bm25f_search (fielded retrieval)", p, [
+        ("query-term IN filters present pre-agg (both fields)",
+         p.count(" IN ") >= 2),
+        ("corpus scalars + per-term dfs broadcast",
+         len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 1
+         and "BroadcastExchange" in p),
+        ("top-k is TakeOrderedAndProject", "TakeOrderedAndProject" in p),
+        ("no per-row Python execution stage",
+         all(m not in p for m in ("BatchEvalPython", "ArrowEvalPython",
+                                  "MapInPandas", "FlatMapGroupsInPandas"))),
+    ]))
+
+    # 33. link_reciprocity: reversed-key EQUI join (semi), partial-agg
+    #     degree counts, no nested-loop
+    from fortissimo_spark.graph import link_reciprocity
+    lr_edges = docs_tbl.select((F.col("doc_id") % 16).alias("src"),
+                               ((F.col("doc_id") * 7 + 1) % 16).alias("dst"))
+    lr_nodes = spark.range(16).select("id")
+    p = plan_of(link_reciprocity(lr_edges, lr_nodes))
+    sections.append(("link_reciprocity (mutual-link stats)", p, [
+        ("reverse-edge check is a semi join", "LeftSemi" in p),
+        ("no nested-loop/cartesian join",
+         "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
+        ("degree counts hash-aggregate", "HashAggregate" in p),
+        ("no per-row Python execution stage",
+         all(m not in p for m in ("BatchEvalPython", "ArrowEvalPython",
+                                  "MapInPandas", "FlatMapGroupsInPandas"))),
+    ]))
+
+    # 34. sections + template kernels: one Arrow kernel, no shuffle
+    from fortissimo_spark.kernel import extract_sections, template_fingerprints
+    sec_pages = docs_tbl.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(F.concat(F.lit("<body><h1>t</h1><p>"), F.col("text"),
+                          F.lit("</p></body>")), "UTF-8").alias("html"))
+    for title, frame in (("extract_sections (outline kernel)",
+                          extract_sections(sec_pages)),
+                         ("template_fingerprints (structural hash kernel)",
+                          template_fingerprints(sec_pages))):
+        p = plan_of(frame)
+        sections.append((title, p, [
+            ("exactly one Arrow kernel invocation",
+             len(re.findall(r"\(\d+\) MapInPandas", p)) == 1),
+            ("no shuffle (pure map over pages)", "Exchange" not in p),
+        ]))
+
     checks_failed = 0
     with open(OUT, "w") as f:
         for title, plan, checks in sections:
