@@ -30,7 +30,8 @@ from pyspark.sql import Column, functions as F
 
 __all__ = ["normalize_url", "TRACKING_PARAM_PREFIXES", "url_host",
            "host_suffixes", "filter_blocked_hosts", "cap_per_host",
-           "mine_dust_rules", "apply_dust_rules"]
+           "mine_dust_rules", "apply_dust_rules",
+           "allocate_crawl_budget"]
 
 
 def _purl(col: Column, part: str) -> Column:
@@ -284,3 +285,64 @@ def apply_dust_rules(pages, rules, url_col: str = "url",
         .otherwise(col)
     return joined.withColumn(out_col, F.coalesce(new, col)) \
         .drop("_rh", "_drop")
+
+
+def allocate_crawl_budget(scores, total_budget: int,
+                          id_col: str = "id", weight_col: str = "weight",
+                          num_partitions: int | None = None):
+    """(id, weight, slots) — apportion ``total_budget`` fetch slots
+    across hosts proportional to a score column (PageRank, harmonic,
+    quality) by Hamilton's largest-remainder method: slots_i =
+    floor(B * w_i / W) plus one extra for the hosts with the largest
+    fractional remainders (ties -> smaller id), so sum(slots) ==
+    total_budget EXACTLY and the allocation is deterministic across
+    engines and partitionings. Zero/negative/NULL weights get 0 slots.
+
+    Scale shape — the only subtle step is ranking remainders without a
+    global single-task window: rows range-partition by
+    (-remainder, id) so the sort is parallel, per-partition counts
+    prefix-sum on the driver (#partitions numbers, the pack_shards
+    recipe), and each row's global rank is its partition offset + a
+    per-partition row_number. The weight total is one 1-row agg."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = scores.select(F.col(id_col).alias("id"),
+                      F.coalesce(F.col(weight_col).cast("double"),
+                                 F.lit(0.0)).alias("weight"))
+    d = d.withColumn("w", F.when(F.col("weight") > 0, F.col("weight"))
+                     .otherwise(F.lit(0.0)))
+    total = d.agg(F.sum("w").alias("tw")).collect()[0]["tw"] or 0.0
+    if total <= 0 or total_budget <= 0:
+        return d.select("id", "weight",
+                        F.lit(0).cast("long").alias("slots"))
+    raw = F.col("w") * float(total_budget) / float(total)
+    base = d.withColumn("base", F.floor(raw).cast("long")) \
+        .withColumn("rem", raw - F.floor(raw))
+    base_sum = base.agg(F.sum("base").alias("s")).collect()[0]["s"] or 0
+    leftover = int(total_budget - base_sum)
+    if leftover <= 0:
+        return base.select("id", "weight", F.col("base").alias("slots"))
+    ranked = base.withColumn("_key", -F.col("rem"))
+    if num_partitions:
+        ranked = ranked.repartitionByRange(num_partitions, "_key", "id")
+    else:
+        ranked = ranked.repartitionByRange("_key", "id")
+    ranked = ranked.withColumn("_pid", F.spark_partition_id())
+    ranked = ranked.localCheckpoint(eager=True)  # pin the range layout
+    partials = (ranked.groupBy("_pid").agg(F.count("*").alias("c"))
+                .orderBy("_pid").collect())
+    offsets, run = {}, 0
+    for r in partials:
+        offsets[r["_pid"]] = run
+        run += r["c"]
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_pid")) if offsets else F.lit(0)
+    w_rank = Window.partitionBy("_pid").orderBy("_key", "id")
+    rank = F.row_number().over(w_rank) + off
+    return (ranked.withColumn("_rank", rank)
+            .select("id", "weight",
+                    (F.col("base")
+                     + F.when(F.col("_rank") <= leftover, 1)
+                     .otherwise(0)).cast("long").alias("slots")))

@@ -3702,6 +3702,28 @@ def test_best_snippet_hand_corpus(spark):
     assert out[4] == (10, 2, 2, "q2 q1")
 
 
+def test_allocate_crawl_budget(spark):
+    """Hamilton apportionment by hand: floors + largest remainders sum
+    exactly to the budget, remainder ties fall to the smaller id,
+    zero/NULL weights get nothing, and a zero budget allocates zero."""
+    from fortissimo_spark.urls import allocate_crawl_budget
+    w = spark.createDataFrame(
+        [("a", 5.0), ("b", 3.0), ("c", 2.0), ("z", 0.0), ("n", None)],
+        "id string, weight double")
+    got = {r.id: r.slots
+           for r in allocate_crawl_budget(w, 7).collect()}
+    # shares 3.5 / 2.1 / 1.4 -> bases 3/2/1, leftover 1 -> largest
+    # remainder (.5) wins
+    assert got == {"a": 4, "b": 2, "c": 1, "z": 0, "n": 0}
+    assert sum(got.values()) == 7
+    tie = {r.id: r.slots for r in allocate_crawl_budget(
+        spark.createDataFrame([("x", 1.0), ("y", 1.0)],
+                              "id string, weight double"), 3).collect()}
+    assert tie == {"x": 2, "y": 1}       # .5/.5 tie -> smaller id
+    zero = {r.id: r.slots for r in allocate_crawl_budget(w, 0).collect()}
+    assert set(zero.values()) == {0}
+
+
 def test_k_core_hand_graph(spark):
     """Peeling cascade by hand: a triangle with a 3-node pendant chain
     — the 2-core peels the chain one node per round and keeps exactly
