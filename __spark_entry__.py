@@ -1852,6 +1852,51 @@ def _host_reciprocity_oracle_sql() -> str:
         LEFT JOIN recip r ON r.id = h.hi"""
 
 
+def _q_host_assortativity(spark, sf_dir):
+    """Degree-assortativity summary over the shared host graph (same
+    edge fixture as host_rank): Pearson r of (src out-degree, dst
+    in-degree) across distinct edges — exact integer sums, one final
+    double expression. DuckDB replays it bit-for-bit."""
+    from fortissimo_spark.graph import degree_assortativity, host_graph
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges_urls, _ = _host_edge_urls(docs, n)
+    hg = host_graph(edges_urls)
+    return degree_assortativity(hg, "src_host", "dst_host")
+
+
+_ASSORT_ORACLE = """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    raw AS (
+      SELECT CAST(doc_id % 16 AS BIGINT) AS src,
+             CAST(((doc_id * 31 + 7) % (SELECT n FROM nn)) % 16
+                  AS BIGINT) AS dst FROM documents
+      UNION ALL
+      SELECT doc_id % 16, ((doc_id * 17 + 3) % (SELECT n FROM nn)) % 16
+      FROM documents
+      UNION ALL
+      SELECT doc_id % 16, ((doc_id * 97 + 11) % (SELECT n FROM nn)) % 16
+      FROM documents),
+    e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    outd AS (SELECT src, count(*) AS x FROM e GROUP BY src),
+    ind AS (SELECT dst, count(*) AS y FROM e GROUP BY dst),
+    s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx,
+                 sum(y * y) AS syy
+          FROM e JOIN outd USING (src) JOIN ind USING (dst))
+    SELECT n AS n_edges,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                 AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+                THEN round((CAST(n AS DOUBLE) * sxy
+                            - CAST(sx AS DOUBLE) * sy)
+                           / sqrt((CAST(n AS DOUBLE) * sxx
+                                   - CAST(sx AS DOUBLE) * sx)
+                                  * (CAST(n AS DOUBLE) * syy
+                                     - CAST(sy AS DOUBLE) * sy)), 9)
+                END AS r
+    FROM s"""
+
+
 def _q_crawl_budget(spark, sf_dir):
     """Hamilton largest-remainder crawl-budget apportionment: 1000
     fetch slots across the 16 hosts proportional to a doc-derived
@@ -3092,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_search": _q_bm25f_search,
         "host_kcore": _q_host_kcore,
         "crawl_budget": _q_crawl_budget,
+        "host_assortativity": _q_host_assortativity,
         # (a) past r5's snapshot cap — last driver row r4, judge-green r5
         "fingerprint": _q_fingerprint,
         "quality_score": _q_quality,
@@ -4862,6 +4908,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25f_search": _bm25f_oracle_sql(),
         "host_kcore": _host_kcore_oracle_sql(),
         "crawl_budget": _CRAWL_BUDGET_ORACLE,
+        "host_assortativity": _ASSORT_ORACLE,
         "index_compaction": _INVERTED_INDEX_ORACLE,
         "host_harmonic": _host_harmonic_oracle_sql(),
         "host_harmonic_hb": _host_harmonic_hb_oracle_sql(),

@@ -35,6 +35,7 @@ from .parser import parse
 __all__ = ["extract_outlinks", "resolve_href", "link_degrees", "pagerank",
            "trustrank", "hits", "anchor_text_index", "host_graph",
            "label_propagation", "link_reciprocity", "k_core",
+           "degree_assortativity",
            "harmonic_centrality", "hyperball_harmonic", "hyperball_alpha"]
 
 
@@ -357,6 +358,51 @@ def link_reciprocity(edges: DataFrame, nodes: DataFrame,
                                               F.lit(0))
                                    / F.col("out_deg"), 6))
                     .alias("reciprocity")))
+
+
+def degree_assortativity(edges: DataFrame, src_col: str = "src",
+                         dst_col: str = "dst") -> DataFrame:
+    """One-row degree-assortativity summary over the distinct directed
+    edge set: Pearson correlation of (out-degree of source, in-degree
+    of target) across edges — positive on social-style graphs (hubs
+    link hubs), negative on the web's hub-and-spoke structure; a shift
+    toward 0/positive in a crawl snapshot is a link-farm smell (farms
+    wire mid-degree nodes to each other). Returns (n_edges, r).
+
+    Every AGGREGATE is an exact integer sum (degrees are counts, and
+    integer sums are order-free), so the only float math is the ONE
+    final fixed-shape expression — its operands cast to double first
+    (n*sxy-style integer products would overflow 2^63 on a 10^10-edge
+    graph and ANSI mode throws) — which is bit-identical across
+    engines and partitionings with no rounding grid beyond the output
+    9 dp. NULL r when a variance is zero (regular graphs). Shape: two
+    partial-agg degree counts, two joins back onto the edge list, one
+    scalar agg."""
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")).distinct() \
+        .filter(F.col("src") != F.col("dst"))
+    out_d = e.groupBy(F.col("src").alias("_s")) \
+        .agg(F.count("*").alias("x"))
+    in_d = e.groupBy(F.col("dst").alias("_t")) \
+        .agg(F.count("*").alias("y"))
+    j = (e.join(out_d, e["src"] == out_d["_s"])
+         .join(in_d, e["dst"] == in_d["_t"]))
+    s = j.agg(F.count("*").alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return s.select(
+        F.col("n").alias("n_edges"),
+        F.when((vx > 0) & (vy > 0),
+               F.round(num / F.sqrt(vx * vy), 9)).alias("r"))
 
 
 def k_core(edges: DataFrame, nodes: DataFrame, k: int, *,

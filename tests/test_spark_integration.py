@@ -3702,6 +3702,34 @@ def test_best_snippet_hand_corpus(spark):
     assert out[4] == (10, 2, 2, "q2 q1")
 
 
+def test_degree_assortativity_hand_graph(spark):
+    """Pearson replay on a hand star-plus-chain: hub a->b,c,d plus
+    b->c gives per-edge (out-deg src, in-deg dst) pairs computable by
+    hand; a regular cycle has zero variance -> NULL r; duplicate and
+    self-loop edges are ignored."""
+    import math
+
+    from fortissimo_spark.graph import degree_assortativity
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+         ("a", "b"), ("c", "c")],
+        "src string, dst string")
+    r = degree_assortativity(edges).collect()[0]
+    # edges: (3,1) (3,2) (3,1) (1,2)  [x=out(src), y=in(dst)]
+    xs, ys = [3, 3, 3, 1], [1, 2, 1, 2]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+    exp = round((n * sxy - sx * sy)
+                / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+    assert (r.n_edges, r.r) == (4, exp)
+    cyc = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")],
+                                "src string, dst string")
+    rc = degree_assortativity(cyc).collect()[0]
+    assert (rc.n_edges, rc.r) == (3, None)
+
+
 def test_allocate_crawl_budget(spark):
     """Hamilton apportionment by hand: floors + largest remainders sum
     exactly to the budget, remainder ties fall to the smaller id,
