@@ -1852,6 +1852,58 @@ def _host_reciprocity_oracle_sql() -> str:
         LEFT JOIN recip r ON r.id = h.hi"""
 
 
+def _q_microdata(spark, sf_dir):
+    """schema.org microdata extraction (the itemscope/itemprop channel
+    next to JSON-LD): every doc plants a Product item with name/sku
+    props; docs with doc_id % 3 == 1 nest an Offer item (emitted as a
+    #item reference plus its own price row). DuckDB recomputes every
+    property row from doc_id arithmetic."""
+    from fortissimo_spark.kernel import extract_microdata
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    offer = F.when(d % 3 == 1, F.concat(
+        F.lit('<div itemprop="offers" itemscope '
+              'itemtype="https://schema.org/Offer">'
+              '<span itemprop="price">'), s(d % 50),
+        F.lit(".99</span></div>"))).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><body><div itemscope '
+              'itemtype="https://schema.org/Product">'
+              '<span itemprop="name">Item '), s(d % 1000),
+        F.lit('</span><meta itemprop="sku" content="S'), s(d % 97),
+        F.lit('">'), offer, F.lit("</div></body></html>"))
+    pages = docs.select(s(d).alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    return extract_microdata(pages)
+
+
+_MICRODATA_ORACLE = """
+    WITH base AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS url
+                  FROM documents),
+    rows_all AS (
+      SELECT url, 0 AS item_idx, 'https://schema.org/Product' AS t,
+             'name' AS prop,
+             'Item ' || CAST(doc_id % 1000 AS VARCHAR) AS value,
+             FALSE AS ref
+      FROM base JOIN documents USING (doc_id)
+      UNION ALL
+      SELECT url, 0, 'https://schema.org/Product', 'sku',
+             'S' || CAST(doc_id % 97 AS VARCHAR), FALSE
+      FROM base JOIN documents USING (doc_id)
+      UNION ALL
+      SELECT url, 0, 'https://schema.org/Product', 'offers',
+             '#item1', TRUE
+      FROM base JOIN documents USING (doc_id) WHERE doc_id % 3 = 1
+      UNION ALL
+      SELECT url, 1, 'https://schema.org/Offer', 'price',
+             CAST(doc_id % 50 AS VARCHAR) || '.99', FALSE
+      FROM base JOIN documents USING (doc_id) WHERE doc_id % 3 = 1)
+    SELECT url, CAST(item_idx AS INTEGER) AS item_idx,
+           t AS item_type, prop, value, ref AS is_item_ref
+    FROM rows_all"""
+
+
 def _q_host_assortativity(spark, sf_dir):
     """Degree-assortativity summary over the shared host graph (same
     edge fixture as host_rank): Pearson r of (src out-degree, dst
@@ -3098,13 +3150,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST ~50 registry keys (r3 evidence: 56 registered, exactly the
     # first 50 recorded; r2: 49/49; r4: 66 registered, first 50 recorded).
     # Keys are therefore ordered least-recently-driver-verified-first:
-    # (a0) the 19 queries born in the FINAL round-6 session (never in
+    # (a0) the 20 queries born in the FINAL round-6 session (never in
     # any driver snapshot): host_boilerplate, host_communities,
     # search_snippets, extract_tables, dust_rules, kn_perplexity,
     # importance_resample, extract_sections, image_dhash,
     # wet_roundtrip, zipf_stats, audio_fingerprint, fuzzy_para_dedup,
     # template_census, host_reciprocity, bm25f_search, host_kcore,
-    # crawl_budget, host_assortativity,
+    # crawl_budget, host_assortativity, microdata,
     # (a) the 22 keys past r5's 50-key cap (last driver-green r4; the
     # judge re-ran all 22 green in the r5 verdict) rotate back in,
     # (b) queries NEW IN or implementation-touched in round 6
@@ -3138,6 +3190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_kcore": _q_host_kcore,
         "crawl_budget": _q_crawl_budget,
         "host_assortativity": _q_host_assortativity,
+        "microdata": _q_microdata,
         # (a) past r5's snapshot cap — last driver row r4, judge-green r5
         "fingerprint": _q_fingerprint,
         "quality_score": _q_quality,
@@ -4909,6 +4962,7 @@ def oracle_sql() -> dict[str, str]:
         "host_kcore": _host_kcore_oracle_sql(),
         "crawl_budget": _CRAWL_BUDGET_ORACLE,
         "host_assortativity": _ASSORT_ORACLE,
+        "microdata": _MICRODATA_ORACLE,
         "index_compaction": _INVERTED_INDEX_ORACLE,
         "host_harmonic": _host_harmonic_oracle_sql(),
         "host_harmonic_hb": _host_harmonic_hb_oracle_sql(),

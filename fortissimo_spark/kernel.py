@@ -712,6 +712,113 @@ def template_fingerprints(pages) -> "DataFrame":
             .mapInPandas(make_template_kernel(), schema))
 
 
+_MICRODATA_URL_TAGS = {"a": "href", "link": "href", "area": "href",
+                       "img": "src", "audio": "src", "video": "src",
+                       "source": "src", "iframe": "src", "embed": "src"}
+
+
+def _microdata_from_dom(b) -> list[tuple]:
+    """schema.org MICRODATA rows from one parsed DOM — the second
+    structured-data channel next to JSON-LD (structured_data):
+    (item_idx, item_type, prop, value, is_item_ref). Items are
+    elements with ``itemscope`` in document order; each ``itemprop``
+    element attaches to its NEAREST itemscope ancestor; per the HTML
+    microdata spec the value is the ``content`` attribute for meta,
+    the url attribute for a/link/img/..., ``datetime`` for time, a
+    nested item reference '#itemN' when the prop element itself opens
+    an itemscope, else whitespace-collapsed textContent. Items with no
+    props still emit one (prop NULL) row so type censuses see them;
+    itemprops outside any itemscope are dropped (spec: no item)."""
+    nodes = b.nodes
+    items: list[int] = []
+    item_of: dict[int, int] = {}
+    rows: list[tuple] = []
+    for i in range(1, len(nodes)):
+        nd = nodes[i]
+        if nd[N_KIND] != ELEMENT:
+            continue
+        at = _attrs_ci(b, i)
+        if "itemscope" in at:
+            item_of[i] = len(items)
+            items.append(i)
+    has_prop = set()
+    for i in range(1, len(nodes)):
+        nd = nodes[i]
+        if nd[N_KIND] != ELEMENT:
+            continue
+        at = _attrs_ci(b, i)
+        prop = at.get("itemprop")
+        if prop is None:
+            continue
+        p = nd[N_PARENT]
+        owner = None
+        while p >= 0:
+            if p in item_of:
+                owner = item_of[p]
+                break
+            p = nodes[p][N_PARENT]
+        if owner is None:
+            continue
+        tag = nd[N_TAG_LC]
+        if i in item_of:
+            value, ref = f"#item{item_of[i]}", True
+        elif tag == "meta":
+            value, ref = at.get("content", ""), False
+        elif tag == "time" and "datetime" in at:
+            value, ref = at["datetime"], False
+        elif tag in _MICRODATA_URL_TAGS:
+            value, ref = at.get(_MICRODATA_URL_TAGS[tag], ""), False
+        else:
+            value, ref = " ".join(b.text_content(i).split()), False
+        otype = _attrs_ci(b, items[owner]).get("itemtype")
+        rows.append((owner, otype, prop.strip(), value, ref))
+        has_prop.add(owner)
+    for idx, node in enumerate(items):
+        if idx not in has_prop:
+            rows.append((idx, _attrs_ci(b, node).get("itemtype"),
+                         None, None, False))
+    rows.sort(key=lambda r: (r[0], r[2] or "", r[3] or ""))
+    return rows
+
+
+def extract_microdata(pages) -> "DataFrame":
+    """(url, item_idx, item_type, prop, value, is_item_ref) for every
+    microdata property on every page — the itemscope/itemprop channel
+    of structured-data extraction, through the same forgiving parse.
+    Pure map over pages, no shuffle."""
+    from pyspark.sql.types import (BooleanType, IntegerType, StringType,
+                                   StructField, StructType)
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("item_idx", IntegerType()),
+        StructField("item_type", StringType()),
+        StructField("prop", StringType()),
+        StructField("value", StringType()),
+        StructField("is_item_ref", BooleanType()),
+    ])
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("url", "item_idx", "item_type", "prop", "value",
+                "is_item_ref")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in cols}
+            for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+                text_src, _, _ = decode_page_bytes(bytes(raw or b""))
+                bb = parse(text_src, positions=False).dom
+                for rec in _microdata_from_dom(bb):
+                    rows["url"].append(url)
+                    for k, v in zip(cols[1:], rec):
+                        rows[k].append(v)
+            out = pd.DataFrame(rows, columns=cols)
+            out["item_idx"] = out["item_idx"].astype("Int32")
+            yield out
+
+    return (pages.select("url", "html")
+            .mapInPandas(kernel, schema))
+
+
 def make_robots_kernel():
     """mapInPandas kernel: pages batches -> per-document crawl-compliance
     flags — ``<meta name="robots"|"googlebot" content="...">`` directives

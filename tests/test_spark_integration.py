@@ -3702,6 +3702,43 @@ def test_best_snippet_hand_corpus(spark):
     assert out[4] == (10, 2, 2, "q2 q1")
 
 
+def test_extract_microdata_hand_pages(spark):
+    """Microdata value rules pinned: textContent through inline markup,
+    meta content, img src, time datetime, nested item as #item ref plus
+    its own rows, propless items emit a NULL-prop census row, strays
+    outside any itemscope drop."""
+    from fortissimo_spark.kernel import extract_microdata
+    html = ("""<html><body>
+      <div itemscope itemtype="https://schema.org/Product">
+        <span itemprop="name">Widget <b>Pro</b></span>
+        <meta itemprop="sku" content="SKU-42">
+        <img itemprop="image" src="/w.png">
+        <time itemprop="released" datetime="2024-03-01">March</time>
+        <div itemprop="offers" itemscope
+             itemtype="https://schema.org/Offer">
+          <span itemprop="price">19.99</span>
+        </div>
+      </div>
+      <div itemscope itemtype="https://schema.org/Thing"></div>
+      <span itemprop="stray">ignored</span>
+      </body></html>""").encode()
+    pages = spark.createDataFrame([("u1", bytearray(html))],
+                                  "url string, html binary")
+    got = sorted((r.item_idx, r.prop, r.value, r.is_item_ref,
+                  r.item_type)
+                 for r in extract_microdata(pages).collect())
+    assert got == [
+        (0, "image", "/w.png", False, "https://schema.org/Product"),
+        (0, "name", "Widget Pro", False, "https://schema.org/Product"),
+        (0, "offers", "#item1", True, "https://schema.org/Product"),
+        (0, "released", "2024-03-01", False,
+         "https://schema.org/Product"),
+        (0, "sku", "SKU-42", False, "https://schema.org/Product"),
+        (1, "price", "19.99", False, "https://schema.org/Offer"),
+        (2, None, None, False, "https://schema.org/Thing"),
+    ]
+
+
 def test_degree_assortativity_hand_graph(spark):
     """Pearson replay on a hand star-plus-chain: hub a->b,c,d plus
     b->c gives per-edge (out-deg src, in-deg dst) pairs computable by
