@@ -781,6 +781,124 @@ def _microdata_from_dom(b) -> list[tuple]:
     return rows
 
 
+def _rdfa_from_dom(b) -> list[tuple]:
+    """RDFa-LITE rows from one parsed DOM — the third structured-data
+    channel (JSON-LD, microdata, RDFa): (res_idx, res_type, prop,
+    value, is_res_ref). Resources are elements with ``typeof`` in
+    document order, their type resolved against the nearest ``vocab``
+    ancestor-or-self (vocab || typeof for terms without a colon/scheme;
+    prefixed or absolute typeof kept verbatim); each ``property``
+    element attaches to its nearest typeof ancestor with the microdata
+    value rules (content attr > url attr > datetime > collapsed
+    textContent), nested resources referenced as '#resN'. Propless
+    resources emit a census row; properties outside any resource drop
+    (document-level properties are out of the lite profile's common
+    crawl use)."""
+    nodes = b.nodes
+    items: list[int] = []
+    item_of: dict[int, int] = {}
+    for i in range(1, len(nodes)):
+        nd = nodes[i]
+        if nd[N_KIND] == ELEMENT and "typeof" in _attrs_ci(b, i):
+            item_of[i] = len(items)
+            items.append(i)
+
+    def vocab_for(node: int) -> str:
+        p = node
+        while p >= 0:
+            nd = nodes[p]
+            if nd[N_KIND] == ELEMENT:
+                v = _attrs_ci(b, p).get("vocab")
+                if v is not None:
+                    return v.strip()
+            p = nd[N_PARENT]
+        return ""
+
+    def type_of(node: int):
+        t = _attrs_ci(b, node).get("typeof", "").strip()
+        if not t:
+            return None
+        if ":" in t or t.startswith("http"):
+            return t
+        return vocab_for(node) + t
+
+    rows: list[tuple] = []
+    has_prop = set()
+    for i in range(1, len(nodes)):
+        nd = nodes[i]
+        if nd[N_KIND] != ELEMENT:
+            continue
+        at = _attrs_ci(b, i)
+        prop = at.get("property")
+        if prop is None:
+            continue
+        p = nd[N_PARENT]
+        owner = None
+        while p >= 0:
+            if p in item_of:
+                owner = item_of[p]
+                break
+            p = nodes[p][N_PARENT]
+        if owner is None:
+            continue
+        tag = nd[N_TAG_LC]
+        if i in item_of:
+            value, ref = f"#res{item_of[i]}", True
+        elif "content" in at:
+            value, ref = at["content"], False
+        elif tag == "time" and "datetime" in at:
+            value, ref = at["datetime"], False
+        elif tag in _MICRODATA_URL_TAGS:
+            value, ref = at.get(_MICRODATA_URL_TAGS[tag], ""), False
+        else:
+            value, ref = " ".join(b.text_content(i).split()), False
+        rows.append((owner, type_of(items[owner]), prop.strip(),
+                     value, ref))
+        has_prop.add(owner)
+    for idx, node in enumerate(items):
+        if idx not in has_prop:
+            rows.append((idx, type_of(node), None, None, False))
+    rows.sort(key=lambda r: (r[0], r[2] or "", r[3] or ""))
+    return rows
+
+
+def extract_rdfa(pages) -> "DataFrame":
+    """(url, res_idx, res_type, prop, value, is_res_ref) for every
+    RDFa-lite property on every page — same contract shape as
+    extract_microdata. Pure map over pages, no shuffle."""
+    from pyspark.sql.types import (BooleanType, IntegerType, StringType,
+                                   StructField, StructType)
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("res_idx", IntegerType()),
+        StructField("res_type", StringType()),
+        StructField("prop", StringType()),
+        StructField("value", StringType()),
+        StructField("is_res_ref", BooleanType()),
+    ])
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("url", "res_idx", "res_type", "prop", "value",
+                "is_res_ref")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in cols}
+            for url, raw in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+                text_src, _, _ = decode_page_bytes(bytes(raw or b""))
+                bb = parse(text_src, positions=False).dom
+                for rec in _rdfa_from_dom(bb):
+                    rows["url"].append(url)
+                    for k, v in zip(cols[1:], rec):
+                        rows[k].append(v)
+            out = pd.DataFrame(rows, columns=cols)
+            out["res_idx"] = out["res_idx"].astype("Int32")
+            yield out
+
+    return (pages.select("url", "html")
+            .mapInPandas(kernel, schema))
+
+
 def extract_microdata(pages) -> "DataFrame":
     """(url, item_idx, item_type, prop, value, is_item_ref) for every
     microdata property on every page — the itemscope/itemprop channel

@@ -3702,6 +3702,41 @@ def test_best_snippet_hand_corpus(spark):
     assert out[4] == (10, 2, 2, "q2 q1")
 
 
+def test_extract_rdfa_hand_pages(spark):
+    """RDFa-lite rules pinned: vocab resolution for bare terms,
+    prefixed typeof kept verbatim, content/url/datetime/text value
+    precedence, nested resources as #res refs, strays outside any
+    typeof drop, propless resources emit a census row."""
+    from fortissimo_spark.kernel import extract_rdfa
+    html = ("""<html><body vocab="https://schema.org/">
+      <div typeof="Article">
+        <h1 property="headline">Big <em>News</em></h1>
+        <meta property="wordCount" content="420">
+        <a property="url" href="/a1">link</a>
+        <time property="datePublished" datetime="2024-03-01">Mar</time>
+        <div property="author" typeof="Person">
+          <span property="name">Ada</span>
+        </div>
+      </div>
+      <div typeof="sioc:Post"></div>
+      <span property="stray">ignored</span>
+      </body></html>""").encode()
+    pages = spark.createDataFrame([("u1", bytearray(html))],
+                                  "url string, html binary")
+    got = sorted((r.res_idx, r.prop, r.value, r.is_res_ref, r.res_type)
+                 for r in extract_rdfa(pages).collect())
+    assert got == [
+        (0, "author", "#res1", True, "https://schema.org/Article"),
+        (0, "datePublished", "2024-03-01", False,
+         "https://schema.org/Article"),
+        (0, "headline", "Big News", False, "https://schema.org/Article"),
+        (0, "url", "/a1", False, "https://schema.org/Article"),
+        (0, "wordCount", "420", False, "https://schema.org/Article"),
+        (1, "name", "Ada", False, "https://schema.org/Person"),
+        (2, None, None, False, "sioc:Post"),
+    ]
+
+
 def test_warc_write_read_roundtrip(spark, tmp_path):
     """WARC response sink + the existing reader: rows shard per
     partition into part-NNNNN.warc.gz, re-ingest through read_warcs
