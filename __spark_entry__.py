@@ -802,10 +802,13 @@ _ROBOTS_AGENT = "ccbot"
 # Spark side; exercises group selection, case folding, wildcard + $ rules,
 # allow-override longest-match, allow-wins ties, empty Disallow)
 _ROBOTS_BODIES = {
-    # allow-override of a full-tree disallow: only ids ending in 0 pass
+    # allow-override of a full-tree disallow: only ids ending in 0 pass;
+    # plus a QUERY-STRING rule (RFC 9309 matches path-and-query, so
+    # '?sessionid=' urls are disallowed even when the allow would win)
     "megaportal.example.com": ("User-agent: *\n"
                                "Disallow: /article/\n"
                                "Allow: /article/*0$\n"
+                               "Disallow: /*?sessionid=\n"
                                "Crawl-delay: 5\n"),
     # ccbot-specific group shadows a deny-all generic group
     "news.example.org": ("User-agent: ccbot\n"
@@ -849,7 +852,8 @@ def _robots_cc_rules() -> list[tuple[int, str, str, str, int]]:
     from fortissimo_spark.pages import HOSTS
     per_host = {
         "megaportal.example.com": [("disallow", "/article/"),
-                                   ("allow", "/article/*0$")],
+                                   ("allow", "/article/*0$"),
+                                   ("disallow", "/*?sessionid=")],
         "news.example.org": [("disallow", "/*7$")],   # ccbot group only
         "blog.example.net": [("disallow", "/article/00000001"),
                              ("allow", "/article/0000000150$")],
@@ -874,7 +878,9 @@ def _q_robots_apply(spark, sf_dir):
     rules + one window). Hosts here are doc_id % 16 (SQL-recomputable —
     unlike the skewed _mix hosts of build_pages) so DuckDB can replay
     the whole match/tie decision from `documents` + the rule literals
-    (pinned equal to the engine's parse by pytest)."""
+    (pinned equal to the engine's parse by pytest). doc_id % 7 == 3
+    urls carry a ?sessionid= query string, exercising the RFC's
+    path-AND-query matching against megaportal's query rule."""
     from fortissimo_spark.pages import HOSTS
     from fortissimo_spark.robots import apply_robots, parse_robots_txt
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -884,7 +890,11 @@ def _q_robots_apply(spark, sf_dir):
             F.lit("https://"),
             F.element_at(hosts_arr, (F.col("doc_id") % 16 + 1).cast("int")),
             F.lit("/article/"),
-            F.lpad(F.col("doc_id").cast("string"), 10, "0")))
+            F.lpad(F.col("doc_id").cast("string"), 10, "0"),
+            F.when(F.col("doc_id") % 7 == 3,
+                   F.concat(F.lit("?sessionid="),
+                            F.col("doc_id").cast("string")))
+            .otherwise(F.lit(""))))
     robots = spark.createDataFrame(list(_ROBOTS_BODIES.items()),
                                    "host string, body string")
     out = apply_robots(pages, parse_robots_txt(robots), _ROBOTS_AGENT)
@@ -904,6 +914,9 @@ def _robots_ctes() -> str:
         pages AS (
           SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS host_idx,
                  '/article/' || lpad(CAST(doc_id AS VARCHAR), 10, '0')
+                 || CASE WHEN doc_id % 7 = 3
+                         THEN '?sessionid=' || CAST(doc_id AS VARCHAR)
+                         ELSE '' END
                    AS path
           FROM documents),
         matched AS (
@@ -944,7 +957,11 @@ def _q_crawl_frontier(spark, sf_dir):
                  F.element_at(hosts_arr,
                               (F.col("doc_id") % 16 + 1).cast("int")),
                  F.lit("/article/"),
-                 F.lpad(F.col("doc_id").cast("string"), 10, "0")))
+                 F.lpad(F.col("doc_id").cast("string"), 10, "0"),
+                 F.when(F.col("doc_id") % 7 == 3,
+                        F.concat(F.lit("?sessionid="),
+                                 F.col("doc_id").cast("string")))
+                 .otherwise(F.lit(""))))
              .withColumn("prio", (F.col("doc_id") % 10) / 10.0))
     robots = spark.createDataFrame(list(_ROBOTS_BODIES.items()),
                                    "host string, body string")
@@ -2598,7 +2615,9 @@ def _q_zipf_stats(spark, sf_dir):
     """One-row Zipf corpus diagnostic over `documents`: log-log slope
     of the top-100 term frequencies + vocab/token totals + top share.
     DuckDB replays the deterministic top-N cut and the closed-form
-    least squares from the same 12-dp per-term logs."""
+    least squares from the same 6-dp INTEGER-scaled per-term logs —
+    all five sums are exact int64 (order-free), so both engines feed
+    bit-identical operands into one fixed-shape double expression."""
     from fortissimo_spark.textstats import zipf_stats
     return zipf_stats(load_table(spark, sf_dir, "documents"))
 
@@ -2612,21 +2631,28 @@ _ZIPF_ORACLE = r"""
     counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
     totals AS (SELECT count(*) AS vocab_size, sum(c) AS total_tokens
                FROM counts),
-    top AS (SELECT round(ln(CAST(rn AS DOUBLE)), 12) AS x,
-                   round(ln(CAST(c AS DOUBLE)), 12) AS y, c
+    top AS (SELECT CAST(round(ln(CAST(rn AS DOUBLE)) * 1000000, 0)
+                        AS BIGINT) AS x,
+                   CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0)
+                        AS BIGINT) AS y, c
             FROM (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn
                   FROM counts) WHERE rn <= 100),
-    sums AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+    sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    sum(x) AS sx, sum(y) AS sy,
                     sum(x * y) AS sxy, sum(x * x) AS sxx,
                     sum(c) AS top_c
-             FROM top)
-    SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
-             AS zipf_slope,
-           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
-                 / n, 6) AS zipf_intercept,
+             FROM top),
+    ints AS (SELECT n, sx, sy, top_c,
+                    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+                    CAST(n * sxx - sx * sx AS DOUBLE) AS den
+             FROM sums)
+    SELECT round(num / den, 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE) - (num / den) * CAST(sx AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * 1000000.0), 6)
+             AS zipf_intercept,
            vocab_size, total_tokens,
            round(CAST(top_c AS DOUBLE) / total_tokens, 6) AS top_share
-    FROM sums CROSS JOIN totals"""
+    FROM ints CROSS JOIN totals"""
 
 
 def _wav_square(amps) -> bytes:

@@ -134,10 +134,15 @@ def apply_robots(pages: DataFrame, rules: DataFrame, agent: str,
     binding = robots_rules_for_agent(rules, agent)
     b = F.broadcast(binding) if broadcast_rules else binding
     host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    # RFC 9309 / Google REP match against the PATH-AND-QUERY, not the
+    # path alone — rules like 'Disallow: /*?sessionid=' must bind.
     path = F.coalesce(F.try_parse_url(F.col(url_col), F.lit("PATH")),
                       F.lit("/"))
+    query = F.try_parse_url(F.col(url_col), F.lit("QUERY"))
+    target = F.when(query.isNotNull(),
+                    F.concat(path, F.lit("?"), query)).otherwise(path)
     keys = pages.select(F.col(url_col).alias("_murl"),
-                        host.alias("_host"), path.alias("_path"))
+                        host.alias("_host"), target.alias("_path"))
     joined = keys.join(b, keys["_host"] == binding["host"], "left")
     matched = (F.col("regex").isNotNull()
                & F.expr("rlike(_path, regex)"))

@@ -743,10 +743,15 @@ def zipf_stats(docs: DataFrame, top_n: int = 100,
 
     Shape: ONE partial-agg token count feeds everything; the top-N cut
     is the deterministic (count desc, term) order; the regression is
-    the closed-form least squares over (ln rank, ln count) computed
-    from five scalar sums — per-term logs round to 12 dp so the only
-    cross-engine/cross-partitioning drift is sum order (~1e-14 against
-    the 6 dp output grid). No window over the full vocabulary."""
+    the closed-form least squares over (ln rank, ln count). Every
+    AGGREGATE is an exact int64 sum of 6-dp-integer-scaled logs (the
+    degree_assortativity pattern: integer sums are order-free, so no
+    partitioning or engine can drift them), and the slope/intercept
+    come from ONE fixed-shape double expression over those exact
+    integers — bit-identical across engines. Range proof: x <= ln(N),
+    y <= ln(2^63) ~ 43.7, so scaled by 1e6 the int64 products
+    n*sxy <= ~2.3e18 stay inside int64. No window over the full
+    vocabulary."""
     from pyspark.sql import Window
     toks = docs.select(F.explode(
         F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
@@ -755,29 +760,30 @@ def zipf_stats(docs: DataFrame, top_n: int = 100,
     totals = counts.agg(F.count("*").alias("vocab_size"),
                         F.sum("c").alias("total_tokens"))
     w_rank = Window.orderBy(F.desc("c"), F.asc("w"))
+    scale = F.lit(1000000.0)
     top = (counts.orderBy(F.desc("c"), F.asc("w")).limit(top_n)
            .withColumn("rn", F.row_number().over(w_rank))
-           .select(F.round(F.log(F.col("rn").cast("double")), 12).alias("x"),
-                   F.round(F.log(F.col("c").cast("double")), 12).alias("y"),
+           .select(F.round(F.log(F.col("rn").cast("double")) * scale, 0)
+                   .cast("long").alias("x"),
+                   F.round(F.log(F.col("c").cast("double")) * scale, 0)
+                   .cast("long").alias("y"),
                    "c"))
     sums = top.agg(F.count("*").alias("n"), F.sum("x").alias("sx"),
                    F.sum("y").alias("sy"),
                    F.sum(F.col("x") * F.col("y")).alias("sxy"),
                    F.sum(F.col("x") * F.col("x")).alias("sxx"),
                    F.sum("c").alias("top_c"))
+    num = (F.col("n") * F.col("sxy")
+           - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx")
+           - F.col("sx") * F.col("sx")).cast("double")
     return (sums.crossJoin(totals)
             .select(
-                F.round((F.col("n") * F.col("sxy")
-                         - F.col("sx") * F.col("sy"))
-                        / (F.col("n") * F.col("sxx")
-                           - F.col("sx") * F.col("sx")), 6)
-                .alias("zipf_slope"),
-                F.round((F.col("sy") - (F.col("n") * F.col("sxy")
-                                        - F.col("sx") * F.col("sy"))
-                         / (F.col("n") * F.col("sxx")
-                            - F.col("sx") * F.col("sx"))
-                         * F.col("sx")) / F.col("n"), 6)
-                .alias("zipf_intercept"),
+                F.round(num / den, 6).alias("zipf_slope"),
+                F.round((F.col("sy").cast("double")
+                         - (num / den) * F.col("sx").cast("double"))
+                        / (F.col("n").cast("double") * F.lit(1000000.0)),
+                        6).alias("zipf_intercept"),
                 "vocab_size", "total_tokens",
                 F.round(F.col("top_c") / F.col("total_tokens"), 6)
                 .alias("top_share")))

@@ -3242,6 +3242,10 @@ def test_robots_engine_rfc9309(spark):
          ("https://docs.example.dev/article/0000000013",),   # disallow
          ("https://docs.example.dev/other",),                # no rule
          ("https://forum.example.co/article/0000000001",),   # deny-all
+         # path-AND-query matching: the query rule (spec 13) beats the
+         # allow '*0$' (spec 12) that would otherwise pass this url
+         ("https://megaportal.example.com/article/0000000080?sessionid=80",),
+         ("https://megaportal.example.com/article/0000000080",),
          ("not a url",)],                                    # NULL host
         "url string")
     got2 = {r.url: (r.allowed, r.matched_rule)
@@ -3250,6 +3254,11 @@ def test_robots_engine_rfc9309(spark):
     assert got2["https://docs.example.dev/article/0000000013"] == (False, "disallow")
     assert got2["https://docs.example.dev/other"] == (True, None)
     assert got2["https://forum.example.co/article/0000000001"] == (False, "disallow")
+    assert got2[
+        "https://megaportal.example.com/article/0000000080?sessionid=80"] \
+        == (False, "disallow")
+    assert got2["https://megaportal.example.com/article/0000000080"] \
+        == (True, "allow")
     assert got2["not a url"] == (True, None)
 
 
@@ -3512,15 +3521,17 @@ def test_zipf_stats_hand_corpus(spark):
         [(1, " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"]))],
         "doc_id long, text string")
     r = zipf_stats(docs, top_n=3).collect()[0]
-    xs = [round(math.log(i + 1), 12) for i in range(3)]
-    ys = [round(math.log(c), 12) for c in (8, 4, 2)]
+    # replay the exact-integer design: 6-dp integer-scaled logs, exact
+    # int sums, ONE fixed-shape double expression at the end
+    xs = [round(math.log(i + 1) * 1e6) for i in range(3)]
+    ys = [round(math.log(c) * 1e6) for c in (8, 4, 2)]
     n = 3
     sx, sy = sum(xs), sum(ys)
     sxy = sum(x * y for x, y in zip(xs, ys))
     sxx = sum(x * x for x in xs)
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
     assert r.zipf_slope == round(slope, 6)
-    assert r.zipf_intercept == round((sy - slope * sx) / n, 6)
+    assert r.zipf_intercept == round((sy - slope * sx) / (n * 1e6), 6)
     assert (r.vocab_size, r.total_tokens) == (4, 15)
     assert r.top_share == round(14 / 15, 6)
 
