@@ -3971,6 +3971,10 @@ def _kn_oracle_sql() -> str:
                             + dd.d * x.n_follow
                               * (CAST(coalesce(ct.n_prec, 1) AS DOUBLE)
                                  / dd.t)) / x.c_ctx
+                      WHEN x.c_ctx IS NOT NULL
+                      THEN dd.d * x.n_follow
+                           * (CAST(coalesce(ct.n_prec, 1) AS DOUBLE)
+                              / dd.t) / x.c_ctx
                       ELSE CAST(coalesce(ct.n_prec, 1) AS DOUBLE) / dd.t
                       END AS score
           FROM kn_pairs p

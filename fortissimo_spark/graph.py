@@ -29,8 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .dom import N_ATTR_NAMES, N_ATTR_VALUES
-from .kernel import decode_page_bytes
-from .parser import parse
+from .kernel import decode_parse
 
 __all__ = ["extract_outlinks", "resolve_href", "link_degrees", "pagerank",
            "trustrank", "hits", "anchor_text_index", "host_graph",
@@ -50,8 +49,12 @@ def _outlinks_kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ts_list = pdf["warc_ts"].tolist()
         for ri, (url, raw) in enumerate(
                 zip(pdf["url"].tolist(), pdf["html"].tolist())):
-            text_src, _, _ = decode_page_bytes(bytes(raw or b""))
-            b = parse(text_src, positions=False).dom
+            # the SAME decode -> parse -> declared-charset-retry front
+            # end as page_analysis/structured_data (kernel.decode_parse)
+            # so every DOM-deriving kernel sees identical hrefs/anchors
+            # for a page whose meta charset disagrees with the sniff
+            result, _, _, _ = decode_parse(bytes(raw or b""))
+            b = result.dom
             for a in b.query_selector_all(0, "a"):
                 nd = b.nodes[a]
                 href = rel = None

@@ -448,10 +448,18 @@ def with_perplexity_kn(docs: DataFrame, lm: KneserNeyLM,
     t = float(max(lm.n_types, 1))
     d = lm.discount
     p_cont = F.coalesce(F.col("n_prec"), F.lit(1)).cast("double") / F.lit(t)
+    # Chen-Goodman interpolated KN: a SEEN context always contributes
+    # its back-off weight D*N1+(w1,.)/c(w1), even for an unseen bigram
+    # (c_bi null -> the discounted-ML term is 0); raw Pcont applies
+    # only to contexts outside the model, so each seen-context
+    # conditional distribution sums to 1 (truncation aside).
     score = F.when(
         F.col("c_bi").isNotNull() & F.col("c_ctx").isNotNull(),
         (F.greatest(F.col("c_bi") - F.lit(d), F.lit(0.0))
          + F.lit(d) * F.col("n_follow") * p_cont) / F.col("c_ctx")
+    ).when(
+        F.col("c_ctx").isNotNull(),
+        F.lit(d) * F.col("n_follow") * p_cont / F.col("c_ctx")
     ).otherwise(p_cont)
     scored = (pairs
               .join(bi, ["w1", "w2"], "left")

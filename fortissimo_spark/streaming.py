@@ -147,6 +147,11 @@ class _SourceCountListener(StreamingQueryListener):
 
     def __init__(self, path: str):
         self.path = path
+        # None is a DROP-ALL sentinel, not a wildcard: between
+        # addListener and .start() returning, progress events from any
+        # OTHER concurrently-running query in the session would
+        # otherwise be misattributed to this job's file. Events are
+        # recorded only once the owning query's id is assigned.
         self.query_id = None  # set right after query start
 
     def onQueryStarted(self, event):  # noqa: N802 (Spark listener ABC)
@@ -155,7 +160,7 @@ class _SourceCountListener(StreamingQueryListener):
     def onQueryProgress(self, event):  # noqa: N802
         import json as _json
         p = event.progress
-        if self.query_id is not None and str(p.id) != self.query_id:
+        if self.query_id is None or str(p.id) != self.query_id:
             return
         with open(self.path, "a") as f:
             f.write(_json.dumps({"batch_id": p.batchId,
@@ -174,9 +179,16 @@ def curation_metrics(spark: SparkSession, metrics_path: str) -> DataFrame:
     gate_dropped, docs_out, committed_at)`` — the streaming mirror of
     ``pipeline.ExtractionJob``'s batch lineage table.
     ``dedup_dropped = docs_in - dedup survivors`` (rows the watermark
-    dedup state swallowed before ``foreachBatch`` saw the batch)."""
+    dedup state swallowed before ``foreachBatch`` saw the batch).
+    Retried/restarted batches append duplicate batch_id lines to the
+    source-count log (at-least-once); the LAST line per batch_id wins,
+    mirroring the batch dirs' overwrite semantics."""
     batches = spark.read.parquet(os.path.join(metrics_path, "batches"))
-    src = spark.read.json(os.path.join(metrics_path, "source_counts.jsonl"))
+    src = (spark.read.json(os.path.join(metrics_path,
+                                        "source_counts.jsonl"))
+           .withColumn("_seq", F.monotonically_increasing_id())
+           .groupBy("batch_id")
+           .agg(F.max_by("docs_in", "_seq").alias("docs_in")))
     return (batches.join(src, "batch_id", "left")
             .withColumn("dedup_dropped",
                         F.col("docs_in") - F.col("dedup_survivors"))
@@ -284,8 +296,10 @@ def streaming_curate(spark: SparkSession, input_path: str, output_path: str,
          .start())
     if listener is not None:
         # scope the listener to this query (progress events carry the
-        # query id; batch 0 cannot complete before .start() returns the
-        # handle, so no event is misattributed). The caller removes the
+        # query id; the listener DROPS everything until this assignment,
+        # and batch 0 of THIS query cannot complete before .start()
+        # returns the handle, so nothing of ours is lost and nothing
+        # foreign is recorded). The caller removes the
         # listener via spark.streams.removeListener(q.metricsListener)
         # when the job is torn down.
         listener.query_id = str(q.id)

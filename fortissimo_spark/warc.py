@@ -918,6 +918,16 @@ def read_wets(spark: SparkSession, path_glob: str) -> DataFrame:
     return files.mapInPandas(kernel, _wet_schema())
 
 
+def _clean_stale_shards(out_dir: str) -> None:
+    """Remove part-* shards left by a previous run into ``out_dir`` —
+    a re-run with fewer partitions must not leave (or count) stale
+    higher-numbered shards that read_warcs/read_wets would re-ingest."""
+    import glob as _glob
+    import os
+    for p in _glob.glob(os.path.join(out_dir, "part-*")):
+        os.remove(p)
+
+
 def write_wet(df: DataFrame, out_dir: str, *, url_col: str = "url",
               date_col: str = "wet_date", text_col: str = "text",
               compress: bool = True) -> int:
@@ -926,17 +936,24 @@ def write_wet(df: DataFrame, out_dir: str, *, url_col: str = "url",
     sharding unit; partition the input by crawl shard upstream to
     control file count/size). Records serialize JVM-side
     (wet_record_col); the partition writer only concatenates bytes.
-    Returns the number of shards written. Paths are driver-visible
-    filesystem paths (local/NFS here; the same foreachPartition shape
-    targets HDFS/S3 client libs on a cluster)."""
+    Returns the number of shards written THIS run (stale part-* files
+    from a previous, differently-partitioned run are removed first so
+    the directory re-ingests cleanly). Rows with a NULL url/date/text
+    produce a NULL record (concat propagates null) and are dropped
+    before the write — a null-payload row has no WET representation.
+    Paths are driver-visible filesystem paths (local/NFS here; the
+    same per-partition writer shape targets HDFS/S3 client libs on a
+    cluster)."""
     import os
 
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
+    _clean_stale_shards(out_dir)
     recs = df.select(wet_record_col(url_col, date_col, text_col)
                      .alias("rec"),
-                     F.spark_partition_id().alias("_pid"))
+                     F.spark_partition_id().alias("_pid")) \
+        .filter(F.col("rec").isNotNull())
 
     def write_part(it):
         first = next(it, None)
@@ -953,10 +970,12 @@ def write_wet(df: DataFrame, out_dir: str, *, url_col: str = "url",
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, path)  # atomic: a retry never leaves half a shard
+        yield path
 
-    recs.rdd.foreachPartition(write_part)
-    import glob as _glob
-    return len(_glob.glob(os.path.join(out_dir, "part-*")))
+    # mapPartitions (not foreachPartition) so the count reflects the
+    # shards THIS run wrote, never pre-existing files in out_dir
+    written = recs.rdd.mapPartitions(write_part).collect()
+    return len(set(written))
 
 
 # --- WARC response-record output (re-publishable crawl shards) ----------
@@ -1001,17 +1020,21 @@ def write_warc(df: DataFrame, out_dir: str, *, url_col: str = "url",
     """Write (url, date, html-bytes) rows as WARC response shards — one
     ``part-NNNNN.warc[.gz]`` per input partition, records serialized
     JVM-side (warc_response_record_col), atomic per-shard rename; the
-    same contract as :func:`write_wet`. The result re-ingests through
+    same contract as :func:`write_wet` (stale part-* files removed
+    first; NULL url/date/html rows dropped — no WARC representation;
+    count = shards written THIS run). The result re-ingests through
     :func:`read_warcs` byte-identically."""
     import os
 
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
+    _clean_stale_shards(out_dir)
     recs = df.select(
         warc_response_record_col(url_col, date_col, html_col)
         .alias("rec"),
-        F.spark_partition_id().alias("_pid"))
+        F.spark_partition_id().alias("_pid")) \
+        .filter(F.col("rec").isNotNull())
 
     def write_part(it):
         first = next(it, None)
@@ -1028,7 +1051,7 @@ def write_warc(df: DataFrame, out_dir: str, *, url_col: str = "url",
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, path)
+        yield path
 
-    recs.rdd.foreachPartition(write_part)
-    import glob as _glob
-    return len(_glob.glob(os.path.join(out_dir, "part-*")))
+    written = recs.rdd.mapPartitions(write_part).collect()
+    return len(set(written))

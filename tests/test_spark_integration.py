@@ -1934,10 +1934,14 @@ def test_kn_perplexity_ground_truth(spark):
 
     def p(w1, w2):
         pc = cont.get(w2, 1) / 5.0
-        if (w1, w2) in bi and w1 in ctx:
+        if w1 in ctx:
             c_ctx, nf = ctx[w1]
-            return (max(bi[(w1, w2)] - 0.6, 0.0)
-                    + 0.6 * nf * pc) / c_ctx
+            if (w1, w2) in bi:
+                return (max(bi[(w1, w2)] - 0.6, 0.0)
+                        + 0.6 * nf * pc) / c_ctx
+            # seen context, unseen bigram: back-off weight x Pcont so
+            # the conditional distribution per context sums to 1
+            return 0.6 * nf * pc / c_ctx
         return pc
 
     def ppl(*pairs):
@@ -1951,7 +1955,7 @@ def test_kn_perplexity_ground_truth(spark):
            for r in with_perplexity_kn(score, lm).collect()}
     assert got[1] == (3, ppl(("a", "b"), ("b", "a"), ("a", "b")))
     assert got[2] == (1, ppl(("z", "a")))      # unseen context -> Pcont
-    assert got[3] == (1, ppl(("b", "q")))      # unseen continuation floor
+    assert got[3] == (1, ppl(("b", "q")))      # seen ctx -> back-off x floor
     assert got[4] == (0, None) and got[5] == (0, None)
     plan = with_perplexity_kn(score, lm)._jdf.queryExecution() \
         .executedPlan().toString()
@@ -3559,6 +3563,64 @@ def test_wet_write_read_roundtrip(spark, tmp_path):
     write_wet(df.coalesce(1), out2, compress=False)
     back2 = read_wets(spark, out2 + "/part-*").count()
     assert back2 == 20
+
+
+def test_wet_write_null_rows_and_stale_shards(spark, tmp_path):
+    """Writer hardening: NULL url/date/text rows are dropped (they have
+    no WET representation and used to TypeError the task), and a re-run
+    into the same dir with FEWER partitions removes the stale
+    higher-numbered shards and counts only this run's files."""
+    from fortissimo_spark.warc import read_wets, write_wet
+    rows = [("https://h.example/1", "2024-03-01T00:00:00Z", "one"),
+            (None, "2024-03-01T00:00:01Z", "no url"),
+            ("https://h.example/2", None, "no date"),
+            ("https://h.example/3", "2024-03-01T00:00:03Z", None),
+            ("https://h.example/4", "2024-03-01T00:00:04Z", "four")]
+    df = spark.createDataFrame(rows, "url string, wet_date string, "
+                               "text string")
+    out = str(tmp_path / "wet")
+    assert write_wet(df.repartition(4), out) <= 4
+    urls = {r.url for r in read_wets(spark, out + "/part-*").collect()}
+    assert urls == {"https://h.example/1", "https://h.example/4"}
+    # re-run with one partition: old shards must neither survive nor count
+    assert write_wet(df.coalesce(1), out) == 1
+    import glob
+    assert len(glob.glob(out + "/part-*")) == 1
+    assert read_wets(spark, out + "/part-*").count() == 2
+
+
+def test_warc_write_null_rows(spark, tmp_path):
+    """write_warc mirrors the write_wet null/stale contract."""
+    from fortissimo_spark.warc import read_warcs, write_warc
+    rows = [("https://h.example/a", "2024-03-01T00:00:00Z", b"<p>A</p>"),
+            (None, "2024-03-01T00:00:01Z", b"<p>drop</p>"),
+            ("https://h.example/b", "2024-03-01T00:00:02Z", None)]
+    df = spark.createDataFrame(rows, "url string, warc_date string, "
+                               "html binary")
+    out = str(tmp_path / "warc")
+    assert write_warc(df.repartition(2), out) >= 1
+    back = {r.url for r in read_warcs(spark, out + "/part-*").collect()}
+    assert back == {"https://h.example/a"}
+
+
+def test_outlinks_share_declared_charset_retry(spark):
+    """A page that decodes as valid UTF-8 but DECLARES windows-1252
+    must yield the same (re-decoded) anchors from the outlink kernel
+    as from page_analysis — both now share kernel.decode_parse."""
+    from fortissimo_spark.graph import extract_outlinks
+    from fortissimo_spark.kernel import decode_parse
+    html = ("<meta charset=windows-1252>"
+            "<a href='/x'>café</a>").encode("utf-8")
+    # utf-8 decode succeeds, declared cp1252 disagrees -> retry path
+    result, used, declared, retried = decode_parse(html)
+    assert retried and used == "cp1252"
+    expected_anchor = html.decode("cp1252")[
+        html.decode("cp1252").index(">caf") + 1:].split("<")[0]
+    pages = spark.createDataFrame([("https://h.example/p", html)],
+                                  "url string, html binary")
+    got = extract_outlinks(pages).collect()
+    assert len(got) == 1
+    assert got[0].anchor == expected_anchor  # 'cafÃ©' per cp1252 retry
 
 
 def test_audio_fingerprint_and_near_dups(spark):
