@@ -2993,6 +2993,148 @@ def _q_bm25f_search(spark, sf_dir):
     return bm25f_search(docs, anchors, list(_BM25_QUERY_TERMS), top_k=15)
 
 
+_BM25F_PAGE_TERMS = ("spark", "merge", "window", "Portal")
+
+
+def _q_bm25f_page_search(spark, sf_dir):
+    """Fielded BM25F over the REAL parse: body + planted anchors + the
+    title/first-h1 fields page_analysis already extracted (zero extra
+    parse cost — the metadata kernel runs once). Weights: body 1x,
+    anchor 2x, title 3x, h1 1.5x, one saturation over the summed field
+    tfs. 'Portal' hits ONLY the h1 field (every page's template h1),
+    title hits come from the 40-char template title = prefix of text —
+    both SQL-recomputable, so DuckDB replays all four fields."""
+    from fortissimo_spark.kernel import page_analysis
+    from fortissimo_spark.textstats import bm25f_search
+    pages = dedup_latest_crawl(build_pages(spark, sf_dir))
+    pa = (page_analysis(pages)
+          .withColumn("doc_id",
+                      F.regexp_extract("url", _DOC_ID_FROM_URL, 1)
+                      .cast("long"))
+          .select("doc_id", "text", "title_text", "first_h1"))
+    n = pa.count()
+    d = F.col("doc_id")
+    anchors = pa.filter(d % 3 == 0).select(
+        ((d * 31 + 7) % n).alias("doc_id"),
+        F.lit("spark merge guide").alias("anchor")) \
+        .unionByName(pa.filter(d % 5 == 1).select(
+            ((d * 17 + 3) % n).alias("doc_id"),
+            F.concat(F.lit("window tips "), (d % 7).cast("string"))
+            .alias("anchor")))
+    return bm25f_search(pa, anchors, list(_BM25F_PAGE_TERMS), top_k=15,
+                        title_col="title_text", h1_col="first_h1")
+
+
+def _bm25f_page_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25F_PAGE_TERMS)
+    return rf"""
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    anchors AS (
+      SELECT (doc_id * 31 + 7) % (SELECT n FROM nn) AS doc_id,
+             'spark merge guide' AS anchor
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT (doc_id * 17 + 3) % (SELECT n FROM nn),
+             'window tips ' || CAST(doc_id % 7 AS VARCHAR)
+      FROM documents WHERE doc_id % 5 = 1),
+    titles AS (
+      SELECT doc_id,
+             CASE WHEN substr(text, 1, 40) <> ''
+                  THEN substr(text, 1, 40) ELSE 'untitled' END AS f
+      FROM documents),
+    h1s AS (SELECT doc_id,
+                   'Portal ' || CAST(doc_id % 97 AS VARCHAR) AS f
+            FROM documents),
+    toks_b AS (
+      SELECT doc_id, x AS term FROM (
+        SELECT doc_id, list_filter(
+                 regexp_split_to_array(trim(text), '\s+'),
+                 w -> w <> '') AS ws
+        FROM documents), unnest(ws) AS u(x)),
+    toks_a AS (
+      SELECT doc_id, x AS term FROM (
+        SELECT doc_id, list_filter(
+                 regexp_split_to_array(trim(anchor), '\s+'),
+                 w -> w <> '') AS ws
+        FROM anchors), unnest(ws) AS u(x)),
+    toks_t AS (
+      SELECT doc_id, x AS term FROM (
+        SELECT doc_id, list_filter(
+                 regexp_split_to_array(trim(f), '\s+'),
+                 w -> w <> '') AS ws
+        FROM titles), unnest(ws) AS u(x)),
+    toks_h AS (
+      SELECT doc_id, x AS term FROM (
+        SELECT doc_id, list_filter(
+                 regexp_split_to_array(trim(f), '\s+'),
+                 w -> w <> '') AS ws
+        FROM h1s), unnest(ws) AS u(x)),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks_b GROUP BY doc_id),
+    al AS (SELECT doc_id, count(*) AS al FROM toks_a GROUP BY doc_id),
+    tl AS (SELECT doc_id, count(*) AS tl FROM toks_t GROUP BY doc_id),
+    hl AS (SELECT doc_id, count(*) AS hl FROM toks_h GROUP BY doc_id),
+    corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    a_corpus AS (SELECT avg(al) AS avgal FROM al),
+    t_corpus AS (SELECT avg(tl) AS avgtl FROM tl),
+    h_corpus AS (SELECT avg(hl) AS avghl FROM hl),
+    tf_b AS (SELECT doc_id, term, count(*) AS tf_b FROM toks_b
+             WHERE term IN ({terms}) GROUP BY doc_id, term),
+    tf_a AS (SELECT doc_id, term, count(*) AS tf_a FROM toks_a
+             WHERE term IN ({terms}) GROUP BY doc_id, term),
+    tf_t AS (SELECT doc_id, term, count(*) AS tf_t FROM toks_t
+             WHERE term IN ({terms}) GROUP BY doc_id, term),
+    tf_h AS (SELECT doc_id, term, count(*) AS tf_h FROM toks_h
+             WHERE term IN ({terms}) GROUP BY doc_id, term),
+    j1 AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+                  coalesce(b.term, a.term) AS term, b.tf_b, a.tf_a
+           FROM tf_b b FULL OUTER JOIN tf_a a
+             ON a.doc_id = b.doc_id AND a.term = b.term),
+    j2 AS (SELECT coalesce(x.doc_id, t.doc_id) AS doc_id,
+                  coalesce(x.term, t.term) AS term, x.tf_b, x.tf_a, t.tf_t
+           FROM j1 x FULL OUTER JOIN tf_t t
+             ON t.doc_id = x.doc_id AND t.term = x.term),
+    hits AS (SELECT coalesce(x.doc_id, h.doc_id) AS doc_id,
+                    coalesce(x.term, h.term) AS term,
+                    x.tf_b, x.tf_a, x.tf_t, h.tf_h
+             FROM j2 x FULL OUTER JOIN tf_h h
+               ON h.doc_id = x.doc_id AND h.term = x.term),
+    dfq AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+    comp AS (
+      SELECT x.doc_id,
+             round(ln(1 + (x.n_docs - q.df + 0.5) / (q.df + 0.5))
+                   * x.tff / (1.2 + x.tff), 9) AS comp
+      FROM (SELECT h.doc_id, h.term, c.n_docs,
+                   1.0 * coalesce(h.tf_b, 0)
+                     / (1 - 0.75 + 0.75 * coalesce(d.dl, 0) / c.avgdl)
+                   + 2.0 * (CASE WHEN a.al IS NOT NULL
+                            THEN coalesce(h.tf_a, 0)
+                                 / (1 - 0.5 + 0.5 * a.al / ac.avgal)
+                            ELSE 0.0 END)
+                   + 3.0 * (CASE WHEN t.tl IS NOT NULL
+                            THEN coalesce(h.tf_t, 0)
+                                 / (1 - 0.4 + 0.4 * t.tl / tc.avgtl)
+                            ELSE 0.0 END)
+                   + 1.5 * (CASE WHEN hh.hl IS NOT NULL
+                            THEN coalesce(h.tf_h, 0)
+                                 / (1 - 0.4 + 0.4 * hh.hl / hc.avghl)
+                            ELSE 0.0 END) AS tff
+            FROM hits h
+            LEFT JOIN dl d ON d.doc_id = h.doc_id
+            LEFT JOIN al a ON a.doc_id = h.doc_id
+            LEFT JOIN tl t ON t.doc_id = h.doc_id
+            LEFT JOIN hl hh ON hh.doc_id = h.doc_id
+            CROSS JOIN corpus c CROSS JOIN a_corpus ac
+            CROSS JOIN t_corpus tc CROSS JOIN h_corpus hc) x
+      JOIN dfq q ON q.term = x.term),
+    scored AS (SELECT doc_id, count(*) AS n_hits,
+                      round(sum(comp), 9) AS score
+               FROM comp GROUP BY doc_id)
+    SELECT doc_id, n_hits, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                AS INTEGER) AS rank
+    FROM scored ORDER BY score DESC, doc_id LIMIT 15"""
+
+
 def _bm25f_oracle_sql() -> str:
     terms = ", ".join(f"'{t}'" for t in _BM25_QUERY_TERMS)
     return rf"""
@@ -3090,9 +3232,16 @@ def _search_snippets_oracle_sql() -> str:
     h AS (SELECT t.doc_id, t.pos, t.term
           FROM toks t JOIN top USING (doc_id)
           WHERE t.term IN ({terms})),
+    -- anchors are the FIRST 256 hits per doc (best_snippet anchor_cap);
+    -- the window side b still counts ALL hits
+    ha AS (SELECT doc_id, pos FROM (
+             SELECT doc_id, pos,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY pos) AS hrn
+             FROM h) WHERE hrn <= 256),
     cand AS (SELECT a.doc_id, a.pos AS start,
                     count(DISTINCT b.term) AS nd, count(*) AS nh
-             FROM h a JOIN h b ON b.doc_id = a.doc_id
+             FROM ha a JOIN h b ON b.doc_id = a.doc_id
                   AND b.pos >= a.pos AND b.pos < a.pos + 12
              GROUP BY a.doc_id, a.pos),
     best AS (SELECT doc_id, start, nd, nh,
@@ -3317,6 +3466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_census": _q_template_census,
         "host_reciprocity": _q_host_reciprocity,
         "bm25f_search": _q_bm25f_search,
+        "bm25f_page_search": _q_bm25f_page_search,
         "host_kcore": _q_host_kcore,
         "crawl_budget": _q_crawl_budget,
         "host_assortativity": _q_host_assortativity,
@@ -5095,6 +5245,7 @@ def oracle_sql() -> dict[str, str]:
         "template_census": _TEMPLATE_ORACLE,
         "host_reciprocity": _host_reciprocity_oracle_sql(),
         "bm25f_search": _bm25f_oracle_sql(),
+        "bm25f_page_search": _bm25f_page_oracle_sql(),
         "host_kcore": _host_kcore_oracle_sql(),
         "crawl_budget": _CRAWL_BUDGET_ORACLE,
         "host_assortativity": _ASSORT_ORACLE,

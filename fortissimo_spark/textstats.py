@@ -790,7 +790,8 @@ def zipf_stats(docs: DataFrame, top_n: int = 100,
 
 
 def best_snippet(docs: DataFrame, query_terms: list[str], *,
-                 window: int = 12, id_col: str = "doc_id",
+                 window: int = 12, anchor_cap: int = 256,
+                 id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Search-result snippet selection — the highlight window a results
     page shows under each BM25 hit: among all windows of ``window``
@@ -802,14 +803,21 @@ def best_snippet(docs: DataFrame, query_terms: list[str], *,
 
     Entirely JVM higher-order functions over the token array — a pure
     map, no shuffle, no Python: hit positions are one filtered
-    transform, each anchor's window stats are nested array ops (O(h²)
-    in the doc's HIT count only, not its length), and the argmax is a
-    lexicographic ``array_max`` over (n_distinct, n_hits, -start)
-    structs, which makes the tie rule explicit and engine-replayable.
-    Anchoring at hits loses nothing: a window whose start is not a hit
-    slides right to its first hit keeping every hit it contained (and
-    possibly gaining some), so some hit-anchored window always ties or
-    beats it."""
+    transform, each anchor's window stats are nested array ops, and
+    the argmax is a lexicographic ``array_max`` over (n_distinct,
+    n_hits, -start) structs, which makes the tie rule explicit and
+    engine-replayable. Anchoring at hits loses nothing: a window whose
+    start is not a hit slides right to its first hit keeping every hit
+    it contained (and possibly gaining some), so some hit-anchored
+    window always ties or beats it.
+
+    ``anchor_cap`` bounds the per-doc cost: only the FIRST ``anchor_cap``
+    hits (by position) are window anchors, so a keyword-stuffed page
+    with h hits costs O(anchor_cap * h) instead of O(h²) — a 10⁴-hit
+    adversarial doc in a BM25 top-k can no longer burn ~10⁸ struct ops
+    in one task. Window stats still count ALL hits, and for any doc
+    with <= anchor_cap hits (every real page) the result is identical
+    to the uncapped argmax. The cap is a literal both engines replay."""
     terms_arr = F.array(*[F.lit(t) for t in query_terms])
     arr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
                    lambda w: w != "")
@@ -827,7 +835,7 @@ def best_snippet(docs: DataFrame, query_terms: list[str], *,
                         & (x["pos"] < a["pos"] + window))
 
     cands = F.transform(
-        F.col("_hits"),
+        F.slice(F.col("_hits"), 1, anchor_cap),
         lambda a: F.struct(
             F.size(F.array_distinct(
                 F.transform(in_win(a), lambda x: x["term"])))
@@ -849,7 +857,10 @@ def bm25f_search(docs: DataFrame, anchors: DataFrame,
                  query_terms: list[str], *, top_k: int = 10,
                  k1: float = 1.2, b_body: float = 0.75,
                  b_anchor: float = 0.5, w_body: float = 1.0,
-                 w_anchor: float = 2.0, id_col: str = "doc_id",
+                 w_anchor: float = 2.0, title_col: str | None = None,
+                 h1_col: str | None = None, b_title: float = 0.4,
+                 w_title: float = 3.0, b_h1: float = 0.4,
+                 w_h1: float = 1.5, id_col: str = "doc_id",
                  text_col: str = "text",
                  anchor_col: str = "anchor") -> DataFrame:
     """Top-k BM25F retrieval (Robertson/Zaragoza fielded BM25 — the
@@ -864,45 +875,75 @@ def bm25f_search(docs: DataFrame, anchors: DataFrame,
     no body hits still ranks on its anchors — the off-page relevance
     signal. Components round to 9 dp (the bm25_search ln() grid).
 
+    ``title_col`` / ``h1_col`` (columns on ``docs``, e.g.
+    kernel.page_analysis's already-extracted ``title_text`` /
+    ``first_h1`` — zero extra parse cost) add the classic on-page
+    web-search fields with their own length normalization and weights,
+    summed into the same single-saturation pseudo-frequency. NULL
+    field values contribute 0, like pages without anchors.
+
     Scale shape mirrors bm25_search per field: query-term filters land
-    BEFORE both tf aggs (only hit postings shuffle), field lengths are
+    BEFORE every tf agg (only hit postings shuffle), field lengths are
     partial-agg groupBys, corpus scalars and per-term dfs broadcast,
-    the field combine is a full outer join on (doc, term) — hits only —
-    and top-k is TakeOrderedAndProject."""
+    the field combine is a chain of full outer joins on (doc, term) —
+    hits only — and top-k is TakeOrderedAndProject."""
     terms = list(query_terms)
     b_toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")) \
         .filter(F.col("term") != "")
-    a_toks = anchors.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.trim(F.col(anchor_col)), r"\s+")).alias("term")) \
-        .filter(F.col("term") != "")
+    # (short name, field-text frame, b_f, w_f) — 'a' first keeps the
+    # 2-field plan and float-expression shape byte-compatible
+    fields = [("a", anchors.select(F.col(id_col).alias("doc_id"),
+                                   F.col(anchor_col).alias("_ftext")),
+               b_anchor, w_anchor)]
+    if title_col is not None:
+        fields.append(("t", docs.select(F.col(id_col).alias("doc_id"),
+                                        F.col(title_col).alias("_ftext")),
+                       b_title, w_title))
+    if h1_col is not None:
+        fields.append(("h", docs.select(F.col(id_col).alias("doc_id"),
+                                        F.col(h1_col).alias("_ftext")),
+                       b_h1, w_h1))
     dl = b_toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    al = a_toks.groupBy("doc_id").agg(F.count("*").alias("al"))
     corpus = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    a_corpus = al.agg(F.avg("al").alias("avgal"))
     tf_b = (b_toks.filter(F.col("term").isin(terms))
             .groupBy("doc_id", "term").agg(F.count("*").alias("tf_b")))
-    tf_a = (a_toks.filter(F.col("term").isin(terms))
-            .groupBy("doc_id", "term").agg(F.count("*").alias("tf_a")))
-    hits = tf_b.join(tf_a, ["doc_id", "term"], "full_outer")
+    hits = tf_b
+    per_field = []
+    for name, fdf, b_f, w_f in fields:
+        ftoks = (fdf.filter(F.col("_ftext").isNotNull())
+                 .select("doc_id",
+                         F.explode(F.split(F.trim(F.col("_ftext")),
+                                           r"\s+")).alias("term"))
+                 .filter(F.col("term") != ""))
+        fl = ftoks.groupBy("doc_id").agg(F.count("*").alias(f"{name}l"))
+        favg = fl.agg(F.avg(f"{name}l").alias(f"avg{name}l"))
+        tf_f = (ftoks.filter(F.col("term").isin(terms))
+                .groupBy("doc_id", "term")
+                .agg(F.count("*").alias(f"tf_{name}")))
+        hits = hits.join(tf_f, ["doc_id", "term"], "full_outer")
+        per_field.append((name, fl, favg, b_f, w_f))
     df_ = hits.groupBy("term").agg(F.count("*").alias("df"))
     comp = (hits
             .join(F.broadcast(df_), "term")
-            .join(dl, "doc_id", "left")
-            .join(al, "doc_id", "left")
-            .crossJoin(F.broadcast(corpus))
-            .crossJoin(F.broadcast(a_corpus)))
+            .join(dl, "doc_id", "left"))
+    for name, fl, favg, _, _ in per_field:
+        comp = comp.join(fl, "doc_id", "left") \
+            .crossJoin(F.broadcast(favg))
+    comp = comp.crossJoin(F.broadcast(corpus))
     tfb_n = (F.coalesce(F.col("tf_b"), F.lit(0))
              / (1 - b_body + b_body * F.coalesce(F.col("dl"), F.lit(0))
                 / F.col("avgdl")))
-    tfa_n = F.when(
-        F.col("al").isNotNull(),
-        F.coalesce(F.col("tf_a"), F.lit(0))
-        / (1 - b_anchor + b_anchor * F.col("al") / F.col("avgal"))) \
-        .otherwise(F.lit(0.0))
-    tff = w_body * tfb_n + w_anchor * tfa_n
+    tff = w_body * tfb_n
+    for name, _, _, b_f, w_f in per_field:
+        tf_fn = F.when(
+            F.col(f"{name}l").isNotNull(),
+            F.coalesce(F.col(f"tf_{name}"), F.lit(0))
+            / (1 - b_f + b_f * F.col(f"{name}l")
+               / F.col(f"avg{name}l"))) \
+            .otherwise(F.lit(0.0))
+        tff = tff + w_f * tf_fn
     comp = comp.withColumn(
         "c",
         F.round(F.log(F.lit(1.0)

@@ -3775,6 +3775,35 @@ def test_best_snippet_hand_corpus(spark):
     assert out[4] == (10, 2, 2, "q2 q1")
 
 
+def test_best_snippet_anchor_cap_bounds_stuffed_doc(spark):
+    """Adversarial keyword-stuffed doc: 20k hits used to cost O(h²) ~
+    4x10⁸ nested-struct ops in ONE task; the anchor cap makes it
+    O(cap*h) and the argmax is unchanged (all anchors tie -> earliest,
+    which is inside any prefix). A doc where the BEST window starts
+    after the cap shows the documented prefix semantics."""
+    import time
+    from fortissimo_spark.textstats import best_snippet
+    stuffed = " ".join(["spark"] * 20000)
+    # best window (q1 q2) begins at hit index 300 (> cap 256): capped
+    # argmax picks the best among the first 256 anchors instead
+    tail = " ".join(["q1"] * 300) + " q1 q2"
+    docs = spark.createDataFrame([(1, stuffed), (2, tail)],
+                                 "doc_id long, text string")
+    t0 = time.monotonic()
+    out = {r.doc_id: (r.start_pos, r.n_distinct, r.n_hits)
+           for r in best_snippet(docs, ["spark", "q1", "q2"],
+                                 window=12).collect()}
+    elapsed = time.monotonic() - t0
+    assert out[1] == (0, 1, 12)        # all-tie -> earliest anchor
+    assert out[2] == (0, 1, 12)        # best-after-cap falls to prefix
+    assert elapsed < 90, f"stuffed doc took {elapsed:.1f}s - cap broken?"
+    # raising the cap past the hit count restores the uncapped argmax
+    out2 = {r.doc_id: (r.start_pos, r.n_distinct)
+            for r in best_snippet(docs, ["q1", "q2"], window=12,
+                                  anchor_cap=1000).collect()}
+    assert out2[2] == (290, 2)         # window [290,302) covers q1+q2
+
+
 def test_extract_rdfa_hand_pages(spark):
     """RDFa-lite rules pinned: vocab resolution for bare terms,
     prefixed typeof kept verbatim, content/url/datetime/text value
