@@ -39,7 +39,8 @@ __all__ = ["MEDIA_SCHEMA", "IMAGE_FEATURES_SCHEMA", "AUDIO_FEATURES_SCHEMA",
            "decode_wav",
            "decode_audio", "make_image_feature_kernel",
            "make_audio_feature_kernel", "image_features", "audio_features",
-           "sample_frames", "sniff_media", "sniff_webp", "sniff_gif",
+           "sample_frames", "decode_video_frames", "FRAME_SCHEMA",
+           "sniff_media", "sniff_webp", "sniff_gif",
            "sniff_avif", "sniff_mp3", "sniff_mp4", "sniff_flac",
            "sniff_ogg",
            "media_metadata", "MEDIA_METADATA_SCHEMA",
@@ -1215,17 +1216,248 @@ def image_features(media: DataFrame, target: tuple[int, int] = (32, 32)) -> Data
     return imgs.mapInPandas(make_image_feature_kernel(target), IMAGE_FEATURES_SCHEMA)
 
 
+def _mp4_boxes(raw: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, box_end) for the direct children of
+    [start, end) — ISO/IEC 14496-12 box layout incl. 64-bit largesize."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(raw[i:i + 4], "big")
+        btype = raw[i + 4:i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(raw[i + 8:i + 16], "big")
+            body = i + 16
+        if size < 8:
+            return
+        yield btype, body, min(i + size, end)
+        i += size
+
+
+def _mp4_child(raw: bytes, span, *path):
+    """First descendant box at the given fourcc path, as (body, end)."""
+    cur = span
+    for name in path:
+        found = None
+        for bt, b, e in _mp4_boxes(raw, cur[0], cur[1]):
+            if bt == name:
+                found = (b, e)
+                break
+        if found is None:
+            return None
+        cur = found
+    return cur
+
+
+def _mp4_mjpeg_samples(raw: bytes):
+    """Sample table of the first VIDEO track whose sample description
+    is Motion-JPEG ('jpeg' / 'mjpa'): (timescale, [(dts_units, offset,
+    size), ...]) with offsets into ``raw``'s mdat. None when the
+    payload isn't ISO-BMFF or carries no MJPEG video track. Pure
+    header/table walk (stsd/stts/stsc/stsz/stco|co64 per ISO/IEC
+    14496-12 §8.5-8.7); the frame bitstreams themselves are plain
+    JPEGs that jpeg.py decodes."""
+    if len(raw) < 12 or raw[4:8] != b"ftyp":
+        return None
+    moov = _mp4_child(raw, (0, len(raw)), b"moov")
+    if moov is None:
+        return None
+    for bt, b, e in _mp4_boxes(raw, moov[0], moov[1]):
+        if bt != b"trak":
+            continue
+        mdia = _mp4_child(raw, (b, e), b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_child(raw, mdia, b"hdlr")
+        if hdlr is None or raw[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _mp4_child(raw, mdia, b"mdhd")
+        if mdhd is None:
+            continue
+        ver = raw[mdhd[0]]
+        timescale = int.from_bytes(
+            raw[mdhd[0] + (20 if ver == 1 else 12):]
+            [:4], "big")
+        stbl = _mp4_child(raw, mdia, b"minf", b"stbl")
+        if stbl is None or not timescale:
+            continue
+        stsd = _mp4_child(raw, stbl, b"stsd")
+        if stsd is None:
+            continue
+        fourcc = raw[stsd[0] + 12:stsd[0] + 16]
+        if fourcc not in (b"jpeg", b"mjpa"):
+            continue
+        stts = _mp4_child(raw, stbl, b"stts")
+        stsz = _mp4_child(raw, stbl, b"stsz")
+        stsc = _mp4_child(raw, stbl, b"stsc")
+        stco = _mp4_child(raw, stbl, b"stco")
+        long_off = False
+        if stco is None:
+            stco = _mp4_child(raw, stbl, b"co64")
+            long_off = True
+        if None in (stts, stsz, stsc, stco):
+            continue
+        # sizes
+        fixed = int.from_bytes(raw[stsz[0] + 4:stsz[0] + 8], "big")
+        n_samples = int.from_bytes(raw[stsz[0] + 8:stsz[0] + 12], "big")
+        sizes = ([fixed] * n_samples if fixed else
+                 [int.from_bytes(raw[stsz[0] + 12 + 4 * k:]
+                                 [:4], "big") for k in range(n_samples)])
+        # decode timestamps
+        n_stts = int.from_bytes(raw[stts[0] + 4:stts[0] + 8], "big")
+        dts, t = [], 0
+        for k in range(n_stts):
+            cnt = int.from_bytes(raw[stts[0] + 8 + 8 * k:][:4], "big")
+            delta = int.from_bytes(raw[stts[0] + 12 + 8 * k:][:4], "big")
+            for _ in range(cnt):
+                if len(dts) >= n_samples:
+                    break
+                dts.append(t)
+                t += delta
+        # chunk offsets
+        n_chunks = int.from_bytes(raw[stco[0] + 4:stco[0] + 8], "big")
+        osz = 8 if long_off else 4
+        chunk_off = [int.from_bytes(raw[stco[0] + 8 + osz * k:][:osz],
+                                    "big") for k in range(n_chunks)]
+        # sample-to-chunk runs -> per-chunk sample counts
+        n_stsc = int.from_bytes(raw[stsc[0] + 4:stsc[0] + 8], "big")
+        runs = [(int.from_bytes(raw[stsc[0] + 8 + 12 * k:][:4], "big"),
+                 int.from_bytes(raw[stsc[0] + 12 + 12 * k:][:4], "big"))
+                for k in range(n_stsc)]
+        samples, si = [], 0
+        for ci in range(n_chunks):
+            spc = 0
+            for first, cnt in runs:
+                if first <= ci + 1:
+                    spc = cnt
+            off = chunk_off[ci]
+            for _ in range(spc):
+                if si >= n_samples or si >= len(dts):
+                    break
+                samples.append((dts[si], off, sizes[si]))
+                off += sizes[si]
+                si += 1
+        if samples:
+            return timescale, samples
+    return None
+
+
+def decode_video_frames(raw: bytes, every_ms: int = 1000,
+                        duration_ms: int | None = None):
+    """REAL sampled-frame decode for Motion-JPEG mp4 payloads: walk the
+    ISO-BMFF sample tables (:func:`_mp4_mjpeg_samples`), pick the
+    frame presented at each ``every_ms`` timestamp (last sample with
+    dts <= t), decode its JPEG bitstream with jpeg.py, and summarize
+    as the shared 4x4 luma grid. Returns
+    ``[(frame_ms, width, height, luma16-bytes)]`` or None when the
+    payload has no MJPEG track (other codecs still need a library).
+    """
+    tab = _mp4_mjpeg_samples(raw)
+    if tab is None:
+        return None
+    timescale, samples = tab
+    from .jpeg import decode_jpeg_luma
+    if duration_ms is None:
+        last_dts = samples[-1][0]
+        step = samples[1][0] - samples[0][0] if len(samples) > 1 else \
+            timescale
+        duration_ms = int((last_dts + step) * 1000 // timescale)
+    out = []
+    cache: dict[int, tuple] = {}
+    for t in range(0, max(duration_ms - 1, 0) + 1, every_ms):
+        units = t * timescale // 1000
+        pick = None
+        for k, (d, off, sz) in enumerate(samples):
+            if d <= units:
+                pick = k
+            else:
+                break
+        if pick is None:
+            continue
+        if pick not in cache:
+            _, off, sz = samples[pick]
+            w, h, plane = decode_jpeg_luma(raw[off:off + sz])
+            cache[pick] = (w, h, _gray_grid(
+                w, h, lambda x, y: int(plane[y, x]), 4))
+        w, h, grid = cache[pick]
+        out.append((t, w, h, grid))
+    return out
+
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_ms", IntegerType()),
+    StructField("frame_token", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("frame_luma", BinaryType()),
+])
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plumbing for video rows: one output row per sampled
-    timestamp (the decode itself is the stubbed step; the explode/partition
-    shape is the real contract)."""
+    """One row per sampled video timestamp. Motion-JPEG mp4 payloads
+    get a REAL decode: the ISO-BMFF sample-table walk picks the frame
+    presented at each timestamp and jpeg.py decodes it — (width,
+    height, frame_luma 4x4-grid) are actual pixels, pytest-pinned
+    against the encoder fixtures. Other codecs (h264/vp9/av1 …) keep
+    the honest NULL pixel lanes with the deterministic frame_token —
+    the explode/partition shape is real for every row, the bitstream
+    decode still needs a codec library. mapInPandas, no shuffle."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("media_id", "frame_ms", "frame_token", "width",
+                "height", "frame_luma")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for mid, payload, dur in zip(pdf["media_id"].tolist(),
+                                         pdf["payload"].tolist(),
+                                         pdf["duration_ms"].tolist()):
+                raw = bytes(payload or b"")
+                dur_i = None if pd.isna(dur) else int(dur)
+                frames = None
+                try:
+                    frames = decode_video_frames(raw, every_ms, dur_i)
+                except Exception:  # noqa: BLE001 - corrupt sample table
+                    frames = None
+                if frames is not None:
+                    for t, w, h, grid in frames:
+                        rows["media_id"].append(mid)
+                        rows["frame_ms"].append(t)
+                        rows["frame_token"].append(
+                            _frame_token(raw, t))
+                        rows["width"].append(w)
+                        rows["height"].append(h)
+                        rows["frame_luma"].append(grid)
+                    continue
+                if dur_i is None:
+                    continue  # no duration, no sample table: nothing
+                for t in range(0, max(dur_i - 1, 0) + 1, every_ms):
+                    rows["media_id"].append(mid)
+                    rows["frame_ms"].append(t)
+                    rows["frame_token"].append(_frame_token(raw, t))
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["frame_luma"].append(None)
+            if rows["media_id"]:
+                out = pd.DataFrame(rows, columns=cols)
+                out["frame_token"] = pd.array(rows["frame_token"],
+                                              dtype="Int64")
+                for k in ("frame_ms", "width", "height"):
+                    out[k] = pd.array(rows[k], dtype="Int32")
+                yield out
+
     vids = media.filter(F.col("kind") == "video") \
         .select("media_id", "payload", "duration_ms")
-    stamps = F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)),
-                        F.lit(every_ms))
-    return (vids.withColumn("frame_ms", F.explode(stamps))
-            .select("media_id", "frame_ms",
-                    F.xxhash64("payload", "frame_ms").alias("frame_token")))
+    return vids.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def _frame_token(raw: bytes, frame_ms: int) -> int:
+    """Deterministic 64-bit token of (payload, timestamp) — the frame
+    identity key downstream dedup joins on (signed, Spark LongType)."""
+    d = hashlib.sha256(raw + frame_ms.to_bytes(8, "big")).digest()
+    v = int.from_bytes(d[:8], "big")
+    return v - (1 << 64) if v >= 1 << 63 else v
 
 
 MEDIA_METADATA_SCHEMA = StructType([

@@ -392,6 +392,98 @@ def test_modality_kernels(spark):
     assert all(v == [0, 1000, 2000, 3000] for v in per_video.values())
 
 
+def _box(fourcc: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + fourcc + body
+
+
+def _make_mjpeg_mp4(frames, frame_ms=1000):
+    """Minimal ISO-BMFF Motion-JPEG file: ftyp + mdat(frames) + moov
+    with a 'vide' trak whose stsd fourcc is 'jpeg' and real
+    stts/stsz/stsc/stco tables — an independent muxer so the decoder
+    test isn't self-referential."""
+    ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isom")
+    mdat_body = b"".join(frames)
+    mdat = _box(b"mdat", mdat_body)
+    first_off = len(ftyp) + 8  # mdat header is 8 bytes
+    ts, n = 1000, len(frames)
+    dur = n * frame_ms
+    mvhd = _box(b"mvhd", bytes(4) + bytes(8)
+                + ts.to_bytes(4, "big") + dur.to_bytes(4, "big")
+                + bytes(80))
+    tkhd = _box(b"tkhd", bytes(4) + bytes(8) + (1).to_bytes(4, "big")
+                + bytes(4) + dur.to_bytes(4, "big") + bytes(52)
+                + (16 << 16).to_bytes(4, "big")
+                + (16 << 16).to_bytes(4, "big"))
+    mdhd = _box(b"mdhd", bytes(4) + bytes(8)
+                + ts.to_bytes(4, "big") + dur.to_bytes(4, "big")
+                + bytes(4))
+    hdlr = _box(b"hdlr", bytes(4) + bytes(4) + b"vide" + bytes(13))
+    stsd = _box(b"stsd", bytes(4) + (1).to_bytes(4, "big")
+                + _box(b"jpeg", bytes(78)))
+    stts = _box(b"stts", bytes(4) + (1).to_bytes(4, "big")
+                + n.to_bytes(4, "big") + frame_ms.to_bytes(4, "big"))
+    stsz = _box(b"stsz", bytes(4) + bytes(4) + n.to_bytes(4, "big")
+                + b"".join(len(f).to_bytes(4, "big") for f in frames))
+    stsc = _box(b"stsc", bytes(4) + (1).to_bytes(4, "big")
+                + (1).to_bytes(4, "big") + n.to_bytes(4, "big")
+                + (1).to_bytes(4, "big"))
+    stco = _box(b"stco", bytes(4) + (1).to_bytes(4, "big")
+                + first_off.to_bytes(4, "big"))
+    stbl = _box(b"stbl", stsd + stts + stsz + stsc + stco)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def test_mjpeg_video_frame_decode(spark):
+    """sample_frames yields REAL pixels for Motion-JPEG mp4: each
+    sampled timestamp's luma grid equals decode_image of the exact
+    JPEG sample the ISO-BMFF tables point at; non-MJPEG payloads keep
+    the NULL pixel lanes with the same timestamp grid."""
+    from fortissimo_spark.modality import (MEDIA_SCHEMA, decode_image,
+                                           decode_video_frames,
+                                           sample_frames)
+    from tests.test_jpeg import _gradient, encode_jpeg
+
+    import numpy as np
+
+    # 3 distinguishable 16x16 frames
+    jpegs = [encode_jpeg(_gradient(16, 16)),
+             encode_jpeg((255 - _gradient(16, 16)).astype(np.uint8)),
+             encode_jpeg(np.full((16, 16, 3), (30, 200, 90),
+                                 dtype=np.uint8))]
+    mp4 = _make_mjpeg_mp4(jpegs, frame_ms=1000)
+
+    # pure-python: sampled grids == decode_image of the raw samples
+    frames = decode_video_frames(mp4, every_ms=1000)
+    assert [f[0] for f in frames] == [0, 1000, 2000]
+    for (t, w, h, grid), j in zip(frames, jpegs):
+        jw, jh, jgrid = decode_image(j)
+        assert (w, h, bytes(grid)) == (jw, jh, bytes(jgrid))
+    # 500ms sampling holds each frame until the next dts
+    halves = decode_video_frames(mp4, every_ms=500)
+    assert [f[0] for f in halves] == [0, 500, 1000, 1500, 2000, 2500]
+    assert bytes(halves[0][3]) == bytes(halves[1][3])
+
+    media = spark.createDataFrame(
+        [(1, "video", mp4, "video/mp4", None, None, 3000),
+         (2, "video", b"\x00" * 64, "application/octet-stream",
+          None, None, 2500)], MEDIA_SCHEMA)
+    got = {}
+    for r in sample_frames(media, every_ms=1000).collect():
+        got.setdefault(r.media_id, []).append(r)
+    assert [r.frame_ms for r in got[1]] == [0, 1000, 2000]
+    for r, j in zip(got[1], jpegs):
+        jw, jh, jgrid = decode_image(j)
+        assert (r.width, r.height, bytes(r.frame_luma)) \
+            == (jw, jh, bytes(jgrid))
+    assert [r.frame_ms for r in got[2]] == [0, 1000, 2000]
+    assert all(r.frame_luma is None and r.width is None for r in got[2])
+    assert len({r.frame_token for r in got[1] + got[2]}) == 6
+
+
 def _make_bmp(width, height, rgb_at):
     """Minimal uncompressed 24-bit BMP (bottom-up) from a pixel function."""
     stride = (width * 3 + 3) & ~3
