@@ -2321,6 +2321,90 @@ def _host_hits_oracle_sql() -> str:
         JOIN a{_LG_ITERS} a ON a.id = hh.hi"""
 
 
+def _q_host_salsa(spark, sf_dir):
+    """SALSA (Lempel & Moran WWW9 2000) over the same weighted host
+    graph as host_hits: HITS' mutual reinforcement with
+    degree-normalized transitions (the TKC-immune variant), 3 sweeps,
+    L1 + 12-dp grid per half-sweep (graph.salsa). DuckDB replays every
+    half-sweep with unrolled CTEs over the edge normalizers."""
+    from fortissimo_spark.graph import host_graph, salsa
+    from fortissimo_spark.pages import HOSTS
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges_urls, hosts_arr = _host_edge_urls(docs, n)
+    hg = host_graph(edges_urls)
+    nodes = spark.createDataFrame([(h,) for h in HOSTS], "id string")
+    out = salsa(hg, nodes, num_iters=_LG_ITERS,
+                src_col="src_host", dst_col="dst_host",
+                weight_col="weight")
+    return out.select(
+        (F.array_position(hosts_arr, F.col("id")) - 1)
+        .cast("int").alias("host_idx"),
+        F.round("hub", 9).alias("hub"),
+        F.round("authority", 9).alias("authority"))
+
+
+def _host_salsa_oracle_sql() -> str:
+    hub_prev = "hub0"
+    iters = []
+    for i in range(1, _LG_ITERS + 1):
+        iters.append(f"""
+        sa{i}_raw AS (
+          SELECT hh.hi AS id, coalesce(s.v, 0.0) AS v
+          FROM hosts hh LEFT JOIN (
+            SELECT e.dst AS id, sum(h.hub * (e.weight / e.ow)) AS v
+            FROM sedges e JOIN {hub_prev} h ON h.id = e.src
+            GROUP BY e.dst) s ON s.id = hh.hi),
+        sa{i} AS (
+          SELECT id, round(CASE WHEN t.tot <> 0 THEN v / t.tot
+                                ELSE 0 END, 12) AS authority
+          FROM sa{i}_raw CROSS JOIN
+               (SELECT sum(v) AS tot FROM sa{i}_raw) t),
+        sh{i}_raw AS (
+          SELECT hh.hi AS id, coalesce(s.v, 0.0) AS v
+          FROM hosts hh LEFT JOIN (
+            SELECT e.src AS id, sum(a.authority * (e.weight / e.iw)) AS v
+            FROM sedges e JOIN sa{i} a ON a.id = e.dst
+            GROUP BY e.src) s ON s.id = hh.hi),
+        shub{i} AS (
+          SELECT id, round(CASE WHEN t.tot <> 0 THEN v / t.tot
+                                ELSE 0 END, 12) AS hub
+          FROM sh{i}_raw CROSS JOIN
+               (SELECT sum(v) AS tot FROM sh{i}_raw) t)""")
+        hub_prev = f"shub{i}"
+    return f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        hosts AS (SELECT unnest(range(16)) AS hi),
+        raw AS (
+          SELECT CAST(doc_id % 16 AS BIGINT) AS src,
+                 CAST(((doc_id * 31 + 7) % (SELECT n FROM nn)) % 16
+                      AS BIGINT) AS dst FROM documents
+          UNION ALL
+          SELECT doc_id % 16,
+                 ((doc_id * 17 + 3) % (SELECT n FROM nn)) % 16
+          FROM documents
+          UNION ALL
+          SELECT doc_id % 16,
+                 ((doc_id * 97 + 11) % (SELECT n FROM nn)) % 16
+          FROM documents),
+        hedges AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS weight
+                   FROM raw WHERE src <> dst GROUP BY src, dst),
+        sedges AS (
+          SELECT e.src, e.dst, e.weight, o.ow, i.iw
+          FROM hedges e
+          JOIN (SELECT src, sum(weight) AS ow FROM hedges GROUP BY src) o
+            ON o.src = e.src
+          JOIN (SELECT dst, sum(weight) AS iw FROM hedges GROUP BY dst) i
+            ON i.dst = e.dst),
+        hub0 AS (SELECT hi AS id, 1.0 AS hub FROM hosts),{",".join(iters)}
+        SELECT CAST(hh.hi AS INTEGER) AS host_idx,
+               round(h.hub, 9) AS hub,
+               round(a.authority, 9) AS authority
+        FROM hosts hh
+        JOIN {hub_prev} h ON h.id = hh.hi
+        JOIN sa{_LG_ITERS} a ON a.id = hh.hi"""
+
+
 def _q_inverted_index(spark, sf_dir):
     """Positional inverted index over `documents`
     (textstats.inverted_index): df/cf by partial-agg groupBy, the
@@ -3514,6 +3598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": _q_host_rank,
         "host_trustrank": _q_host_trustrank,
         "host_hits": _q_host_hits,
+        "host_salsa": _q_host_salsa,
         "inverted_index": _q_inverted_index,
         "bm25_search": _q_bm25_search,
         "index_compaction": _q_index_compaction,
@@ -5229,6 +5314,7 @@ def oracle_sql() -> dict[str, str]:
         "host_trustrank": _host_trustrank_oracle_sql(),
         "host_communities": _host_communities_oracle_sql(),
         "host_hits": _host_hits_oracle_sql(),
+        "host_salsa": _host_salsa_oracle_sql(),
         "inverted_index": _INVERTED_INDEX_ORACLE,
         "bm25_search": _bm25_oracle_sql(),
         "search_snippets": _search_snippets_oracle_sql(),

@@ -32,7 +32,7 @@ from .dom import N_ATTR_NAMES, N_ATTR_VALUES
 from .kernel import decode_parse
 
 __all__ = ["extract_outlinks", "resolve_href", "link_degrees", "pagerank",
-           "trustrank", "hits", "anchor_text_index", "host_graph",
+           "trustrank", "hits", "salsa", "anchor_text_index", "host_graph",
            "label_propagation", "link_reciprocity", "k_core",
            "degree_assortativity",
            "harmonic_centrality", "hyperball_harmonic", "hyperball_alpha"]
@@ -294,6 +294,79 @@ def hits(edges: DataFrame, nodes: DataFrame, *, num_iters: int = 3,
             # one cut per sweep: hub carries into the next sweep; auth's
             # lineage is one join+agg above the checkpointed hub, cheap
             # to re-derive and not worth a second materialization
+            hub = hub.localCheckpoint(eager=False)
+    return hub.join(auth, "id").select("id", "hub", "authority")
+
+
+def salsa(edges: DataFrame, nodes: DataFrame, *, num_iters: int = 3,
+          src_col: str = "src", dst_col: str = "dst",
+          weight_col: str | None = None,
+          checkpoint: bool = True) -> DataFrame:
+    """(id, hub, authority) — SALSA (Lempel & Moran, WWW9 2000): the
+    stochastic sibling of HITS where every reinforcement step walks
+    the bipartite hub/authority graph with DEGREE-NORMALIZED
+    transitions, which is exactly what removes HITS' TKC
+    vulnerability — a densely self-linked spam farm can dominate raw
+    HITS mutual reinforcement but gains nothing here, because each
+    node distributes ONE unit of mass over its links instead of
+    broadcasting its full score along every edge:
+
+        auth'(v) = sum over in-edges  (u,v): hub(u)  * w(u,v)/outw(u)
+        hub'(u)  = sum over out-edges (u,v): auth'(v) * w(u,v)/inw(v)
+
+    (outw/inw = weighted out-/in-degree). The stationary authority
+    mass within a connected support component is proportional to
+    weighted in-degree — this power iteration keeps the engine shape
+    identical to :func:`hits` (one shuffle per half-sweep over
+    (id, score) rows, broadcast L1 totals, 12-dp determinism grid,
+    lineage cut per sweep) and converges to that fixpoint, so ranks
+    are comparable run-to-run and replayable by the oracle's unrolled
+    CTEs. Edge normalizers attach ONCE up front (two joins), not per
+    sweep."""
+    if weight_col is None:
+        e = edges.select(F.col(src_col).alias("src"),
+                         F.col(dst_col).alias("dst"),
+                         F.lit(1.0).alias("w")).distinct()
+    else:
+        e = edges.select(F.col(src_col).alias("src"),
+                         F.col(dst_col).alias("dst"),
+                         F.col(weight_col).cast("double").alias("w"))
+    outw = e.groupBy(F.col("src").alias("_s")) \
+        .agg(F.sum("w").alias("ow"))
+    inw = e.groupBy(F.col("dst").alias("_t")) \
+        .agg(F.sum("w").alias("iw"))
+    ew = (e.join(outw, e["src"] == outw["_s"])
+          .join(inw, e["dst"] == inw["_t"])
+          .select("src", "dst", "w", "ow", "iw"))
+    if checkpoint:
+        ew = ew.localCheckpoint(eager=False)
+
+    def _norm(scores: DataFrame, col: str) -> DataFrame:
+        total = scores.agg(F.sum(col).alias("_tot"))
+        return (scores.crossJoin(F.broadcast(total))
+                .select("id",
+                        F.round(F.when(F.col("_tot") != 0,
+                                       F.col(col) / F.col("_tot"))
+                                .otherwise(0.0), 12).alias(col)))
+
+    hub = nodes.select("id", F.lit(1.0).alias("hub"))
+    auth = nodes.select("id", F.lit(0.0).alias("authority"))
+    for _ in range(num_iters):
+        a_in = (ew.join(hub, ew["src"] == hub["id"])
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("hub") * (F.col("w") / F.col("ow")))
+                     .alias("authority")))
+        auth = _norm(nodes.join(a_in, "id", "left")
+                     .select("id", F.coalesce("authority", F.lit(0.0))
+                             .alias("authority")), "authority")
+        h_in = (ew.join(auth, ew["dst"] == auth["id"])
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum(F.col("authority")
+                           * (F.col("w") / F.col("iw"))).alias("hub")))
+        hub = _norm(nodes.join(h_in, "id", "left")
+                    .select("id", F.coalesce("hub", F.lit(0.0))
+                            .alias("hub")), "hub")
+        if checkpoint:
             hub = hub.localCheckpoint(eager=False)
     return hub.join(auth, "id").select("id", "hub", "authority")
 

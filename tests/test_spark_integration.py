@@ -4184,6 +4184,71 @@ def test_hits_hand_graph(spark):
     assert {(r.hub, r.authority) for r in none} == {(0.0, 0.0)}
 
 
+def _salsa_replay(edge_list, node_list, iters):
+    """Plain-Python replay of graph.salsa's iteration (unit weights,
+    12-dp grid) for hand fixtures."""
+    from collections import defaultdict
+    ow, iw = defaultdict(float), defaultdict(float)
+    for s, d in edge_list:
+        ow[s] += 1.0
+        iw[d] += 1.0
+    hub = {n: 1.0 for n in node_list}
+    auth = {n: 0.0 for n in node_list}
+    for _ in range(iters):
+        raw = {n: 0.0 for n in node_list}
+        for s, d in edge_list:
+            raw[d] += hub[s] * (1.0 / ow[s])
+        tot = sum(raw.values())
+        auth = {n: round(v / tot, 12) if tot else 0.0
+                for n, v in raw.items()}
+        raw = {n: 0.0 for n in node_list}
+        for s, d in edge_list:
+            raw[s] += auth[d] * (1.0 / iw[d])
+        tot = sum(raw.values())
+        hub = {n: round(v / tot, 12) if tot else 0.0
+               for n, v in raw.items()}
+    return hub, auth
+
+
+def test_salsa_hand_graph_and_tkc_immunity(spark):
+    """SALSA against a plain-Python replay, plus THE discriminating
+    property vs HITS (Lempel & Moran's TKC argument): a tightly
+    interlinked 4-node farm clique (reinforcement eigenvalue 3x3=9)
+    out-reinforces a 4-hub star (eigenvalue 4) under HITS, but under
+    SALSA's degree-normalized walk the star center (in-degree 4 vs 3)
+    holds the top authority."""
+    import math
+
+    from fortissimo_spark.graph import hits, salsa
+    clique = ["f", "g", "k", "m"]
+    stars = ["h1", "h2", "h3", "h4"]
+    node_list = clique + stars + ["z"]
+    edge_list = ([(a, b) for a in clique for b in clique if a != b]
+                 + [(h, "z") for h in stars])
+    nodes = spark.createDataFrame([(n,) for n in node_list], "id string")
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+
+    out_s = {r.id: (r.hub, r.authority)
+             for r in salsa(edges, nodes, num_iters=4).collect()}
+    hub_exp, auth_exp = _salsa_replay(edge_list, node_list, 4)
+    for n in node_list:
+        assert math.isclose(out_s[n][0], hub_exp[n], abs_tol=1e-9), n
+        assert math.isclose(out_s[n][1], auth_exp[n], abs_tol=1e-9), n
+
+    out_h = {r.id: r.authority
+             for r in hits(edges, nodes, num_iters=4).collect()}
+    # HITS: the farm's mutual reinforcement beats the star center
+    assert max(out_h[c] for c in clique) > out_h["z"]
+    # SALSA: one unit of mass per hub -> in-degree wins, farm loses
+    assert out_s["z"][1] > max(out_s[c][1] for c in clique)
+
+    # edgeless graph: zeros, no division blow-up
+    none = salsa(spark.createDataFrame([("x", "y")],
+                                       "src string, dst string").limit(0),
+                 nodes, num_iters=1).collect()
+    assert {(r.hub, r.authority) for r in none} == {(0.0, 0.0)}
+
+
 def test_bm25_search_hand_corpus(spark):
     """BM25 scores against a plain-Python replay of the formula
     (Lucene's non-negative idf variant), top-k cut and rank order."""
