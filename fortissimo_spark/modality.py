@@ -1100,10 +1100,12 @@ def decode_flac_audio(raw: bytes, n_windows: int = 16):
 
 def decode_audio(payload: bytes, *, n_windows: int = 16,
                  deterministic_fake: bool = False):
-    """WAV PCM and FLAC decode for real (stdlib ``wave`` + numpy;
-    flac.py for FLAC samples); other compressed formats (mp3/ogg/...)
-    need a codec not in this container — they raise unless the
-    documented deterministic stand-in is requested."""
+    """WAV PCM, FLAC and MPEG Layer III decode for real (stdlib
+    ``wave`` + numpy; flac.py for FLAC samples; mp3.py for Layer III
+    with its validated Huffman-table subset); other compressed
+    formats (ogg/opus/...) need a codec not in this container — they
+    raise unless the documented deterministic stand-in is
+    requested."""
     raw = payload or b""
     try:
         if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
@@ -1114,6 +1116,24 @@ def decode_audio(payload: bytes, *, n_windows: int = 16,
             except ValueError:
                 # unreadable frames: fall back to the STREAMINFO
                 # metadata + digest stand-in path below
+                pass
+        if raw[:3] == b"ID3" or (len(raw) > 4 and raw[0] == 0xFF
+                                 and (raw[1] & 0xE0) == 0xE0):
+            # REAL MPEG-1/2 Layer III sample decode (mp3.py) — frames
+            # outside the validated Huffman-table set raise and fall
+            # back to the header-sniff stand-in below
+            try:
+                from .mp3 import Mp3Error, decode_mp3
+                rate, nch, pcm = decode_mp3(raw, min_coverage=0.5)
+                # trim the canonical Layer III codec delay (~528
+                # encoder + 529 decoder samples) so envelopes align
+                # with the source audio
+                first = pcm[1056:, 0]
+                duration_ms = int(len(first) * 1000 / rate) if rate \
+                    else 0
+                return rate, nch, duration_ms, \
+                    _rms_profile(first, n_windows)
+            except Mp3Error:
                 pass
         # codec formats: REAL rate/channels/duration from the headers
         # (mp3 frame/Xing, FLAC STREAMINFO, Ogg id + last-page granule),
@@ -1141,10 +1161,11 @@ def decode_audio(payload: bytes, *, n_windows: int = 16,
         unrecognized = False
     if unrecognized and not deterministic_fake:
         raise NotImplementedError(
-            "only WAV PCM and FLAC have in-container SAMPLE decoders "
-            "(mp3/Ogg headers sniff real rate/channels/duration with a "
-            "digest loudness stand-in); other audio formats need a codec "
-            "— pass deterministic_fake=True for the stand-in")
+            "only WAV PCM, FLAC and Layer III mp3 (validated-table "
+            "frames) have in-container SAMPLE decoders (other mp3 "
+            "frames and Ogg sniff real rate/channels/duration with a "
+            "digest loudness stand-in); other audio formats need a "
+            "codec — pass deterministic_fake=True for the stand-in")
     digest = hashlib.sha256(raw).digest()
     rate = 8000 * (1 + digest[0] % 6)
     return rate, 1 + digest[1] % 2, 1000 + digest[2] * 16, \

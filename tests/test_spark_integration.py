@@ -3715,6 +3715,59 @@ def test_outlinks_share_declared_charset_retry(spark):
     assert got[0].anchor == expected_anchor  # 'cafÃ©' per cp1252 retry
 
 
+def test_audio_fingerprint_mp3_wav_cross_codec(spark):
+    """The energy-envelope fingerprint must survive mp3 re-encoding:
+    the SAME decisive 65-step amplitude envelope as 16-bit WAV and as
+    an MPEG-1 Layer III stream (tests/mp3_encoder.py) fingerprints
+    within the near-dup hamming budget, and audio_near_dups pairs
+    them — the mp3 counterpart of the pinned WAV<->FLAC identity."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from fortissimo_spark.modality import (MEDIA_SCHEMA,
+                                           audio_fingerprint,
+                                           audio_near_dups,
+                                           with_audio_fingerprint)
+    from tests.mp3_encoder import encode_mp3
+
+    sr, win = 32000, 4096
+    t = np.arange(65 * win)
+    # 3-level cycle: every adjacent-window comparison is decisive
+    # (no equal-loudness neighbors whose bit a lossy codec could flip)
+    amps = np.array([(0.06, 0.2, 0.45)[i % 3] for i in range(65)])
+    x = np.repeat(amps, win) * np.sin(2 * np.pi * 440 * t / sr)
+
+    # the mp3 loses the trailing partial granule + codec delay; cut
+    # the WAV to the same length so the 65 envelope windows align
+    # (the fingerprint compares the SAME audio span both ways)
+    n_gr = (len(x) // 32) // 18
+    wav_len = n_gr * 576 - 1056
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((x[:wav_len] * 32767).astype("<i2").tobytes())
+    wav_bytes = buf.getvalue()
+    mp3_bytes = encode_mp3(x, sample_rate=sr, table=9, max_q=5)
+
+    fp_w = audio_fingerprint(wav_bytes)
+    fp_m = audio_fingerprint(mp3_bytes)
+    assert fp_w is not None and fp_m is not None
+    ham = bin((fp_w ^ fp_m) & ((1 << 64) - 1)).count("1")
+    assert ham <= 3, f"cross-codec hamming {ham}"
+
+    media = spark.createDataFrame(
+        [(1, "audio", wav_bytes, "audio/wav", None, None, None),
+         (2, "audio", mp3_bytes, "audio/mpeg", None, None, None)],
+        MEDIA_SCHEMA)
+    fps = with_audio_fingerprint(media)
+    pairs = audio_near_dups(fps, max_hamming=3).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
 def test_audio_fingerprint_and_near_dups(spark):
     """Energy-envelope fingerprint: closed-form WAV envelopes, the SAME
     envelope re-encoded as FLAC (16-bit, via the independent spec
