@@ -5,13 +5,14 @@ signatures, partitioning — is real and tested, and so is the decode step
 for the formats decodable without external codecs: baseline JPEG (full
 huffman + IDCT pipeline, jpeg.py), PNG (stdlib zlib + filter
 reconstruction, 8-bit gray/gray+alpha/RGB/RGBA, non-interlaced),
-lossless WebP (full VP8L bitstream, vp8l.py), GIF (full LZW +
-interlacing + color tables, first frame), BMP (uncompressed 24/32-bit)
-and PPM (P6/P3) images produce real dimensions and a pixel-derived 4x4
-grayscale feature grid; WAV PCM audio produces real sample rate /
+lossless WebP (full VP8L bitstream, vp8l.py), lossy WebP (full RFC
+6386 VP8 keyframe decode, vp8.py — bit-exact vs libwebp), GIF (full
+LZW + interlacing + color tables, first frame), BMP (uncompressed
+24/32-bit) and PPM (P6/P3) images produce real dimensions and a
+pixel-derived 4x4 grayscale feature grid; WAV PCM audio produces real sample rate /
 channels / duration and a 16-window RMS loudness profile. The remaining
-codec formats get header-only sniffing (``sniff_media``): WebP
-VP8/VP8X and AVIF yield real dimensions, mp3 (incl. Xing VBR), FLAC
+codec formats get header-only sniffing (``sniff_media``): animated
+WebP and AVIF yield real dimensions, mp3 (incl. Xing VBR), FLAC
 STREAMINFO and Ogg Vorbis/Opus yield real sample rate / channels /
 duration, mp4/ISO-BMFF yields real dimensions + mvhd duration — so the
 typed metadata columns populate without a codec library, while the
@@ -835,6 +836,22 @@ def _has_vp8l_chunk(raw: bytes) -> bool:
     return False
 
 
+def _has_vp8_chunk(raw: bytes) -> bool:
+    """RIFF walk for a still lossy ``VP8 `` chunk (behind an optional
+    VP8X/ALPH/metadata wrapper); animated payloads stay on the sniff
+    path."""
+    i = 12
+    while i + 8 <= len(raw):
+        fourcc = raw[i:i + 4]
+        if fourcc == b"VP8 ":
+            return True
+        if fourcc in (b"VP8L", b"ANMF", b"ANIM"):
+            return False
+        size = int.from_bytes(raw[i + 4:i + 8], "little")
+        i += 8 + size + (size & 1)
+    return False
+
+
 def sniff_media(payload: bytes) -> dict | None:
     """Typed-metadata dict for any sniffable container, else None:
     ``{format, width, height, sample_rate, n_channels, bitrate_kbps,
@@ -907,10 +924,12 @@ def decode_image(payload: bytes, *, grid=4,
     successive approximation) — PNG (8-bit gray/gray+alpha/RGB/RGBA,
     non-interlaced), lossless WebP (vp8l.py: full VP8L bitstream —
     prefix codes, LZ77 + color cache, meta groups, all four transforms),
-    GIF (full LZW incl. interlacing/local tables, first frame), BMP
-    (uncompressed 24/32-bit) and PPM (P6/P3) — no imaging library
-    needed. Remaining formats (lossy-VP8 WebP, AVIF pixels) raise
-    unless ``deterministic_fake=True``, which substitutes a seeded,
+    lossy WebP (vp8.py: the RFC 6386 VP8 keyframe path — bool decoder,
+    token trees, all intra predictors, both loop filters — validated
+    bit-exact against libwebp), GIF (full LZW incl. interlacing/local
+    tables, first frame), BMP (uncompressed 24/32-bit) and PPM (P6/P3)
+    — no imaging library needed. Remaining formats (animated WebP,
+    AVIF pixels) raise unless ``deterministic_fake=True``, which substitutes a seeded,
     content-derived stand-in so the distributed plumbing stays testable.
     """
     raw = payload or b""
@@ -928,19 +947,27 @@ def decode_image(payload: bytes, *, grid=4,
             return decode_ppm(raw, grid)
         if raw[:6] in (b"GIF87a", b"GIF89a"):
             return decode_gif(raw, grid)
-        if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP" \
-                and _has_vp8l_chunk(raw):
-            # lossless WebP: REAL pixel decode (vp8l.py); lossy VP8 /
-            # animated flavors fall through to the header sniff below
-            from .vp8l import decode_vp8l
-            w, h, argb = decode_vp8l(raw)
+        if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+            if _has_vp8l_chunk(raw):
+                # lossless WebP: REAL pixel decode (vp8l.py)
+                from .vp8l import decode_vp8l
+                w, h, argb = decode_vp8l(raw)
 
-            def luma(x, y):
-                p = argb[y * w + x]
-                return ((p >> 16 & 0xFF) * 299 + (p >> 8 & 0xFF) * 587
-                        + (p & 0xFF) * 114) // 1000
+                def luma(x, y):
+                    p = argb[y * w + x]
+                    return ((p >> 16 & 0xFF) * 299 + (p >> 8 & 0xFF) * 587
+                            + (p & 0xFF) * 114) // 1000
 
-            return w, h, _gray_grid(w, h, luma, grid)
+                return w, h, _gray_grid(w, h, luma, grid)
+            if _has_vp8_chunk(raw):
+                # lossy WebP: REAL pixel decode (vp8.py, RFC 6386
+                # keyframe path); the VP8 Y plane IS the luma, exactly
+                # like the JPEG path above. Animated flavors fall
+                # through to the header sniff below.
+                from .vp8 import decode_vp8
+                w, h, yplane, _, _ = decode_vp8(raw)
+                return w, h, _gray_grid(
+                    w, h, lambda x, y: yplane[y * w + x], grid)
         # header-sniffable codec formats: REAL dimensions from the
         # container header, digest stand-in for the pixel summary (the
         # bitstream still needs a codec library)
@@ -954,8 +981,8 @@ def decode_image(payload: bytes, *, grid=4,
         unrecognized = False
     if unrecognized and not deterministic_fake:
         raise NotImplementedError(
-            "only JPEG/PNG/lossless-WebP/GIF/BMP/PPM have in-container "
-            "PIXEL decoders (lossy-WebP/AVIF headers sniff real "
+            "only JPEG/PNG/WebP(VP8+VP8L)/GIF/BMP/PPM have in-container "
+            "PIXEL decoders (animated-WebP/AVIF headers sniff real "
             "dimensions with a digest pixel summary); other formats need "
             "an imaging library — pass deterministic_fake=True for the "
             "content-derived stand-in")
