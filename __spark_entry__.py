@@ -2852,13 +2852,29 @@ _WET_ROUNDTRIP_ORACLE = """
     FROM documents"""
 
 
+# a real libwebp-encoded lossy-VP8 still (tests/data/
+# vp8_photo_64x48_q60.webp): the lane proves the RFC 6386 decoder
+# (fortissimo_spark/vp8.py) inside the distributed kernel — its
+# 64x48 photo content dHashes to a fixed nonzero constant
+_DHASH_WEBP_B64 = (
+    "UklGRggBAABXRUJQVlA4IPwAAADQCACdASpAADAAPqFAm0mspCKhNV38AZAUCWoAnTKv"
+    "Q6yWadwtgMeKS2Z0d8zqNmakaNA3iGHEcz8+cGJl0GFAfnfNSHZ6LSZHSBHImt8AAP37"
+    "URyXXBpr8KK+COWgMmqziERJc8ECXGac+gF44wWs9pnT/bUx+4K8Qsv4lH7XbC9205bh"
+    "UIizA39KHr4E8a5Cf0ouC1Lmi09bAKMFPcjfr3sVhVRB/gs5qoN9RATsy5gojoEXXVeh"
+    "oy3GO6Y5SOCLOTSIi3q+VB06NKDb7B2GFwaN/TBD6FaOg4Wd3PECWv0XORcAYWHamOj2"
+    "XYO1dwywvorLGS8hBHVC4AA=")
+_DHASH_WEBP_EXPECTED = 4557502085410579424
+
+
 def _q_image_dhash(spark, sf_dir):
     """Perceptual image hashing through the REAL pure-Python pixel
     decoders: every doc carries one of three planted P3 images (by
-    doc_id % 3) whose 9x8 dHash has a closed form, plus a corrupt
-    payload lane (doc_id % 31 == 5) that must yield NULLs, never a
-    task failure. DuckDB recomputes the expected hash from doc_id
-    arithmetic — the kernel must actually decode to match."""
+    doc_id % 3) whose 9x8 dHash has a closed form, a real lossy-WebP
+    lane (doc_id % 31 == 7, a libwebp-encoded VP8 still the RFC 6386
+    decoder must pixel-decode), plus a corrupt payload lane
+    (doc_id % 31 == 5) that must yield NULLs, never a task failure.
+    DuckDB recomputes the expected hashes from doc_id arithmetic —
+    the kernel must actually decode to match."""
     from fortissimo_spark.modality import with_image_dhash
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
@@ -2866,16 +2882,20 @@ def _q_image_dhash(spark, sf_dir):
         .when(d % 3 == 0, F.lit(_DHASH_PATTERNS[0])) \
         .when(d % 3 == 1, F.lit(_DHASH_PATTERNS[1])) \
         .otherwise(F.lit(_DHASH_PATTERNS[2]))
-    media = docs.select(d.alias("media_id"),
-                        F.encode(pat, "UTF-8").alias("payload"))
+    payload = F.when(d % 31 == 7, F.unbase64(F.lit(_DHASH_WEBP_B64))) \
+        .otherwise(F.encode(pat, "UTF-8"))
+    media = docs.select(d.alias("media_id"), payload.alias("payload"))
     return with_image_dhash(media)
 
 
 _IMAGE_DHASH_ORACLE = f"""
     SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 31 = 5 THEN NULL ELSE 18 END AS width,
-           CASE WHEN doc_id % 31 = 5 THEN NULL ELSE 16 END AS height,
            CASE WHEN doc_id % 31 = 5 THEN NULL
+                WHEN doc_id % 31 = 7 THEN 64 ELSE 18 END AS width,
+           CASE WHEN doc_id % 31 = 5 THEN NULL
+                WHEN doc_id % 31 = 7 THEN 48 ELSE 16 END AS height,
+           CASE WHEN doc_id % 31 = 5 THEN NULL
+                WHEN doc_id % 31 = 7 THEN {_DHASH_WEBP_EXPECTED}
                 WHEN doc_id % 3 = 0 THEN {_DHASH_EXPECTED[0]}
                 WHEN doc_id % 3 = 1 THEN {_DHASH_EXPECTED[1]}
                 ELSE {_DHASH_EXPECTED[2]} END AS dhash
