@@ -2888,6 +2888,73 @@ def _q_image_dhash(spark, sf_dir):
     return with_image_dhash(media)
 
 
+# a complete WebM (Matroska) video fixture: three REAL libwebp-encoded
+# VP8 keyframes at 0/1000/2000 ms with stand-in interframe slots at
+# 500/1500/2500 ms (tests/data/vp8_video_64x48_3key.webm). The query
+# pins the whole chain: EBML cluster/track walk -> keyframe-snapped
+# selection -> RFC 6386 pixel decode -> 4x4 luma grid, all inside the
+# distributed mapInPandas kernel.
+_VIDEO_WEBM_B64 = (
+    "GkXfo59ChoEBQveBAULygQRC84EIQoKEd2VibUKHgQJChYECGFOAZ0PKFUmpZpIq17GD"
+    "D0JARImIQKdwAAAAAAAWVK5rm66Z14EBc8WBAYOBAYaFVl9WUDjghrCBQLqBMB9DtnVC"
+    "YeeBAKNBEIEAAIAQCwCdASpAADAAPok2l0gqoyIhNV38AVARCWoAnTlBUj4zfh/NFrrd"
+    "VC6yjgvIp+f9bZ97lHG3SQmvOYqYupmjA9GOqUppFooWr20ClJ4Qt/JNx8tokvLKdD4/"
+    "jtjKPQfAAP5mCuK6tluafK3+kARv4gfZ3+DJFZ6TqHv7mgKvYUseWpFdCw7JNk3Z9mhA"
+    "0Brh4HZNyzvosnfiX+DgffHfMjxVDbx7B99XBXq2JUs+QZolK0bpw7tIAHGU/YvTNgcv"
+    "yToTKkbdUO6fuVBHcTD93KTH9lBA44QJQvcvnXrmjTw8hVOZV/34HQNAg+CZrc1Nb0Fq"
+    "VoCyOBfbzbyjQror3x2+tY+7l7s5hoAAo5OBAfQAB25vdC1hLWtleWZyYW1lo0EegQPo"
+    "gPAKAJ0BKkAAMAA+hTKVSCqjIiE3/G1RUBCJaACdMoR/h8rxqvTsNV1UDdJ2c9uEBeob"
+    "WjaeJU00fPFwXjAKVz7U5a5nZs5tyR1E9i5eomBiky2WrQ1ebaDVbys0QB9LcAD+9hJd"
+    "GrX5nq3/8Tn/oeh90HnK2OtBY32RFZzOwxJEEvoOPkYzratpqJjJb18P/TFqyPMXoXPU"
+    "KXqs5TBI9ijA/YuOW8c1gk4pLJzVLgrJwSSXRZJVPUrlwMU3UHfaBYxA0IYO2CzF459/"
+    "jIPoAyLeFzd53KmeFqhmwyLBpp1ZZvKs9hzRqouajMd7FuyV0AoIYuNFqBFwfBOW5DVq"
+    "qBAt1VVklzkaooOHvMpeOzk9XObUPvN+ldAAAKOTgQXcAAdub3QtYS1rZXlmcmFtZR9D"
+    "tnVBJueCB9CjQQqBAACAsAoAnQEqQAAwAD6JNpVIMiMiITq5mAJAEQlqAKknIUIntPmY"
+    "2Lt0hhJSOXz5ZLyUk/ywFdslfIExyTeooiiSJDWrZ8T5ZGg0mdzBrhwFvFRR4Y0bM1YY"
+    "Ow9Kte8OAAD+MNkNy8VAR5t9stY9RTop7SiKJ8j6MsY/brB8zQRszSekmqT3dwgzFY6F"
+    "pD8Oln+c5NHmUAySg9v4Ar4dnp/NZGG6iqGQGr3vshl+lkJ8UAcvUDb/CcpOJeoKGLBK"
+    "l9cA4QWCT5IZ7sDZWq+jlQENWZkUT6TP46v7jYvnCyPkADw113dyxkRBFWqmIkpFdL+p"
+    "Sd2JNJO9In4u/nitfA0Us6et3BSAAKOTgQH0AAdub3QtYS1rZXlmcmFtZQ==")
+
+# (frame_ms, frame_token, luma-grid-hex) — token is the deterministic
+# payload+timestamp hash modality._frame_token computes
+_VIDEO_FRAME_ROWS = (
+    (0, -8739541801511667914, "afb98869b49f6b4c9f745e527e515f65"),
+    (500, 4902781380844602339, "afb98869b49f6b4c9f745e527e515f65"),
+    (1000, 5381333352720871334, "ac6a4b5b8553486a5952637f3f64858d"),
+    (1500, -729411909506844555, "ac6a4b5b8553486a5952637f3f64858d"),
+    (2000, 1902305195883372141, "513e698b465386aa557e97a672a49a96"),
+    (2500, 1014838334120029261, "513e698b465386aa557e97a672a49a96"),
+)
+
+
+def _q_video_frames(spark, sf_dir):
+    """Sampled VIDEO decode through the real distributed kernel: docs
+    in the lane (doc_id % 11 == 3) carry a WebM whose VP8 keyframes
+    vp8.py must pixel-decode at keyframe-snapped 500 ms ticks; DuckDB
+    replays the expected 6-row frame table per doc from constants."""
+    from fortissimo_spark.modality import sample_frames
+    docs = load_table(spark, sf_dir, "documents").select("doc_id") \
+        .filter(F.col("doc_id") % 11 == 3)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.unbase64(F.lit(_VIDEO_WEBM_B64)).alias("payload"),
+        F.lit(None).cast("int").alias("duration_ms"))
+    frames = sample_frames(media, every_ms=500)
+    return frames.select("media_id", "frame_ms", "frame_token", "width",
+                         "height", F.hex("frame_luma").alias("luma_hex"))
+
+
+_VIDEO_FRAMES_ORACLE = """
+    SELECT doc_id AS media_id, f.frame_ms, f.frame_token,
+           64 AS width, 48 AS height, upper(f.luma) AS luma_hex
+    FROM documents, (VALUES {rows}) AS f(frame_ms, frame_token, luma)
+    WHERE doc_id % 11 = 3""".format(rows=", ".join(
+    f"({t}, CAST({tok} AS BIGINT), '{luma}')"
+    for t, tok, luma in _VIDEO_FRAME_ROWS))
+
+
 _IMAGE_DHASH_ORACLE = f"""
     SELECT doc_id AS media_id,
            CASE WHEN doc_id % 31 = 5 THEN NULL
@@ -3550,7 +3617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fix), the host-graph block (host_reciprocity/kcore/assortativity/
     # communities — _outlinks_kernel now shares kernel.decode_parse's
     # declared-charset retry), audio_fingerprint (decode_audio gained the
-    # real mp3 Layer III branch),
+    # real mp3 Layer III branch), image_dhash (new lossy-WebP lane pinning
+    # the RFC 6386 VP8 decoder) and video_frames (NEW: WebM EBML walk +
+    # keyframe-snapped VP8 pixel decode),
     # (C) the stalest r5-driver-verified keys (q1 .. topk_parts) rotate
     # back into the window — (A)+(B)+(C) = exactly 50,
     # (D) the rest: remaining r5-verified keys, then everything the r6
@@ -3595,6 +3664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_assortativity": _q_host_assortativity,
         "host_communities": _q_host_communities,
         "audio_fingerprint": _q_audio_fingerprint,
+        "image_dhash": _q_image_dhash,
+        "video_frames": _q_video_frames,
         # (C) stalest r5-driver-verified keys rotate back in (cap = 50)
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -3606,11 +3677,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_orders": _q_semi_join,
         "anti_join_customers": _q_anti_join,
         "window_latest_event": _q_window_latest_event,
-        "window_running_value": _q_window_running,
         "rollup_orders": _q_rollup_orders,
         "cube_events": _q_cube_events,
         "topk_parts": _q_topk_parts,
         # (D) past the 50-key window: remaining r5-verified keys first
+        "window_running_value": _q_window_running,
         "setop_brands": _q_setop_brands,
         "scalar_fns": _q_scalar_fns,
         "dup_spans": _q_dup_spans,
@@ -3652,6 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_resample": _q_importance_resample,
         "extract_sections": _q_extract_sections,
         "image_dhash": _q_image_dhash,
+        "video_frames": _q_video_frames,
         "fuzzy_para_dedup": _q_fuzzy_para_dedup,
         "template_census": _q_template_census,
         "crawl_budget": _q_crawl_budget,
@@ -5350,6 +5422,7 @@ def oracle_sql() -> dict[str, str]:
         "importance_resample": _IMPORTANCE_ORACLE,
         "extract_sections": _extract_sections_oracle_sql(),
         "image_dhash": _IMAGE_DHASH_ORACLE,
+        "video_frames": _VIDEO_FRAMES_ORACLE,
         "wet_roundtrip": _WET_ROUNDTRIP_ORACLE,
         "zipf_stats": _ZIPF_ORACLE,
         "audio_fingerprint": _AFP_ORACLE,

@@ -716,6 +716,161 @@ def sniff_ogg(raw: bytes):
     return codec, rate, nch, dur
 
 
+# --- Matroska / WebM (EBML) ---------------------------------------------
+
+def _ebml_vint(raw: bytes, pos: int, keep_marker: bool):
+    """(value, next_pos) for one EBML variable-length integer. Element
+    IDs keep the length-marker bit (the convention Matroska specs use
+    for ID constants); sizes strip it. None value = unknown size."""
+    if pos >= len(raw):
+        raise ValueError("EBML vint past end")
+    first = raw[pos]
+    if first == 0:
+        raise ValueError("invalid EBML vint")
+    length = 8 - first.bit_length() + 1
+    if pos + length > len(raw):
+        raise ValueError("truncated EBML vint")
+    if keep_marker:
+        v = int.from_bytes(raw[pos:pos + length], "big")
+    else:
+        v = first & (0xFF >> length)
+        for i in range(1, length):
+            v = (v << 8) | raw[pos + i]
+        if v == (1 << (7 * length)) - 1:
+            v = None  # unknown-size element
+    return v, pos + length
+
+
+def _ebml_children(raw: bytes, pos: int, end: int):
+    """Yield (element_id, data_start, data_end) for EBML master-element
+    children; unknown-size children extend to the parent end."""
+    while pos < end:
+        eid, pos = _ebml_vint(raw, pos, True)
+        size, pos = _ebml_vint(raw, pos, False)
+        data_end = end if size is None else min(pos + size, end)
+        yield eid, pos, data_end
+        pos = data_end
+
+
+def _ebml_uint(raw: bytes, start: int, end: int) -> int:
+    return int.from_bytes(raw[start:end], "big")
+
+
+_EBML_MAGIC = b"\x1aE\xdf\xa3"
+
+
+def _walk_webm(raw: bytes):
+    """Parse the WebM structure shared by the sniffer and the frame
+    sampler: returns (codec_id, width, height, duration_ms,
+    blocks) where blocks is [(time_ms, is_keyframe, off, size)] for
+    the first video track, or None when ``raw`` is not EBML/Matroska.
+    Laced blocks are skipped (VP8 video is written unlaced); block
+    times use TimestampScale (default 1 ms ticks per Matroska spec)."""
+    if raw[:4] != _EBML_MAGIC:
+        return None
+    try:
+        return _walk_webm_inner(raw)
+    except ValueError:
+        return None  # truncated/corrupt EBML: sniff-degrade, not raise
+
+
+def _walk_webm_inner(raw: bytes):
+    _, p = _ebml_vint(raw, 0, True)
+    hdr_size, p = _ebml_vint(raw, p, False)
+    p += hdr_size or 0
+    eid, p2 = _ebml_vint(raw, p, True)
+    if eid != 0x18538067:  # Segment
+        return None
+    seg_size, p2 = _ebml_vint(raw, p2, False)
+    seg_end = len(raw) if seg_size is None else min(p2 + seg_size, len(raw))
+
+    ts_scale_ns = 1_000_000
+    duration_ticks = None
+    codec = width = height = None
+    track_num = None
+    blocks = []
+    for eid, s, e in _ebml_children(raw, p2, seg_end):
+        if eid == 0x1549A966:  # Info
+            for cid, cs, ce in _ebml_children(raw, s, e):
+                if cid == 0x2AD7B1:  # TimestampScale
+                    ts_scale_ns = _ebml_uint(raw, cs, ce)
+                elif cid == 0x4489:  # Duration (float ticks)
+                    import struct as _struct
+                    n = ce - cs
+                    duration_ticks = _struct.unpack(
+                        ">f" if n == 4 else ">d", raw[cs:ce])[0]
+        elif eid == 0x1654AE6B and track_num is None:  # Tracks
+            for cid, cs, ce in _ebml_children(raw, s, e):
+                if cid != 0xAE:  # TrackEntry
+                    continue
+                t_num = t_type = t_codec = t_w = t_h = None
+                for fid, fs, fe in _ebml_children(raw, cs, ce):
+                    if fid == 0xD7:
+                        t_num = _ebml_uint(raw, fs, fe)
+                    elif fid == 0x83:
+                        t_type = _ebml_uint(raw, fs, fe)
+                    elif fid == 0x86:
+                        t_codec = raw[fs:fe].rstrip(b"\x00").decode(
+                            "ascii", "replace")
+                    elif fid == 0xE0:  # Video
+                        for vid, vs, ve in _ebml_children(raw, fs, fe):
+                            if vid == 0xB0:
+                                t_w = _ebml_uint(raw, vs, ve)
+                            elif vid == 0xBA:
+                                t_h = _ebml_uint(raw, vs, ve)
+                if t_type == 1 and t_num is not None:
+                    track_num, codec = t_num, t_codec
+                    width, height = t_w, t_h
+                    break
+        elif eid == 0x1F43B675 and track_num is not None:  # Cluster
+            cluster_ts = 0
+            for cid, cs, ce in _ebml_children(raw, s, e):
+                if cid == 0xE7:  # Timestamp
+                    cluster_ts = _ebml_uint(raw, cs, ce)
+                elif cid in (0xA3, 0xA0):  # SimpleBlock | BlockGroup
+                    bs, be = cs, ce
+                    is_key = None
+                    if cid == 0xA0:
+                        bs = None
+                        has_ref = False
+                        for gid, gs, ge in _ebml_children(raw, cs, ce):
+                            if gid == 0xA1:  # Block
+                                bs, be = gs, ge
+                            elif gid == 0xFB:  # ReferenceBlock
+                                has_ref = True
+                        if bs is None:
+                            continue
+                        is_key = not has_ref
+                    tnum, bp = _ebml_vint(raw, bs, False)
+                    if tnum != track_num or bp + 3 > be:
+                        continue
+                    rel = int.from_bytes(raw[bp:bp + 2], "big",
+                                         signed=True)
+                    flags = raw[bp + 2]
+                    if flags & 0x06:  # laced: not used for VP8 video
+                        continue
+                    if is_key is None:
+                        is_key = bool(flags & 0x80)
+                    t_ms = (cluster_ts + rel) * ts_scale_ns // 1_000_000
+                    blocks.append((t_ms, is_key, bp + 3, be - (bp + 3)))
+    dur_ms = None
+    if duration_ticks is not None:
+        dur_ms = int(duration_ticks * ts_scale_ns / 1_000_000)
+    elif blocks:
+        dur_ms = blocks[-1][0]
+    return codec, width, height, dur_ms, blocks
+
+
+def sniff_webm(raw: bytes):
+    """(width, height, duration_ms, codec_id) for a Matroska/WebM
+    payload with a video track, else None."""
+    parsed = _walk_webm(raw)
+    if parsed is None or parsed[0] is None:
+        return None
+    codec, w, h, dur, _ = parsed
+    return w, h, dur, codec
+
+
 def sniff_mp4(raw: bytes):
     """(width, height, duration_ms) from an ISO-BMFF (mp4/mov) moov box:
     mvhd timescale+duration for the presentation length, the first tkhd
@@ -912,6 +1067,13 @@ def sniff_media(payload: bytes) -> dict | None:
     if mp4:
         return {**base, "format": "mp4", "width": mp4[0],
                 "height": mp4[1], "duration_ms": mp4[2]}
+    if raw[:4] == _EBML_MAGIC:
+        wm = sniff_webm(raw)
+        if wm:
+            codec = (wm[3] or "").lower().replace("v_", "", 1)
+            return {**base, "format": f"webm-{codec or 'unknown'}",
+                    "width": wm[0], "height": wm[1],
+                    "duration_ms": wm[2]}
     return None
 
 
@@ -962,12 +1124,19 @@ def decode_image(payload: bytes, *, grid=4,
             if _has_vp8_chunk(raw):
                 # lossy WebP: REAL pixel decode (vp8.py, RFC 6386
                 # keyframe path); the VP8 Y plane IS the luma, exactly
-                # like the JPEG path above. Animated flavors fall
-                # through to the header sniff below.
+                # like the JPEG path above. A truncated/undecodable
+                # bitstream degrades to the header-sniff digest lane
+                # below — census rows keep their real dimensions even
+                # when the payload bytes are cut short. Animated
+                # flavors go straight to the sniff.
                 from .vp8 import decode_vp8
-                w, h, yplane, _, _ = decode_vp8(raw)
-                return w, h, _gray_grid(
-                    w, h, lambda x, y: yplane[y * w + x], grid)
+                try:
+                    w, h, yplane, _, _ = decode_vp8(raw)
+                except ValueError:
+                    pass
+                else:
+                    return w, h, _gray_grid(
+                        w, h, lambda x, y: yplane[y * w + x], grid)
         # header-sniffable codec formats: REAL dimensions from the
         # container header, digest stand-in for the pixel summary (the
         # bitstream still needs a codec library)
@@ -1397,13 +1566,15 @@ def decode_video_frames(raw: bytes, every_ms: int = 1000,
     ISO-BMFF sample tables (:func:`_mp4_mjpeg_samples`), pick the
     frame presented at each ``every_ms`` timestamp (last sample with
     dts <= t), decode its JPEG bitstream with jpeg.py, and summarize
-    as the shared 4x4 luma grid. Returns
-    ``[(frame_ms, width, height, luma16-bytes)]`` or None when the
-    payload has no MJPEG track (other codecs still need a library).
+    as the shared 4x4 luma grid; WebM VP8 payloads get the same
+    treatment at keyframe granularity via :func:`_webm_vp8_frames`.
+    Returns ``[(frame_ms, width, height, luma16-bytes)]`` or None when
+    the payload has neither an MJPEG track nor a VP8 WebM track (other
+    codecs still need a library).
     """
     tab = _mp4_mjpeg_samples(raw)
     if tab is None:
-        return None
+        return _webm_vp8_frames(raw, every_ms, duration_ms)
     timescale, samples = tab
     from .jpeg import decode_jpeg_luma
     if duration_ms is None:
@@ -1428,6 +1599,48 @@ def decode_video_frames(raw: bytes, every_ms: int = 1000,
             w, h, plane = decode_jpeg_luma(raw[off:off + sz])
             cache[pick] = (w, h, _gray_grid(
                 w, h, lambda x, y: int(plane[y, x]), 4))
+        w, h, grid = cache[pick]
+        out.append((t, w, h, grid))
+    return out
+
+
+def _webm_vp8_frames(raw: bytes, every_ms: int,
+                     duration_ms: int | None):
+    """Keyframe-accurate sampled decode for WebM VP8 video: the EBML
+    block walk finds the video track's keyframes and vp8.py (the RFC
+    6386 keyframe decoder) turns the latest keyframe at or before each
+    ``every_ms`` tick into the shared 4x4 luma grid. Interframes need
+    reference-buffer motion compensation, so sampling snaps to the
+    governing keyframe — the standard thumbnail semantics. Returns
+    None when ``raw`` isn't a WebM with a VP8 video track."""
+    parsed = _walk_webm(raw)
+    if parsed is None:
+        return None
+    codec, _, _, dur, blocks = parsed
+    if codec != "V_VP8" or not blocks:
+        return None
+    keys = [(t, off, sz) for (t, k, off, sz) in blocks if k]
+    if not keys:
+        return None
+    if duration_ms is None:
+        duration_ms = dur if dur else keys[-1][0] + every_ms
+    from .vp8 import decode_vp8_frame
+    out = []
+    cache: dict[int, tuple] = {}
+    for t in range(0, max(duration_ms - 1, 0) + 1, every_ms):
+        pick = None
+        for k, (bt, off, sz) in enumerate(keys):
+            if bt <= t:
+                pick = k
+            else:
+                break
+        if pick is None:
+            continue
+        if pick not in cache:
+            _, off, sz = keys[pick]
+            w, h, y, _, _ = decode_vp8_frame(raw[off:off + sz])
+            cache[pick] = (w, h, _gray_grid(
+                w, h, lambda x, yy: y[yy * w + x], 4))
         w, h, grid = cache[pick]
         out.append((t, w, h, grid))
     return out

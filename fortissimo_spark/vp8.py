@@ -326,6 +326,10 @@ def decode_vp8_frame(data: bytes):  # noqa: C901 - one spec, one walk
     w, h = wbits & 0x3FFF, hbits & 0x3FFF
     if not w or not h:
         raise ValueError("zero VP8 dimensions")
+    if first_part_size == 0 or 10 + first_part_size > len(data):
+        # libwebp rejects these too (NOT_ENOUGH_DATA): a header-only
+        # or cut-off stream must degrade, not "decode" zero-fill
+        raise ValueError("truncated VP8 first partition")
     mb_w, mb_h = (w + 15) >> 4, (h + 15) >> 4
 
     bd = _BoolDecoder(data, 10, 10 + first_part_size)
