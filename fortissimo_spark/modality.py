@@ -1041,6 +1041,12 @@ def sniff_media(payload: bytes) -> dict | None:
                 "n_channels": wav[1], "duration_ms": wav[2]}
     wp = sniff_webp(raw)
     if wp:
+        anim = _webp_anim_walk(raw)
+        if anim is not None:
+            dur = sum(f[2] for f in anim[3])
+            return {**base, "format": "webp-anim",
+                    "width": wp[0], "height": wp[1],
+                    "duration_ms": dur or None}
         return {**base, "format": f"webp-{wp[2]}",
                 "width": wp[0], "height": wp[1]}
     g = sniff_gif(raw)
@@ -1574,7 +1580,10 @@ def decode_video_frames(raw: bytes, every_ms: int = 1000,
     """
     tab = _mp4_mjpeg_samples(raw)
     if tab is None:
-        return _webm_vp8_frames(raw, every_ms, duration_ms)
+        wm = _webm_vp8_frames(raw, every_ms, duration_ms)
+        if wm is not None:
+            return wm
+        return _webp_anim_frames(raw, every_ms, duration_ms)
     timescale, samples = tab
     from .jpeg import decode_jpeg_luma
     if duration_ms is None:
@@ -1601,6 +1610,209 @@ def decode_video_frames(raw: bytes, every_ms: int = 1000,
                 w, h, lambda x, y: int(plane[y, x]), 4))
         w, h, grid = cache[pick]
         out.append((t, w, h, grid))
+    return out
+
+
+def _webp_anim_walk(raw: bytes):
+    """None unless ``raw`` is a RIFF WebP with ANMF animation frames.
+    Returns (canvas_w, canvas_h, bg_bgra, frames) with frames =
+    [(x, y, dur_ms, dispose_to_bg, no_blend, payload)] — payload is
+    the frame's image subchunk bytes (optional ALPH + VP8/VP8L), per
+    the public WebP container spec."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
+        return None
+    canvas_w = canvas_h = None
+    bg = (255, 255, 255, 255)
+    frames = []
+    i = 12
+    while i + 8 <= len(raw):
+        cc = raw[i:i + 4]
+        sz = int.from_bytes(raw[i + 4:i + 8], "little")
+        d = raw[i + 8:i + 8 + sz]
+        if cc == b"VP8X" and len(d) >= 10:
+            canvas_w = int.from_bytes(d[4:7], "little") + 1
+            canvas_h = int.from_bytes(d[7:10], "little") + 1
+        elif cc == b"ANIM" and len(d) >= 6:
+            bg = tuple(d[0:4])  # B, G, R, A
+        elif cc == b"ANMF" and len(d) >= 16:
+            fx = int.from_bytes(d[0:3], "little") * 2
+            fy = int.from_bytes(d[3:6], "little") * 2
+            dur = int.from_bytes(d[12:15], "little")
+            flags = d[15]
+            frames.append((fx, fy, dur, bool(flags & 1),
+                           bool(flags & 2), d[16:]))
+        i += 8 + sz + (sz & 1)
+    if not frames or canvas_w is None:
+        return None
+    return canvas_w, canvas_h, bg, frames
+
+
+def _alph_unfilter(alpha, w, h, method):
+    """WebP ALPH filtering methods 1-3 (horizontal/vertical/gradient)
+    add the prediction back in place, per the container spec."""
+    if method == 0:
+        return alpha
+    for y in range(h):
+        row = y * w
+        for x in range(w):
+            if method == 1:
+                p = alpha[row + x - 1] if x else (
+                    alpha[row - w + x] if y else 0)
+            elif method == 2:
+                p = alpha[row - w + x] if y else (
+                    alpha[row + x - 1] if x else 0)
+            else:
+                if x and y:
+                    g = (alpha[row + x - 1] + alpha[row - w + x]
+                         - alpha[row - w + x - 1])
+                    p = 0 if g < 0 else (255 if g > 255 else g)
+                elif x:
+                    p = alpha[row + x - 1]
+                elif y:
+                    p = alpha[row - w + x]
+                else:
+                    p = 0
+            alpha[row + x] = (alpha[row + x] + p) & 0xFF
+    return alpha
+
+
+def _alph_decode(data: bytes, w: int, h: int):
+    """Alpha plane from a WebP ALPH chunk: raw or VP8L-compressed
+    (the lossless image stream minus signature/dims, green channel),
+    then un-filtered. Returns a list of w*h alpha bytes."""
+    if not data:
+        raise ValueError("empty ALPH chunk")
+    comp = data[0] & 3
+    method = (data[0] >> 2) & 3
+    if comp == 0:
+        if len(data) < 1 + w * h:
+            raise ValueError("short raw ALPH plane")
+        alpha = list(data[1:1 + w * h])
+    elif comp == 1:
+        from .vp8l import _BitReader, _decode_image_stream
+        px = _decode_image_stream(_BitReader(data[1:]), w, h, level0=True)
+        alpha = [(p >> 8) & 0xFF for p in px]
+    else:
+        raise ValueError(f"reserved ALPH compression {comp}")
+    return _alph_unfilter(alpha, w, h, method)
+
+
+def _decode_webp_frame_la(payload: bytes):
+    """(w, h, luma, alpha) for one animation frame's image subchunks
+    (optional ALPH + one VP8/VP8L chunk); alpha is None when the frame
+    is fully opaque (lossy without ALPH)."""
+    alph = None
+    i = 0
+    while i + 8 <= len(payload):
+        cc = payload[i:i + 4]
+        sz = int.from_bytes(payload[i + 4:i + 8], "little")
+        d = payload[i + 8:i + 8 + sz]
+        if cc == b"ALPH":
+            alph = d
+        elif cc == b"VP8 ":
+            from .vp8 import decode_vp8_frame
+            w, h, y, _, _ = decode_vp8_frame(d)
+            alpha = _alph_decode(alph, w, h) if alph is not None else None
+            return w, h, list(y), alpha
+        elif cc == b"VP8L":
+            from .vp8l import decode_vp8l_chunk
+            w, h, argb = decode_vp8l_chunk(d)
+            luma = [((p >> 16 & 0xFF) * 299 + (p >> 8 & 0xFF) * 587
+                     + (p & 0xFF) * 114) // 1000 for p in argb]
+            alpha = [p >> 24 for p in argb]
+            return w, h, luma, alpha
+        i += 8 + sz + (sz & 1)
+    raise ValueError("ANMF frame without VP8/VP8L image chunk")
+
+
+def _webp_anim_frames(raw: bytes, every_ms: int,
+                      duration_ms: int | None):
+    """Sampled decode for ANIMATED WebP: walk the ANMF timeline,
+    composite each frame onto the canvas with the container spec's
+    alpha-blend / overwrite + dispose-to-background rules (exact
+    integer arithmetic on luma+alpha — luma is what the grid
+    summarizes), and emit the canvas state at each ``every_ms`` tick
+    flattened over the ANIM background color. Returns None when
+    ``raw`` isn't an animated WebP."""
+    parsed = _webp_anim_walk(raw)
+    if parsed is None:
+        return None
+    cw, ch, bg, frames = parsed
+    bg_luma = (bg[2] * 299 + bg[1] * 587 + bg[0] * 114) // 1000
+    bg_alpha = bg[3]
+    total = sum(max(f[2], 1) for f in frames)
+    if duration_ms is None:
+        duration_ms = total
+    # frame k covers [start_k, start_k + dur_k); zero durations count 1
+    starts = []
+    t0 = 0
+    for f in frames:
+        starts.append(t0)
+        t0 += max(f[2], 1)
+    canvas_l = [0] * (cw * ch)
+    canvas_a = [0] * (cw * ch)  # canvas starts fully transparent
+    pending_dispose = None
+    composited = -1
+    out = []
+    grid_cache = {}
+    for t in range(0, max(duration_ms - 1, 0) + 1, every_ms):
+        k = 0
+        for j, st in enumerate(starts):
+            if st <= t:
+                k = j
+        while composited < k:
+            composited += 1
+            if pending_dispose is not None:
+                dx, dy, dw, dh = pending_dispose
+                for r in range(dh):
+                    cy = dy + r
+                    if cy >= ch:
+                        break
+                    row = cy * cw
+                    for c in range(dw):
+                        if dx + c >= cw:
+                            break
+                        canvas_l[row + dx + c] = bg_luma
+                        canvas_a[row + dx + c] = bg_alpha
+                pending_dispose = None
+            fx, fy, _, dispose, no_blend, payload = frames[composited]
+            fw, fh, luma, alpha = _decode_webp_frame_la(payload)
+            for r in range(fh):
+                cy = fy + r
+                if cy >= ch:
+                    break
+                row = cy * cw
+                frow = r * fw
+                for c in range(fw):
+                    cx = fx + c
+                    if cx >= cw:
+                        break
+                    ls = luma[frow + c]
+                    asrc = 255 if alpha is None else alpha[frow + c]
+                    if no_blend or asrc == 255:
+                        canvas_l[row + cx] = ls
+                        canvas_a[row + cx] = asrc
+                    elif asrc:
+                        ad = canvas_a[row + cx]
+                        aout = asrc * 255 + ad * (255 - asrc)  # x255^2
+                        num = (ls * asrc * 255
+                               + canvas_l[row + cx] * ad * (255 - asrc))
+                        canvas_l[row + cx] = num // aout
+                        canvas_a[row + cx] = (aout + 127) // 255
+            if dispose:
+                # applied at the START of the next composite step: the
+                # frame stays visible for its own display window
+                pending_dispose = (fx, fy, fw, fh)
+        if composited in grid_cache:
+            out.append((t, cw, ch, grid_cache[composited]))
+            continue
+        flat = canvas_l[:]
+        for i, a in enumerate(canvas_a):
+            if a != 255:
+                flat[i] = (canvas_l[i] * a + bg_luma * (255 - a)) // 255
+        grid = _gray_grid(cw, ch, lambda x, y: flat[y * cw + x], 4)
+        grid_cache[composited] = grid
+        out.append((t, cw, ch, grid))
     return out
 
 
