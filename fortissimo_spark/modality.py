@@ -1573,17 +1573,21 @@ def decode_video_frames(raw: bytes, every_ms: int = 1000,
     frame presented at each ``every_ms`` timestamp (last sample with
     dts <= t), decode its JPEG bitstream with jpeg.py, and summarize
     as the shared 4x4 luma grid; WebM VP8 payloads get the same
-    treatment at keyframe granularity via :func:`_webm_vp8_frames`.
-    Returns ``[(frame_ms, width, height, luma16-bytes)]`` or None when
-    the payload has neither an MJPEG track nor a VP8 WebM track (other
-    codecs still need a library).
+    treatment at keyframe granularity via :func:`_webm_vp8_frames`,
+    animated WebP composites its ANMF timeline via
+    :func:`_webp_anim_frames`, and multi-frame GIFs composite theirs
+    via :func:`_gif_anim_frames`. Returns
+    ``[(frame_ms, width, height, luma16-bytes)]`` or None when the
+    payload is none of those (other codecs still need a library).
     """
     tab = _mp4_mjpeg_samples(raw)
     if tab is None:
-        wm = _webm_vp8_frames(raw, every_ms, duration_ms)
-        if wm is not None:
-            return wm
-        return _webp_anim_frames(raw, every_ms, duration_ms)
+        for fallback in (_webm_vp8_frames, _webp_anim_frames,
+                         _gif_anim_frames):
+            got = fallback(raw, every_ms, duration_ms)
+            if got is not None:
+                return got
+        return None
     timescale, samples = tab
     from .jpeg import decode_jpeg_luma
     if duration_ms is None:
@@ -1610,6 +1614,182 @@ def decode_video_frames(raw: bytes, every_ms: int = 1000,
                 w, h, lambda x, y: int(plane[y, x]), 4))
         w, h, grid = cache[pick]
         out.append((t, w, h, grid))
+    return out
+
+
+def _gif_frames_walk(payload: bytes):
+    """All image frames of a GIF with their GCE animation state:
+    (screen_w, screen_h, bg_luma, frames) where frames =
+    [(left, top, iw, ih, delay_ms, disposal, luma_row_major,
+    trans_mask)] — luma per pixel from the frame's color table,
+    trans_mask True where the GCE transparent index leaves the canvas
+    unchanged. None when ``payload`` isn't a GIF."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    bg_idx = payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    if not sw or not sh:
+        return None
+
+    def table_luma(table, i):
+        p = 3 * i
+        if p + 3 > len(table):
+            return 0
+        return (table[p] * 299 + table[p + 1] * 587
+                + table[p + 2] * 114) // 1000
+
+    bg_luma = table_luma(gct, bg_idx) if gct else 255
+    frames = []
+    delay_cs = 0
+    disposal = 0
+    trans_idx = None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:
+            label = payload[pos + 1] if pos + 1 < len(payload) else 0
+            pos += 2
+            if label == 0xF9 and pos < len(payload) and payload[pos] >= 4:
+                flags = payload[pos + 1]
+                delay_cs = int.from_bytes(payload[pos + 2:pos + 4],
+                                          "little")
+                disposal = (flags >> 2) & 7
+                trans_idx = payload[pos + 4] if flags & 1 else None
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            left = int.from_bytes(payload[pos + 1:pos + 3], "little")
+            top = int.from_bytes(payload[pos + 3:pos + 5], "little")
+            iw = int.from_bytes(payload[pos + 5:pos + 7], "little")
+            ih = int.from_bytes(payload[pos + 7:pos + 9], "little")
+            ip = payload[pos + 9]
+            pos += 10
+            table = gct
+            if ip & 0x80:
+                n = 2 << (ip & 7)
+                table = payload[pos:pos + 3 * n]
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF image without a color table")
+            mcs = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                lzw += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(lzw), mcs, iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError("truncated GIF frame data")
+            if ip & 0x40:
+                rows = []
+                for start, step in _GIF_INTERLACE:
+                    rows.extend(range(start, ih, step))
+                de = bytearray(iw * ih)
+                for src_row, dst_row in enumerate(rows):
+                    de[dst_row * iw:(dst_row + 1) * iw] = \
+                        idx[src_row * iw:(src_row + 1) * iw]
+                idx = bytes(de)
+            luma = [table_luma(table, i) for i in idx]
+            mask = ([i == trans_idx for i in idx]
+                    if trans_idx is not None else None)
+            frames.append((left, top, iw, ih, max(delay_cs, 1) * 10,
+                           disposal, luma, mask))
+            delay_cs = 0
+            disposal = 0
+            trans_idx = None
+        elif b == 0x3B:
+            break
+        else:
+            pos += 1
+    if not frames:
+        return None
+    return sw, sh, bg_luma, frames
+
+
+def _gif_anim_frames(raw: bytes, every_ms: int,
+                     duration_ms: int | None):
+    """Sampled decode for ANIMATED GIF: composite the frame timeline
+    (GIF89a disposal methods — none/keep, restore-to-background as
+    clear-to-transparent per the universal renderer convention,
+    restore-to-previous — and GCE transparency) and emit the canvas
+    luma at each tick flattened over the background color. None unless
+    the payload is a multi-frame GIF (stills stay on decode_image)."""
+    parsed = _gif_frames_walk(raw or b"")
+    if parsed is None or len(parsed[3]) < 2:
+        return None
+    sw, sh, bg_luma, frames = parsed
+    if duration_ms is None:
+        duration_ms = sum(f[4] for f in frames)
+    starts = []
+    t0 = 0
+    for f in frames:
+        starts.append(t0)
+        t0 += f[4]
+    canvas_l = [0] * (sw * sh)
+    canvas_a = [False] * (sw * sh)
+    pending = None  # ("bg", rect) | ("prev", rect, saved_l, saved_a)
+    composited = -1
+    out = []
+    grid_cache = {}
+    for t in range(0, max(duration_ms - 1, 0) + 1, every_ms):
+        k = 0
+        for j, st in enumerate(starts):
+            if st <= t:
+                k = j
+        while composited < k:
+            composited += 1
+            if pending is not None:
+                if pending[0] == "bg":
+                    _, (dx, dy, dw, dh) = pending
+                    for r in range(dh):
+                        if dy + r >= sh:
+                            break
+                        row = (dy + r) * sw
+                        for c in range(dw):
+                            if dx + c >= sw:
+                                break
+                            canvas_a[row + dx + c] = False
+                else:
+                    _, _, canvas_l, canvas_a = pending
+                pending = None
+            left, top, iw, ih, _, disposal, luma, mask = \
+                frames[composited]
+            if disposal == 3:
+                pending = ("prev", None, canvas_l[:], canvas_a[:])
+            elif disposal == 2:
+                pending = ("bg", (left, top, iw, ih))
+            for r in range(ih):
+                cy = top + r
+                if cy >= sh:
+                    break
+                row = cy * sw
+                frow = r * iw
+                for c in range(iw):
+                    cx = left + c
+                    if cx >= sw:
+                        break
+                    if mask is not None and mask[frow + c]:
+                        continue
+                    canvas_l[row + cx] = luma[frow + c]
+                    canvas_a[row + cx] = True
+        if composited in grid_cache:
+            out.append((t, sw, sh, grid_cache[composited]))
+            continue
+        flat = [canvas_l[i] if canvas_a[i] else bg_luma
+                for i in range(sw * sh)]
+        grid = _gray_grid(sw, sh, lambda x, y: flat[y * sw + x], 4)
+        grid_cache[composited] = grid
+        out.append((t, sw, sh, grid))
     return out
 
 
@@ -1869,14 +2049,16 @@ FRAME_SCHEMA = StructType([
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """One row per sampled video timestamp. Motion-JPEG mp4 payloads
-    get a REAL decode: the ISO-BMFF sample-table walk picks the frame
-    presented at each timestamp and jpeg.py decodes it — (width,
-    height, frame_luma 4x4-grid) are actual pixels, pytest-pinned
-    against the encoder fixtures. Other codecs (h264/vp9/av1 …) keep
-    the honest NULL pixel lanes with the deterministic frame_token —
-    the explode/partition shape is real for every row, the bitstream
-    decode still needs a codec library. mapInPandas, no shuffle."""
+    """One row per sampled video timestamp. REAL decodes cover
+    Motion-JPEG mp4 (ISO-BMFF sample-table walk + jpeg.py), WebM VP8
+    (EBML walk + the RFC 6386 keyframe decoder, keyframe-snapped),
+    animated WebP (ANMF compositing over vp8.py/vp8l.py) and animated
+    GIF (disposal/transparency compositing) — (width, height,
+    frame_luma 4x4-grid) are actual pixels, pytest-pinned. Other
+    codecs (h264/vp9/av1 …) keep the honest NULL pixel lanes with the
+    deterministic frame_token — the explode/partition shape is real
+    for every row, the bitstream decode still needs a codec library.
+    mapInPandas, no shuffle."""
 
     def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ("media_id", "frame_ms", "frame_token", "width",
