@@ -3618,8 +3618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # communities — _outlinks_kernel now shares kernel.decode_parse's
     # declared-charset retry), audio_fingerprint (decode_audio gained the
     # real mp3 Layer III branch), image_dhash (new lossy-WebP lane pinning
-    # the RFC 6386 VP8 decoder) and video_frames (NEW: WebM EBML walk +
-    # keyframe-snapped VP8 pixel decode),
+    # the RFC 6386 VP8 decoder), video_frames (NEW: WebM EBML walk +
+    # keyframe-snapped VP8 pixel decode) and media_metadata (new
+    # WebM / animated-WebP / animated-GIF census lanes),
     # (C) the stalest r5-driver-verified keys (q1 .. topk_parts) rotate
     # back into the window — (A)+(B)+(C) = exactly 50,
     # (D) the rest: remaining r5-verified keys, then everything the r6
@@ -3666,6 +3667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint": _q_audio_fingerprint,
         "image_dhash": _q_image_dhash,
         "video_frames": _q_video_frames,
+        "media_metadata": _q_media_metadata,
         # (C) stalest r5-driver-verified keys rotate back in (cap = 50)
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -3676,11 +3678,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_orders": _q_pivot_orders,
         "semi_join_orders": _q_semi_join,
         "anti_join_customers": _q_anti_join,
-        "window_latest_event": _q_window_latest_event,
         "rollup_orders": _q_rollup_orders,
         "cube_events": _q_cube_events,
         "topk_parts": _q_topk_parts,
         # (D) past the 50-key window: remaining r5-verified keys first
+        "window_latest_event": _q_window_latest_event,
         "window_running_value": _q_window_running,
         "setop_brands": _q_setop_brands,
         "scalar_fns": _q_scalar_fns,
@@ -4123,23 +4125,45 @@ def _q_semantic_dedup_split(spark, sf_dir):
             .orderBy("vec_id"))
 
 
+# fixed container fixtures for the census lanes: a WebM with a real
+# VP8 video track (the video_frames fixture), a 2-frame animated WebP
+# whose frames come from the independent VP8L encoder, and a 2-frame
+# animated GIF — each sniffs to a constant (format, dims, duration)
+_CENSUS_ANIM_WEBP_B64 = (
+    "UklGRnwAAABXRUJQVlA4WAoAAAACAAAACwAACQAAQU5JTQYAAAAAAAD/AABBTk1GJAAA"
+    "AAAAAAAAAAsAAAkAAHgAAAJWUDhMDAAAAC8LQAIAqGDxytj/AEFOTUYkAAAAAAAAAAAA"
+    "CwAACQAAUAAAAlZQOEwMAAAALwtAAgAodxXK0/8A"
+)
+_CENSUS_ANIM_GIF_B64 = (
+    "R0lGODlhCAAGAIEBAAAAAP////8AAAAA/yH/C05FVFNDQVBFMi4wAwEAAAAh+QQADAAA"
+    "ACwAAAAACAAGAAACBpSPqct9BQAh+QQAGQAAACwAAAAACAAGAAACBpyPqct9BQA7"
+)
+
+
 def _q_media_metadata(spark, sf_dir):
     """Header-only media census (media_metadata): PPM payloads are
     text-headed, so Spark can CONSTRUCT one per document with
     doc-derived dimensions and the kernel must parse them back —
     exercising the real distributed sniff path with an exactly
-    recomputable oracle. Non-media and empty payloads yield NULL-format
-    rows (observable, never dropped)."""
+    recomputable oracle. Container-format lanes (WebM EBML walk,
+    animated WebP ANMF durations, animated GIF GCE delays) ride fixed
+    fixture payloads with constant expected rows. Non-media and empty
+    payloads yield NULL-format rows (observable, never dropped)."""
     from fortissimo_spark.modality import media_metadata
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    w = (F.col("doc_id") % 300 + 1).cast("int")
-    h = (F.col("doc_id") % 200 + 1).cast("int")
+    d = F.col("doc_id")
+    w = (d % 300 + 1).cast("int")
+    h = (d % 200 + 1).cast("int")
+    payload = F.when(d % 23 == 11, F.unbase64(F.lit(_VIDEO_WEBM_B64))) \
+        .when(d % 23 == 12, F.unbase64(F.lit(_CENSUS_ANIM_WEBP_B64))) \
+        .when(d % 23 == 13, F.unbase64(F.lit(_CENSUS_ANIM_GIF_B64))) \
+        .otherwise(F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" "),
+                            h.cast("string"), F.lit("\n255\n"))
+                   .cast("binary"))
     media = docs.select(
-        F.col("doc_id").alias("media_id"), F.lit("image").alias("kind"),
-        F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" "),
-                 h.cast("string"), F.lit("\n255\n")).cast("binary")
-        .alias("payload"),
-        F.lit("image/x-ppm").alias("mime"),
+        d.alias("media_id"), F.lit("image").alias("kind"),
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"))
@@ -4150,7 +4174,8 @@ def _q_media_metadata(spark, sf_dir):
         "media_id long, kind string, payload binary, mime string, "
         "width int, height int, duration_ms int")
     return (media_metadata(media.union(junk))
-            .select("media_id", "format", "width", "height"))
+            .select("media_id", "format", "width", "height",
+                    "duration_ms"))
 
 
 def _q_cdxj_census(spark, sf_dir):
@@ -5482,15 +5507,29 @@ def oracle_sql() -> dict[str, str]:
                           CAST(doc_id % 20 AS INTEGER)) AS filename
             FROM documents""",
         "media_metadata": """
-            SELECT doc_id AS media_id, 'ppm' AS format,
-                   CAST(doc_id % 300 + 1 AS INTEGER) AS width,
-                   CAST(doc_id % 200 + 1 AS INTEGER) AS height
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 23 = 11 THEN 'webm-vp8'
+                        WHEN doc_id % 23 = 12 THEN 'webp-anim'
+                        WHEN doc_id % 23 = 13 THEN 'gif'
+                        ELSE 'ppm' END AS format,
+                   CAST(CASE WHEN doc_id % 23 = 11 THEN 64
+                        WHEN doc_id % 23 = 12 THEN 12
+                        WHEN doc_id % 23 = 13 THEN 8
+                        ELSE doc_id % 300 + 1 END AS INTEGER) AS width,
+                   CAST(CASE WHEN doc_id % 23 = 11 THEN 48
+                        WHEN doc_id % 23 = 12 THEN 10
+                        WHEN doc_id % 23 = 13 THEN 6
+                        ELSE doc_id % 200 + 1 END AS INTEGER) AS height,
+                   CAST(CASE WHEN doc_id % 23 = 11 THEN 3000
+                        WHEN doc_id % 23 = 12 THEN 200
+                        WHEN doc_id % 23 = 13 THEN 370
+                        ELSE NULL END AS INTEGER) AS duration_ms
             FROM documents
             UNION ALL
             SELECT * FROM (VALUES
-              (9430001, NULL, NULL, NULL),
-              (9430002, NULL, NULL, NULL)
-            ) AS j(media_id, format, width, height)""",
+              (9430001, NULL, NULL, NULL, NULL),
+              (9430002, NULL, NULL, NULL, NULL)
+            ) AS j(media_id, format, width, height, duration_ms)""",
         "stratified_sample": """
             WITH q(lang, quota) AS (VALUES
               ('en', 100), ('es', 40), ('de', 40), ('zh', 25)),
