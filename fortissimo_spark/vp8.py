@@ -730,9 +730,6 @@ def _add_residual(plane, px, py, res):
             buf[o + c] = 0 if v < 0 else (255 if v > 255 else v)
 
 
-_ZERO16 = [0] * 16
-
-
 def _reconstruct_mb(yp, up, vp, mb, mb_x, mb_y, mb_w, mb_h):
     px, py = mb_x * 16, mb_y * 16
     coeffs = mb.coeffs
