@@ -114,6 +114,169 @@ def decode_bmp(payload: bytes, grid=4):
     return width, height, _gray_grid(width, height, gray_at, grid)
 
 
+def _ico_entries(payload: bytes):
+    """Directory entries of an ICO/CUR file: [(w, h, bpp, off, size)]
+    with the 0-means-256 rule applied. None when not an ICO."""
+    if len(payload) < 6 or payload[0:2] != b"\x00\x00" \
+            or payload[2:4] not in (b"\x01\x00", b"\x02\x00"):
+        return None
+    n = int.from_bytes(payload[4:6], "little")
+    if not n or len(payload) < 6 + 16 * n:
+        return None
+    out = []
+    for k in range(n):
+        e = payload[6 + 16 * k:6 + 16 * k + 16]
+        w = e[0] or 256
+        h = e[1] or 256
+        bpp = int.from_bytes(e[6:8], "little")
+        size = int.from_bytes(e[8:12], "little")
+        off = int.from_bytes(e[12:16], "little")
+        if off + size > len(payload):
+            return None
+        out.append((w, h, bpp, off, size))
+    return out
+
+
+def decode_ico(payload: bytes, grid=4):
+    """Pure-Python ICO (favicon) decode -> (width, height, luma grid)
+    for the LARGEST directory entry. PNG-compressed entries reuse
+    decode_png; classic DIB entries (BITMAPINFOHEADER with doubled
+    height, 32/24-bit direct or 8/4/1-bit paletted + the 1-bit AND
+    transparency mask) decode directly, transparent pixels flattened
+    over white — the favicon-over-page-background convention."""
+    entries = _ico_entries(payload)
+    if not entries:
+        raise ValueError("not an ICO")
+    w, h, _, off, size = max(entries, key=lambda e: (e[0] * e[1], e[2]))
+    data = payload[off:off + size]
+    if data[:8] == _PNG_SIG:
+        return decode_png(data, grid)
+    if len(data) < 40 or int.from_bytes(data[0:4], "little") != 40:
+        raise ValueError("unsupported ICO entry header")
+    bw = int.from_bytes(data[4:8], "little", signed=True)
+    bh = int.from_bytes(data[8:12], "little", signed=True) // 2
+    bpp = int.from_bytes(data[14:16], "little")
+    compression = int.from_bytes(data[16:20], "little")
+    if compression != 0 or bw <= 0 or bh <= 0:
+        raise ValueError("unsupported ICO DIB")
+    n_colors = int.from_bytes(data[32:36], "little")
+    if bpp <= 8 and not n_colors:
+        n_colors = 1 << bpp
+    pal_off = 40
+    pal = data[pal_off:pal_off + 4 * (n_colors if bpp <= 8 else 0)]
+    px_off = pal_off + len(pal)
+    xor_stride = (bw * bpp + 31) // 32 * 4
+    and_off = px_off + xor_stride * bh
+    and_stride = (bw + 31) // 32 * 4
+
+    def luma_at(x: int, y: int) -> int:
+        row = bh - 1 - y  # bottom-up, both masks
+        mbyte = data[and_off + row * and_stride + (x >> 3)] \
+            if and_off + row * and_stride + (x >> 3) < len(data) else 0
+        if (mbyte >> (7 - (x & 7))) & 1:
+            return 255  # transparent: white page background
+        p = px_off + row * xor_stride
+        if bpp == 32:
+            b, g, r, a = data[p + 4 * x:p + 4 * x + 4]
+            lum = (r * 299 + g * 587 + b * 114) // 1000
+            # 32-bit icons may carry a real alpha channel instead of
+            # relying on the AND mask
+            return (lum * a + 255 * (255 - a)) // 255
+        if bpp == 24:
+            b, g, r = data[p + 3 * x:p + 3 * x + 3]
+        else:
+            if bpp == 8:
+                idx = data[p + x]
+            elif bpp == 4:
+                idx = (data[p + (x >> 1)] >> (0 if x & 1 else 4)) & 0xF
+            elif bpp == 1:
+                idx = (data[p + (x >> 3)] >> (7 - (x & 7))) & 1
+            else:
+                raise ValueError(f"unsupported ICO bpp {bpp}")
+            if 4 * idx + 3 > len(pal):
+                return 0
+            b, g, r = pal[4 * idx], pal[4 * idx + 1], pal[4 * idx + 2]
+        return (r * 299 + g * 587 + b * 114) // 1000
+
+    return bw, bh, _gray_grid(bw, bh, luma_at, grid)
+
+
+def sniff_ico(raw: bytes):
+    """(width, height, n_entries) for an ICO/CUR payload, else None —
+    dims of the largest directory entry."""
+    entries = _ico_entries(raw)
+    if not entries:
+        return None
+    w, h, *_ = max(entries, key=lambda e: (e[0] * e[1], e[2]))
+    return w, h, len(entries)
+
+
+def sniff_svg(raw: bytes):
+    """(width, height) for an SVG payload — absolute px width/height
+    attributes, else the viewBox box, else (None, None); None when the
+    payload isn't SVG. Text scan over the first tag only."""
+    import re
+    head = raw[:4096].lstrip(b"\xef\xbb\xbf \t\r\n")
+    if not (head.startswith(b"<svg") or (head.startswith(b"<?xml")
+                                         and b"<svg" in head)
+            or (head.startswith(b"<!DOCTYPE svg") and b"<svg" in head)):
+        return None
+    m = re.search(rb"<svg\b[^>]*>", raw[:8192], re.S)
+    if not m:
+        return None
+    tag = m.group(0)
+
+    def dim(name):
+        dm = re.search(rb"\b" + name + rb"\s*=\s*[\"']\s*([0-9.]+)"
+                       rb"\s*(px)?\s*[\"']", tag)
+        return int(float(dm.group(1))) if dm else None
+
+    w, h = dim(b"width"), dim(b"height")
+    if w is None or h is None:
+        vb = re.search(rb"\bviewBox\s*=\s*[\"']\s*([-0-9. ,]+)[\"']",
+                       tag)
+        if vb:
+            parts = vb.group(1).replace(b",", b" ").split()
+            if len(parts) == 4:
+                try:
+                    w = w or int(float(parts[2]))
+                    h = h or int(float(parts[3]))
+                except ValueError:
+                    pass
+    return w, h
+
+
+def sniff_tiff(raw: bytes):
+    """(width, height) from the first IFD of a TIFF, else None."""
+    if raw[:4] == b"II*\x00":
+        bo = "little"
+    elif raw[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        return None
+    if len(raw) < 8:
+        return None
+    ifd = int.from_bytes(raw[4:8], bo)
+    if ifd + 2 > len(raw):
+        return None
+    n = int.from_bytes(raw[ifd:ifd + 2], bo)
+    w = h = None
+    for k in range(n):
+        e = raw[ifd + 2 + 12 * k:ifd + 2 + 12 * k + 12]
+        if len(e) < 12:
+            break
+        tag = int.from_bytes(e[0:2], bo)
+        typ = int.from_bytes(e[2:4], bo)
+        val = int.from_bytes(e[8:10] if typ == 3 else e[8:12], bo)
+        if tag == 256:
+            w = val
+        elif tag == 257:
+            h = val
+    if w is None or h is None:
+        return None
+    return w, h
+
+
 def decode_ppm(payload: bytes, grid=4):
     """Pure-Python decode of PPM P6 (binary) / P3 (ascii), maxval <= 255 →
     (width, height, 4x4 grayscale grid)."""
@@ -1073,6 +1236,18 @@ def sniff_media(payload: bytes) -> dict | None:
     if mp4:
         return {**base, "format": "mp4", "width": mp4[0],
                 "height": mp4[1], "duration_ms": mp4[2]}
+    ico = sniff_ico(raw)
+    if ico:
+        return {**base, "format": "ico", "width": ico[0],
+                "height": ico[1]}
+    tif = sniff_tiff(raw)
+    if tif:
+        return {**base, "format": "tiff", "width": tif[0],
+                "height": tif[1]}
+    svg = sniff_svg(raw)
+    if svg is not None:
+        return {**base, "format": "svg", "width": svg[0],
+                "height": svg[1]}
     if raw[:4] == _EBML_MAGIC:
         wm = sniff_webm(raw)
         if wm:
@@ -1095,8 +1270,9 @@ def decode_image(payload: bytes, *, grid=4,
     lossy WebP (vp8.py: the RFC 6386 VP8 keyframe path — bool decoder,
     token trees, all intra predictors, both loop filters — validated
     bit-exact against libwebp), GIF (full LZW incl. interlacing/local
-    tables, first frame), BMP (uncompressed 24/32-bit) and PPM (P6/P3)
-    — no imaging library needed. Remaining formats (animated WebP,
+    tables, first frame), BMP (uncompressed 24/32-bit), PPM (P6/P3)
+    and ICO favicons (largest entry; PNG members + classic DIBs with
+    palettes and AND-mask transparency) — no imaging library needed. Remaining formats (animated WebP,
     AVIF pixels) raise unless ``deterministic_fake=True``, which substitutes a seeded,
     content-derived stand-in so the distributed plumbing stays testable.
     """
@@ -1115,6 +1291,8 @@ def decode_image(payload: bytes, *, grid=4,
             return decode_ppm(raw, grid)
         if raw[:6] in (b"GIF87a", b"GIF89a"):
             return decode_gif(raw, grid)
+        if _ico_entries(raw):
+            return decode_ico(raw, grid)
         if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
             if _has_vp8l_chunk(raw):
                 # lossless WebP: REAL pixel decode (vp8l.py)
@@ -1156,8 +1334,9 @@ def decode_image(payload: bytes, *, grid=4,
         unrecognized = False
     if unrecognized and not deterministic_fake:
         raise NotImplementedError(
-            "only JPEG/PNG/WebP(VP8+VP8L)/GIF/BMP/PPM have in-container "
-            "PIXEL decoders (animated-WebP/AVIF headers sniff real "
+            "only JPEG/PNG/WebP(VP8+VP8L)/GIF/BMP/PPM/ICO have "
+            "in-container PIXEL decoders (animated-WebP/AVIF/TIFF/SVG "
+            "headers sniff real "
             "dimensions with a digest pixel summary); other formats need "
             "an imaging library — pass deterministic_fake=True for the "
             "content-derived stand-in")
