@@ -2865,13 +2865,43 @@ _DHASH_WEBP_B64 = (
     "XYO1dwywvorLGS8hBHVC4AA=")
 _DHASH_WEBP_EXPECTED = 4557502085410579424
 
+# a spec-built 16x16 32-bit ICO favicon (non-monotone gradient): the
+# lane pins decode_ico's DIB path (bottom-up XOR plane + AND mask)
+# inside the distributed kernel
+_DHASH_ICO_B64 = (
+    "AAABAAEAEBAAAAEAIABoBAAAFgAAACgAAAAQAAAAIAAAAAEAIAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAMP/SZcE/5IuRf/bxYb/JFzH/23zCP+2ikn//yGK/0i4y/+RTwz/"
+    "2uZN/yN9jv9sFM//tasQ//5CUf9H2ZL/Hwfq/2ieOP+xNYb/+szU/0NjIv+M+nD/1ZG+"
+    "/x4oDP9nv1r/sFao//nt9v9ChET/ixuS/9Sy4P8dSS7/ZuB8/z4OEf+HpWz/0DzH/xnT"
+    "Iv9ian3/qwHY//SYM/89L47/hsbp/89dRP8Y9J//YYv6/6oiVf/zubD/PFAL/4XnZv9d"
+    "FTj/pqyg/+9DCP842nD/gXHY/8oIQP8Tn6j/XDYQ/6XNeP/uZOD/N/tI/4CSsP/JKRj/"
+    "EsCA/1tX6P+k7lD/fBxf/8Wz1P8OSkn/V+G+/6B4M//pD6j/MqYd/3s9kv/E1Af/DWt8"
+    "/1YC8f+fmWb/6DDb/zHHUP96XsX/w/U6/5sjhv/kugj/LVGK/3boDP+/f47/CBYQ/1Gt"
+    "kv+aRBT/49uW/yxyGP91CZr/vqAc/wc3nv9QziD/mWWi/+L8JP+6Kq3/A8E8/0xYy/+V"
+    "71r/3obp/ycdeP9wtAf/uUuW/wLiJf9LebT/lBBD/92n0v8mPmH/b9Xw/7hsf/8BAw7/"
+    "2THU/yLIcP9rXwz/tPao//2NRP9GJOD/j7t8/9hSGP8h6bT/aoBQ/7MX7P/8roj/RUUk"
+    "/47cwP/Xc1z/IAr4//g4+/9Bz6T/imZN/9P99v8clJ//ZStI/67C8f/3WZr/QPBD/4mH"
+    "7P/SHpX/G7U+/2RM5/+t45D/9no5/z8R4v8XPyL/YNbY/6ltjv/yBET/O5v6/4QysP/N"
+    "yWb/FmAc/1/30v+ojoj/8SU+/zq89P+DU6r/zOpg/xWBFv9eGMz/NkZJ/3/dDP/IdM//"
+    "EQuS/1qiVf+jORj/7NDb/zVnnv9+/mH/x5Uk/xAs5/9Zw6r/olpt/+vxMP80iPP/fR+2"
+    "/1VNcP+e5ED/53sQ/zAS4P95qbD/wkCA/wvXUP9UbiD/nQXw/+acwP8vM5D/eMpg/8Fh"
+    "MP8K+AD/U4/Q/5wmoP90VJf/vet0/waCUf9PGS7/mLAL/+FH6P8q3sX/c3Wi/7wMf/8F"
+    "o1z/Tjo5/5fRFv/gaPP/Kf/Q/3KWrf+7LYr/k1u+/9zyqP8liZL/biB8/7e3Zv8ATlD/"
+    "SeU6/5J8JP/bEw7/JKr4/21B4v+22Mz//2+2/0gGoP+RnYr/2jR0/7Ji5f/7+dz/RJDT"
+    "/40nyv/WvsH/H1W4/2jsr/+xg6b/+hqd/0OxlP+MSIv/1d+C/x52ef9nDXD/sKRn//k7"
+    "Xv/RaQz/GgAQ/2OXFP+sLhj/9cUc/z5cIP+H8yT/0Ioo/xkhLP9iuDD/q080//TmOP89"
+    "fTz/hhRA/8+rRP8YQkj/AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA==")
+_DHASH_ICO_EXPECTED = 6510328423355003410
+
 
 def _q_image_dhash(spark, sf_dir):
     """Perceptual image hashing through the REAL pure-Python pixel
     decoders: every doc carries one of three planted P3 images (by
     doc_id % 3) whose 9x8 dHash has a closed form, a real lossy-WebP
     lane (doc_id % 31 == 7, a libwebp-encoded VP8 still the RFC 6386
-    decoder must pixel-decode), plus a corrupt payload lane
+    decoder must pixel-decode), an ICO favicon lane (doc_id % 31 == 9,
+    DIB path with AND mask), plus a corrupt payload lane
     (doc_id % 31 == 5) that must yield NULLs, never a task failure.
     DuckDB recomputes the expected hashes from doc_id arithmetic —
     the kernel must actually decode to match."""
@@ -2883,6 +2913,7 @@ def _q_image_dhash(spark, sf_dir):
         .when(d % 3 == 1, F.lit(_DHASH_PATTERNS[1])) \
         .otherwise(F.lit(_DHASH_PATTERNS[2]))
     payload = F.when(d % 31 == 7, F.unbase64(F.lit(_DHASH_WEBP_B64))) \
+        .when(d % 31 == 9, F.unbase64(F.lit(_DHASH_ICO_B64))) \
         .otherwise(F.encode(pat, "UTF-8"))
     media = docs.select(d.alias("media_id"), payload.alias("payload"))
     return with_image_dhash(media)
@@ -2958,11 +2989,13 @@ _VIDEO_FRAMES_ORACLE = """
 _IMAGE_DHASH_ORACLE = f"""
     SELECT doc_id AS media_id,
            CASE WHEN doc_id % 31 = 5 THEN NULL
-                WHEN doc_id % 31 = 7 THEN 64 ELSE 18 END AS width,
+                WHEN doc_id % 31 = 7 THEN 64
+                WHEN doc_id % 31 = 9 THEN 16 ELSE 18 END AS width,
            CASE WHEN doc_id % 31 = 5 THEN NULL
                 WHEN doc_id % 31 = 7 THEN 48 ELSE 16 END AS height,
            CASE WHEN doc_id % 31 = 5 THEN NULL
                 WHEN doc_id % 31 = 7 THEN {_DHASH_WEBP_EXPECTED}
+                WHEN doc_id % 31 = 9 THEN {_DHASH_ICO_EXPECTED}
                 WHEN doc_id % 3 = 0 THEN {_DHASH_EXPECTED[0]}
                 WHEN doc_id % 3 = 1 THEN {_DHASH_EXPECTED[1]}
                 ELSE {_DHASH_EXPECTED[2]} END AS dhash
