@@ -380,12 +380,15 @@ def decode_png(payload: bytes, grid=4):
     unfilter loop is per-byte Python — fine for thumbnail-scale crawl
     images inside an Arrow-batched kernel; a numpy path would only help
     filters 0/2 (Sub/Average/Paeth carry a sequential dependency along
-    the scanline)."""
+    the scanline). ``grid=None`` switches to the internal pixel-level
+    contract — (width, height, luma list, alpha list-or-None) — used
+    by the APNG compositor."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     width = height = None
     bit_depth = color_type = interlace = None
     plte = b""
+    _png_trns = b""
     idat: list[bytes] = []
     i = 8
     while i + 8 <= len(payload):
@@ -400,6 +403,8 @@ def decode_png(payload: bytes, grid=4):
             bit_depth, color_type, _comp, _filt, interlace = data[8:13]
         elif ctype == b"PLTE":
             plte = data
+        elif ctype == b"tRNS":
+            _png_trns = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -440,7 +445,7 @@ def decode_png(payload: bytes, grid=4):
             passes.append(((x0, y0, dx, dy), pw, ph, recon))
 
     maxval = (1 << bit_depth) - 1
-    nsamp = min(channels, 3)
+    nsamp = channels
     samples = [0] * (width * height * nsamp)
     for (x0, y0, dx, dy), pw, ph, recon in passes:
         stride = stride_of(pw)
@@ -472,13 +477,30 @@ def decode_png(payload: bytes, grid=4):
                 return 0
             return (plte[q] * 299 + plte[q + 1] * 587
                     + plte[q + 2] * 114) // 1000
-        if nsamp == 3:
+        if nsamp >= 3:
             return (samples[p] * 299 + samples[p + 1] * 587
                     + samples[p + 2] * 114) // 1000
         v = samples[p]  # gray / gray+alpha: first channel IS the luma
         # sub-byte depths scale to 0..255; 16-bit stored its high byte
         return v * 255 // maxval if bit_depth < 8 else v
 
+    if grid is None:
+        # internal pixel-level entry (APNG compositing): luma + alpha
+        trns = _png_trns
+        luma = [gray_at(x, y) for y in range(height) for x in range(width)]
+        alpha = None
+        if channels in (2, 4):
+            a_off = channels - 1
+            alpha = []
+            for pidx in range(width * height):
+                v = samples[pidx * nsamp + a_off]
+                alpha.append(v * 255 // maxval if bit_depth < 8 else
+                             (v if bit_depth == 8 else v))
+        elif color_type == 3 and trns:
+            alpha = [trns[samples[pidx * nsamp]]
+                     if samples[pidx * nsamp] < len(trns) else 255
+                     for pidx in range(width * height)]
+        return width, height, luma, alpha
     return width, height, _gray_grid(width, height, gray_at, grid)
 
 
@@ -1181,9 +1203,22 @@ def sniff_media(payload: bytes) -> dict | None:
             "sample_rate": None, "n_channels": None,
             "bitrate_kbps": None, "duration_ms": None}
     if raw[:8] == _PNG_SIG and len(raw) >= 24:
-        return {**base, "format": "png",
+        fmt, dur = "png", None
+        if b"acTL" in raw[:200]:  # animated PNG: sum fcTL delays
+            fmt, dur = "png-anim", 0
+            i = 8
+            while i + 8 <= len(raw):
+                ln = int.from_bytes(raw[i:i + 4], "big")
+                if raw[i + 4:i + 8] == b"fcTL" and ln >= 26:
+                    num = int.from_bytes(raw[i + 28:i + 30], "big")
+                    den = int.from_bytes(raw[i + 30:i + 32], "big")
+                    dur += max(round(num * 1000 / (den or 100)), 1)
+                i += 12 + ln
+            dur = dur or None
+        return {**base, "format": fmt,
                 "width": int.from_bytes(raw[16:20], "big"),
-                "height": int.from_bytes(raw[20:24], "big")}
+                "height": int.from_bytes(raw[20:24], "big"),
+                "duration_ms": dur}
     j = _sniff_jpeg_dims(raw)
     if j:
         return {**base, "format": "jpeg", "width": j[0], "height": j[1]}
@@ -1762,7 +1797,7 @@ def decode_video_frames(raw: bytes, every_ms: int = 1000,
     tab = _mp4_mjpeg_samples(raw)
     if tab is None:
         for fallback in (_webm_vp8_frames, _webp_anim_frames,
-                         _gif_anim_frames):
+                         _gif_anim_frames, _apng_frames):
             got = fallback(raw, every_ms, duration_ms)
             if got is not None:
                 return got
@@ -1793,6 +1828,156 @@ def decode_video_frames(raw: bytes, every_ms: int = 1000,
                 w, h, lambda x, y: int(plane[y, x]), 4))
         w, h, grid = cache[pick]
         out.append((t, w, h, grid))
+    return out
+
+
+def _apng_frames(raw: bytes, every_ms: int,
+                 duration_ms: int | None):
+    """Sampled decode for APNG (animated PNG, the public Mozilla/W3C
+    spec folded into PNG third edition): walk acTL/fcTL/fdAT, rebuild
+    each frame as a standalone PNG decoded by the existing full PNG
+    path, and composite with the spec ops — dispose_op
+    none/background/previous, blend_op source/over (exact integer
+    arithmetic on luma+alpha). None when ``raw`` isn't an APNG."""
+    if raw[:8] != _PNG_SIG or b"acTL" not in raw[:200]:
+        return None
+    ihdr = plte = trns = None
+    frames = []  # (fctl_dict, [data chunks])
+    default_is_frame = False
+    cur = None
+    i = 8
+    while i + 8 <= len(raw):
+        length = int.from_bytes(raw[i:i + 4], "big")
+        ctype = raw[i + 4:i + 8]
+        data = raw[i + 8:i + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
+        elif ctype == b"fcTL":
+            num, den = (int.from_bytes(data[20:22], "big"),
+                        int.from_bytes(data[22:24], "big"))
+            cur = {
+                "w": int.from_bytes(data[4:8], "big"),
+                "h": int.from_bytes(data[8:12], "big"),
+                "x": int.from_bytes(data[12:16], "big"),
+                "y": int.from_bytes(data[16:20], "big"),
+                "delay_ms": max(round(num * 1000 / (den or 100)), 1),
+                "dispose": data[24], "blend": data[25],
+            }
+            frames.append((cur, []))
+        elif ctype == b"IDAT":
+            # the default image is frame 0 only when an fcTL precedes
+            # the first IDAT; otherwise it is not part of the timeline
+            if cur is not None:
+                frames[-1][1].append(data)
+        elif ctype == b"fdAT":
+            if cur is not None:
+                frames[-1][1].append(data[4:])  # strip sequence number
+        elif ctype == b"IEND":
+            break
+        i += 12 + length
+    if ihdr is None or len(frames) < 2:
+        return None
+    cw = int.from_bytes(ihdr[0:4], "big")
+    ch = int.from_bytes(ihdr[4:8], "big")
+
+    import struct as _struct
+    import zlib as _zlib
+
+    def _chunk(typ, data):
+        c = typ + data
+        return _struct.pack(">I", len(data)) + c + _struct.pack(
+            ">I", _zlib.crc32(c))
+
+    def decode_frame(fc, datas):
+        sub_ihdr = (_struct.pack(">II", fc["w"], fc["h"]) + ihdr[8:13])
+        png = _PNG_SIG + _chunk(b"IHDR", sub_ihdr)
+        if plte:
+            png += _chunk(b"PLTE", plte)
+        if trns:
+            png += _chunk(b"tRNS", trns)
+        for d in datas:
+            png += _chunk(b"IDAT", d)
+        png += _chunk(b"IEND", b"")
+        return decode_png(png, grid=None)
+
+    starts = []
+    t0 = 0
+    for fc, _ in frames:
+        starts.append(t0)
+        t0 += fc["delay_ms"]
+    if duration_ms is None:
+        duration_ms = t0
+    canvas_l = [0] * (cw * ch)
+    canvas_a = [0] * (cw * ch)
+    pending = None
+    composited = -1
+    out = []
+    grid_cache = {}
+    for t in range(0, max(duration_ms - 1, 0) + 1, every_ms):
+        k = 0
+        for j, st in enumerate(starts):
+            if st <= t:
+                k = j
+        while composited < k:
+            composited += 1
+            if pending is not None:
+                if pending[0] == "bg":
+                    _, (dx, dy, dw, dh) = pending
+                    for r in range(dh):
+                        if dy + r >= ch:
+                            break
+                        row = (dy + r) * cw
+                        for c in range(dw):
+                            if dx + c >= cw:
+                                break
+                            canvas_a[row + dx + c] = 0
+                else:
+                    _, canvas_l, canvas_a = pending
+                pending = None
+            fc, datas = frames[composited]
+            if fc["dispose"] == 2:
+                pending = ("prev", canvas_l[:], canvas_a[:])
+            elif fc["dispose"] == 1:
+                pending = ("bg", (fc["x"], fc["y"], fc["w"], fc["h"]))
+            fw, fh, luma, alpha = decode_frame(fc, datas)
+            fx, fy = fc["x"], fc["y"]
+            over = fc["blend"] == 1
+            for r in range(fh):
+                cy = fy + r
+                if cy >= ch:
+                    break
+                row = cy * cw
+                frow = r * fw
+                for c in range(fw):
+                    cx = fx + c
+                    if cx >= cw:
+                        break
+                    ls = luma[frow + c]
+                    asrc = 255 if alpha is None else alpha[frow + c]
+                    if not over or asrc == 255:
+                        canvas_l[row + cx] = ls
+                        canvas_a[row + cx] = asrc
+                    elif asrc:
+                        ad = canvas_a[row + cx]
+                        aout = asrc * 255 + ad * (255 - asrc)
+                        num = (ls * asrc * 255
+                               + canvas_l[row + cx] * ad * (255 - asrc))
+                        canvas_l[row + cx] = num // aout
+                        canvas_a[row + cx] = (aout + 127) // 255
+        if composited in grid_cache:
+            out.append((t, cw, ch, grid_cache[composited]))
+            continue
+        flat = [canvas_l[i2] if canvas_a[i2] == 255 else
+                (canvas_l[i2] * canvas_a[i2]
+                 + 255 * (255 - canvas_a[i2])) // 255
+                for i2 in range(cw * ch)]
+        grid = _gray_grid(cw, ch, lambda x, y: flat[y * cw + x], 4)
+        grid_cache[composited] = grid
+        out.append((t, cw, ch, grid))
     return out
 
 
@@ -2231,8 +2416,9 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """One row per sampled video timestamp. REAL decodes cover
     Motion-JPEG mp4 (ISO-BMFF sample-table walk + jpeg.py), WebM VP8
     (EBML walk + the RFC 6386 keyframe decoder, keyframe-snapped),
-    animated WebP (ANMF compositing over vp8.py/vp8l.py) and animated
-    GIF (disposal/transparency compositing) — (width, height,
+    animated WebP (ANMF compositing over vp8.py/vp8l.py), animated
+    GIF (disposal/transparency compositing) and APNG (acTL/fcTL/fdAT
+    with dispose/blend ops) — (width, height,
     frame_luma 4x4-grid) are actual pixels, pytest-pinned. Other
     codecs (h264/vp9/av1 …) keep the honest NULL pixel lanes with the
     deterministic frame_token — the explode/partition shape is real
