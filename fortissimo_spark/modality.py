@@ -1883,6 +1883,7 @@ def _apng_frames(raw: bytes, every_ms: int,
         return None
     cw = int.from_bytes(ihdr[0:4], "big")
     ch = int.from_bytes(ihdr[4:8], "big")
+    _anim_caps(cw * ch, len(frames))
 
     import struct as _struct
     import zlib as _zlib
@@ -2092,6 +2093,7 @@ def _gif_anim_frames(raw: bytes, every_ms: int,
     if parsed is None or len(parsed[3]) < 2:
         return None
     sw, sh, bg_luma, frames = parsed
+    _anim_caps(sw * sh, len(frames))
     if duration_ms is None:
         duration_ms = sum(f[4] for f in frames)
     starts = []
@@ -2155,6 +2157,22 @@ def _gif_anim_frames(raw: bytes, every_ms: int,
         grid_cache[composited] = grid
         out.append((t, sw, sh, grid))
     return out
+
+
+
+# adversarial-payload guards for the animation compositors: a crawl WILL
+# contain canvas/frame-count bombs; exceeding either cap raises
+# ValueError, which the sample_frames kernel degrades to the honest
+# NULL-pixel token lanes instead of stalling a task for minutes
+_MAX_ANIM_PIXELS = 4_000_000
+_MAX_ANIM_FRAMES = 10_000
+
+
+def _anim_caps(n_pixels: int, n_frames: int) -> None:
+    if n_pixels > _MAX_ANIM_PIXELS:
+        raise ValueError(f"animation canvas too large ({n_pixels}px)")
+    if n_frames > _MAX_ANIM_FRAMES:
+        raise ValueError(f"too many animation frames ({n_frames})")
 
 
 def _webp_anim_walk(raw: bytes):
@@ -2282,6 +2300,7 @@ def _webp_anim_frames(raw: bytes, every_ms: int,
     if parsed is None:
         return None
     cw, ch, bg, frames = parsed
+    _anim_caps(cw * ch, len(frames))
     bg_luma = (bg[2] * 299 + bg[1] * 587 + bg[0] * 114) // 1000
     bg_alpha = bg[3]
     total = sum(max(f[2], 1) for f in frames)

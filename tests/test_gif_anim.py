@@ -131,3 +131,25 @@ def test_single_frame_gif_is_not_video():
     sw = sh = 8
     gif = build_anim_gif([(0, 0, sw, sh, [2] * 64, 10, 0, None)], sw, sh)
     assert decode_video_frames(gif, every_ms=100) is None
+
+
+def test_anim_canvas_bomb_degrades():
+    """A 9000x9000 2-frame GIF must raise (the sample_frames kernel
+    converts that into the NULL-pixel token lanes) instead of
+    compositing an 81-megapixel canvas in Python."""
+    import pytest
+    sw = sh = 9000
+    out = bytearray()
+    out += b"GIF89a" + sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes([0x81, 0, 0]) + b"".join(bytes(c) for c in PALETTE)
+    for k in range(2):
+        out += bytes([0x21, 0xF9, 4, 0, 10, 0, 0, 0])
+        out += b"\x2c" + bytes(4) + (2).to_bytes(2, "little") \
+            + (2).to_bytes(2, "little") + b"\x00"
+        out += bytes([2])
+        data = lzw_encode([1, 1, 1, 1], 2)
+        out += bytes([len(data)]) + data + b"\x00"
+    out += b"\x3b"
+    from fortissimo_spark.modality import decode_video_frames as dvf
+    with pytest.raises(ValueError):
+        dvf(bytes(out), every_ms=100)
