@@ -1422,9 +1422,131 @@ def _g711_alaw(idx):
     return x if sign else -x
 
 
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+
+def _ima_decode_block(block: bytes, nch: int):
+    """One IMA-ADPCM WAV block -> per-channel int16 lists (public
+    IMA/DVI spec: 4-byte channel headers, then nibble data interleaved
+    in 4-byte channel groups, low nibble first)."""
+    chans = [[] for _ in range(nch)]
+    preds = []
+    idxs = []
+    for c in range(nch):
+        h = block[4 * c:4 * c + 4]
+        pred = int.from_bytes(h[0:2], "little", signed=True)
+        idx = min(max(h[2], 0), 88)
+        preds.append(pred)
+        idxs.append(idx)
+        chans[c].append(pred)
+    pos = 4 * nch
+    while pos < len(block):
+        for c in range(nch):
+            chunk = block[pos + 4 * c:pos + 4 * c + 4]
+            for byte in chunk:
+                for nib in (byte & 0xF, byte >> 4):
+                    step = _IMA_STEPS[idxs[c]]
+                    diff = step >> 3
+                    if nib & 1:
+                        diff += step >> 2
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 4:
+                        diff += step
+                    pred = preds[c] + (-diff if nib & 8 else diff)
+                    pred = -32768 if pred < -32768 else (
+                        32767 if pred > 32767 else pred)
+                    preds[c] = pred
+                    idxs[c] = min(max(idxs[c] + _IMA_INDEX[nib], 0), 88)
+                    chans[c].append(pred)
+        pos += 4 * nch
+    return chans
+
+
+_MS_COEFS = ((256, 0), (512, -256), (0, 64), (192, 64), (240, 0),
+             (460, -208), (392, -232))
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512,
+             409, 307, 230, 230, 230)
+
+
+def _ms_adpcm_decode_block(block: bytes, nch: int):
+    """One MS-ADPCM WAV block -> per-channel int16 lists (public
+    Microsoft spec: per-channel coef index + delta + two seed
+    samples, then channel-interleaved nibbles, HIGH nibble first)."""
+    coefs = []
+    for c in range(nch):
+        ci = min(block[c], len(_MS_COEFS) - 1)
+        coefs.append(_MS_COEFS[ci])
+    deltas = [int.from_bytes(block[nch + 2 * c:nch + 2 * c + 2],
+                             "little", signed=True) for c in range(nch)]
+    s1 = [int.from_bytes(block[3 * nch + 2 * c:3 * nch + 2 * c + 2],
+                         "little", signed=True) for c in range(nch)]
+    s2 = [int.from_bytes(block[5 * nch + 2 * c:5 * nch + 2 * c + 2],
+                         "little", signed=True) for c in range(nch)]
+    chans = [[s2[c], s1[c]] for c in range(nch)]
+    pos = 7 * nch
+    c = 0
+    for byte in block[pos:]:
+        for nib in (byte >> 4, byte & 0xF):
+            sn = nib - 16 if nib >= 8 else nib
+            c1, c2 = coefs[c]
+            pred = (s1[c] * c1 + s2[c] * c2) // 256 + sn * deltas[c]
+            pred = -32768 if pred < -32768 else (
+                32767 if pred > 32767 else pred)
+            s2[c], s1[c] = s1[c], pred
+            deltas[c] = max((_MS_ADAPT[nib] * deltas[c]) // 256, 16)
+            chans[c].append(pred)
+            c = (c + 1) % nch
+    return chans
+
+
+def _parse_riff_adpcm(fmt: bytes, data: bytes, fact: int | None = None):
+    """(rate, nch, nframes, float64 samples) for WAV fmt tags 17
+    (IMA ADPCM) and 2 (MS ADPCM), block-by-block. The fmt extra's
+    wSamplesPerBlock caps each block (final-block padding nibbles
+    would otherwise decode as phantom samples) and the fact chunk
+    caps the stream total, both per the public WAV ADPCM specs."""
+    import numpy as np
+    tag = int.from_bytes(fmt[0:2], "little")
+    if tag not in (2, 17):
+        return None
+    nch = int.from_bytes(fmt[2:4], "little") or 1
+    rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
+    if not block_align:
+        return None
+    spb = int.from_bytes(fmt[18:20], "little") if len(fmt) >= 20 else 0
+    out = [[] for _ in range(nch)]
+    for off in range(0, len(data) - (7 * nch if tag == 2 else 4 * nch)
+                     + 1, block_align):
+        block = data[off:off + block_align]
+        chans = (_ima_decode_block(block, nch) if tag == 17
+                 else _ms_adpcm_decode_block(block, nch))
+        for c in range(nch):
+            out[c].extend(chans[c][:spb] if spb else chans[c])
+    # interleave channels: decode_wav strides [::nch] for channel 0,
+    # same contract as the G.711 return
+    n = len(out[0])
+    if fact:
+        n = min(n, fact)
+    inter = np.empty(n * nch, dtype=np.float64)
+    for c in range(nch):
+        inter[c::nch] = np.array(out[c][:n], dtype=np.float64)
+    return rate, nch, n, inter / 32768.0
+
+
 def _parse_riff_g711(payload: bytes):
-    """Manual RIFF walk for the G.711 formats stdlib ``wave`` refuses:
-    fmt tags 6 (A-law) / 7 (µ-law), 8-bit samples. Returns
+    """Manual RIFF walk for the encodings stdlib ``wave`` refuses:
+    fmt tags 6 (A-law) / 7 (µ-law) table decode, and 2 (MS ADPCM) /
+    17 (IMA ADPCM) block decode. Returns
     (rate, nch, nframes, float64 samples in [-1, 1]) or None."""
     import numpy as np
 
@@ -1433,6 +1555,7 @@ def _parse_riff_g711(payload: bytes):
     i = 12
     fmt = None
     data = None
+    fact = None
     while i + 8 <= len(payload):
         cid = payload[i:i + 4]
         ln = int.from_bytes(payload[i + 4:i + 8], "little")
@@ -1441,10 +1564,14 @@ def _parse_riff_g711(payload: bytes):
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and ln >= 4:
+            fact = int.from_bytes(body[0:4], "little")
         i += 8 + ln + (ln & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         return None
     tag = int.from_bytes(fmt[0:2], "little")
+    if tag in (2, 17):
+        return _parse_riff_adpcm(fmt, data, fact)
     if tag not in (6, 7):
         return None
     nch = int.from_bytes(fmt[2:4], "little")
@@ -1457,7 +1584,8 @@ def _parse_riff_g711(payload: bytes):
 
 def decode_wav(payload: bytes, n_windows: int = 16):
     """Pure-stdlib decode of RIFF/WAVE — PCM (8/16-bit) plus G.711
-    A-law/µ-law (table decode; stdlib ``wave`` refuses those) →
+    A-law/µ-law (table decode) plus IMA/MS ADPCM (block decode; stdlib
+    ``wave`` refuses all four) →
     (sample_rate, n_channels, duration_ms, 16-window RMS profile in [0,1])."""
     import io
     import wave
