@@ -163,3 +163,27 @@ def test_adpcm_through_decode_audio():
                         samples_per_block=505, fact=len(samples))
     meta = decode_audio(wav)
     assert meta[0] == 8000  # (rate, ...) shape per decode_audio contract
+
+
+def test_adpcm_fingerprint_identity_with_pcm():
+    """The same modulated tone as 16-bit PCM WAV and as IMA-ADPCM WAV
+    must land on the SAME 64-bit energy fingerprint — the cross-codec
+    near-dup identity the banded join relies on (mirrors the WAV<->FLAC
+    pin in test_flac.py)."""
+    from fortissimo_spark.modality import audio_fingerprint
+
+    n, rate = 16000, 8000
+    samples = [int((6000 + 5000 * math.sin(2 * math.pi * 2.0 * k / rate))
+                   * math.sin(2 * math.pi * 440.0 * k / rate))
+               for k in range(n)]
+    pcm = struct.pack(f"<{n}h", *samples)
+    pcm_wav = (b"RIFF" + (36 + len(pcm)).to_bytes(4, "little")
+               + b"WAVEfmt " + (16).to_bytes(4, "little")
+               + struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+               + b"data" + len(pcm).to_bytes(4, "little") + pcm)
+    blocks, align, _ = ima_encode(samples)
+    ima_wav = wav_container(17, rate, align, blocks,
+                            samples_per_block=505, fact=n)
+    fp_pcm = audio_fingerprint(pcm_wav)
+    fp_ima = audio_fingerprint(ima_wav)
+    assert fp_pcm is not None and fp_pcm == fp_ima
