@@ -250,7 +250,7 @@ class DocBuilder:
     # --- fused hot-path constructors (parser-only; semantics identical to
     # new_element+pre_push+add_child+push / new_leaf+add_child) -------------
 
-    def open_element(self, tag: str, line: int, col: int, *,
+    def open_element(self, tag: str, line: int, col: int,
                      case_sensitive: bool = False, src_start: int = -1) -> int:
         nodes = self.nodes
         idx = len(nodes)
@@ -275,7 +275,7 @@ class DocBuilder:
             self.in_math_or_svg += 1
         return idx
 
-    def add_leaf(self, kind: int, content: str, line: int, col: int, *,
+    def add_leaf(self, kind: int, content: str, line: int, col: int,
                  terminated: bool = True, poss_ent: bool = False,
                  src_start: int = -1, src_end: int = -1) -> int:
         nodes = self.nodes

@@ -146,10 +146,11 @@ def _text_content_skipping(b: DocBuilder, node: int, out: list, spans: list) -> 
 def extract(b: DocBuilder, strip: str = "density",
             min_block_chars: int = _MIN_BLOCK_CHARS,
             max_link_density: float = _MAX_LINK_DENSITY) -> ExtractResult:
-    from .dom import N_KIND as _NK
     node_count = len(b.nodes) - 1
-    text_node_count = sum(1 for nd in b.nodes
-                          if nd[_NK] == TEXT or nd[_NK] == CDATA)
+    # C-level count: one list comp + two list.count passes beats a Python
+    # genexpr over the node lists (N_KIND == 0)
+    kinds = [nd[0] for nd in b.nodes]
+    text_node_count = kinds.count(TEXT) + kinds.count(CDATA)
 
     if strip == "none":
         spans: list = []
@@ -172,11 +173,15 @@ def extract(b: DocBuilder, strip: str = "density",
         N_TAG_LC,
     )
     nodes = b.nodes
-    blocks: list[dict] = []  # {'tag', 'parts': [str], 'spans': [], 'link_chars': int}
+    # blocks are [tag, parts, spans, link_chars] lists (cheaper than dicts)
+    blocks: list[list] = []
     # iterative DFS carrying (node, block_key, in_link); a new block starts
     # whenever we enter a non-inline element
     stack = [(0, -1, False)]
-    current_block_of: dict[int, dict] = {}
+    current_block_of: dict[int, list] = {}
+    get_block = current_block_of.get
+    drop_tags = DROP_TAGS
+    inline_tags = INLINE_TAGS
 
     while stack:
         node, block_owner, in_link = stack.pop()
@@ -186,25 +191,24 @@ def extract(b: DocBuilder, strip: str = "density",
             piece = nd[N_CONTENT]
             if k == TEXT and nd[N_POSS_ENT] and "&" in piece:
                 piece = unescape_entities(piece)
-            blk = current_block_of.get(block_owner)
+            blk = get_block(block_owner)
             if blk is None:
                 owner_tag = nodes[block_owner][N_TAG_LC] if block_owner >= 0 else ""
-                blk = {"tag": owner_tag, "parts": [], "spans": [],
-                       "link_chars": 0}
+                blk = [owner_tag, [], [], 0]
                 current_block_of[block_owner] = blk
                 blocks.append(blk)
-            blk["parts"].append(piece)
+            blk[1].append(piece)
             if nd[N_SRC_START] >= 0:
-                blk["spans"].append((nd[N_SRC_START], nd[N_SRC_END]))
+                blk[2].append((nd[N_SRC_START], nd[N_SRC_END]))
             if in_link:
-                blk["link_chars"] += len(trim(piece))
+                blk[3] += len(trim(piece))
             continue
         if k != ELEMENT:
             continue
         tag = nd[N_TAG_LC]
-        if node != 0 and tag in DROP_TAGS:
+        if node != 0 and tag in drop_tags:
             continue
-        if node != 0 and tag in INLINE_TAGS:
+        if node != 0 and tag in inline_tags:
             child_owner = block_owner
             child_link = in_link or tag == "a"
         else:
@@ -222,20 +226,19 @@ def extract(b: DocBuilder, strip: str = "density",
     kept_spans: list = []
     kept = 0
     total = 0
-    for blk in blocks:
-        raw = "".join(blk["parts"])
-        visible = trim(raw)
+    for owner_tag, parts, spans, link_chars in blocks:
+        visible = trim("".join(parts))
         if not visible:
             continue
         total += 1
         chars = len(visible)
-        link_density = blk["link_chars"] / chars if chars else 1.0
+        link_density = link_chars / chars if chars else 1.0
         if link_density > max_link_density:
             continue
-        if chars >= min_block_chars or blk["tag"] in BOOST_TAGS:
+        if chars >= min_block_chars or owner_tag in BOOST_TAGS:
             kept += 1
             kept_parts.append(visible)
-            kept_spans.extend(blk["spans"])
+            kept_spans.extend(spans)
 
     text = "\n\n".join(kept_parts)
     return ExtractResult(text, kept_spans, kept, total, node_count, text_node_count)

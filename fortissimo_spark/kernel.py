@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import codecs
 import re
+from functools import lru_cache
 from typing import Iterable, Iterator
 
 import pandas as pd
@@ -39,6 +40,7 @@ _RE_META_CHARSET = re.compile(
 _RE_TOKEN = re.compile(r"\S+")
 
 
+@lru_cache(maxsize=512)
 def _codec_name(name: str) -> str | None:
     try:
         return codecs.lookup(name).name
@@ -155,31 +157,52 @@ def make_extract_kernel(strip: str = "density", verify_roundtrip: bool = False):
     """Build a mapInPandas kernel: pages batches -> EXTRACT_SCHEMA batches."""
 
     def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        findall = _RE_TOKEN.findall
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
-            out = {
+            # per-column lists appended in one pass (same fields, same order
+            # as process_document, minus the per-doc dict round-trip)
+            texts = []; sp_starts = []; sp_ends = []; useds = []; decls = []
+            retrs = []; errs = []; uncls = []; impls = []; ncnts = []
+            tcnts = []; chars = []; lines = []; tlens = []; toks = []
+            hbytes = []; rts = []
+            for raw in pdf["html"].tolist():
+                raw = bytes(raw) if raw is not None else b""
+                result, used, declared, retried = decode_parse(raw)
+                ext = extract(result.dom, strip)
+                text = ext.text
+                texts.append(text)
+                sp_starts.append([s for s, _ in ext.spans])
+                sp_ends.append([e for _, e in ext.spans])
+                useds.append(used)
+                decls.append(declared)
+                retrs.append(retried)
+                errs.append(result.errors)
+                uncls.append(result.unclosed_tags)
+                impls.append(result.implicitly_closed_tags)
+                ncnts.append(ext.node_count)
+                tcnts.append(ext.text_node_count)
+                chars.append(result.characters)
+                lines.append(result.lines)
+                tlens.append(len(text))
+                toks.append(len(findall(text)))
+                hbytes.append(len(raw))
+                rts.append(result.to_string() == result.text
+                           if verify_roundtrip else None)
+            yield pd.DataFrame({
                 "url": pdf["url"].tolist(),
                 "warc_ts": pdf["warc_ts"].tolist(),
                 "lang": pdf["lang"].tolist(),
-            }
-            cols = {name: [None] * n for name in (
-                "text", "span_starts", "span_ends", "used_encoding", "declared_charset",
-                "encoding_retried", "errors", "unclosed", "implicitly_closed",
-                "node_count", "text_node_count", "characters", "lines",
-                "text_len", "token_count", "html_bytes", "roundtrip_ok")}
-            raws = pdf["html"].tolist()
-            for i in range(n):
-                raw = raws[i]
-                if raw is None:
-                    raw = b""
-                doc = process_document(bytes(raw), strip,
-                                       verify_roundtrip=verify_roundtrip)
-                for name in cols:
-                    cols[name][i] = doc[name]
-            out.update(cols)
-            yield pd.DataFrame(out)
+                "text": texts, "span_starts": sp_starts, "span_ends": sp_ends,
+                "used_encoding": useds, "declared_charset": decls,
+                "encoding_retried": retrs, "errors": errs, "unclosed": uncls,
+                "implicitly_closed": impls, "node_count": ncnts,
+                "text_node_count": tcnts, "characters": chars, "lines": lines,
+                "text_len": tlens, "token_count": toks, "html_bytes": hbytes,
+                "roundtrip_ok": rts,
+            })
 
     return kernel
 

@@ -37,7 +37,13 @@ import re
 from bisect import bisect_right
 
 from . import dom as D
-from .dom import DocBuilder, POP_SELF, POP_VOID, VOID_ELEMENTS
+from .dom import (
+    ELEMENT, EXPLICITLY_CLOSED, IMPLICITLY_CLOSED, OPEN_IMPLIES_CLOSE,
+    SELF_CLOSED, TEXT, UNCLOSED, VOID_CLOSED,
+    DocBuilder, N_BAD_TERM, N_CHILDREN, N_CLOSURE, N_END_COL, N_END_LINE,
+    N_END_TAG, N_INNER_WS, N_PARENT, N_SRC_END, N_TAG_LC,
+    POP_SELF, POP_VOID, VOID_ELEMENTS,
+)
 
 __all__ = ["ParseResult", "parse", "check_encoding", "normalize_encoding_name"]
 
@@ -68,6 +74,34 @@ _RE_UNQUOTED = re.compile(r"[^ \t\n\f\r>]*")
 _RE_CHARSET_IN_CONTENT = re.compile(r"\bcharset[ \n\r\t\f]*=[ \n\r\t\f]*([\w-]+)\b", re.I | re.A)
 
 _RAW_TEXT_TAGS = ("script", "style", "textarea")
+
+# --- fused fast-path regexes (HTML mode only; any non-match falls back to
+# the general state machine, so these can only ever agree with it) ---------
+# tag whitespace incl. the astral-chars-as-whitespace quirk
+_TAG_WS = r"[ \t\n\f\r\U00010000-\U0010ffff]"
+# end of a start tag: optional PLAIN whitespace then '>' or '/>' (astral ws
+# fails the match and takes the slow path, which applies the quirk)
+_RE_TAG_CLOSE = re.compile(r"([ \t\n\f\r]*)(/?)>")
+# simple end tag: '</' name [plain-ws]* '>' with no leading whitespace
+# (first char can't be astral: the gatherer would treat it as whitespace)
+_RE_END_FAST = re.compile(
+    r"([^ \t\n\f\r>\U00010000-\U0010ffff][^ \n\r\t\f/>]*)([ \t\n\f\r]*)>")
+# one whole attribute in a single match:
+#   1 leading ws, 2 name, 3 ws-before-'=', 4 ws-after-'=', 5 raw value
+# (groups 3-5 are None for a valueless attribute).  The quoted alternatives
+# span '>' and newlines exactly like the find(quote) scan; an unterminated
+# quote falls through to the unquoted class and is detected by its first
+# char.  Name: first char can't be astral (same gatherer argument), the rest
+# mirrors _RE_ATTR_LOOSE.
+_RE_ATTR_FAST = re.compile(
+    "(" + _TAG_WS + "*)"
+    r"([^ \t\n\f\r>/=\U00010000-\U0010ffff][^ \t\n\f\r>/=]*)"
+    "(?:(" + _TAG_WS + "*)=(" + _TAG_WS + "*)"
+    "(\"[^\"]*\"|'[^']*'|[^ \t\n\f\r>]*))?")
+# whole attribute-less start tag '<name [plain-ws] [/] >' in one match,
+# applied at k+1 (the first char is already known to be in
+# _MARKUP_START_SET and not '/', '!' or '?')
+_RE_STAG_SIMPLE = re.compile(r"([^ \n\r\t\f/>]+)([ \t\n\f\r]*)(/?)>")
 
 # encoding-pattern sniffing (html-parser.ts:306-324), applied to the
 # (mis)decoded text's first chars
@@ -193,11 +227,9 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
     result.pattern_encoding = pattern_encoding
 
     pos = _Pos(t, tab_size) if positions else None
-    if positions:
-        lc = pos.line_col
-    else:
-        def lc(_p):
-            return _NO_POS
+    # lc is None on the hot path (positions=False): call sites branch on it
+    # instead of paying a no-op function call per markup token
+    lc = pos.line_col if positions else None
 
     ws_set = _WS_SET
 
@@ -214,10 +246,16 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
         return p
 
     find = t.find
+    nodes = b.nodes
+    stack = b.open_stack  # never rebound by DocBuilder (in-place ops only)
     add_leaf = b.add_leaf
     open_element = b.open_element
     pop = b.pop
     add_attribute = b.add_attribute
+    attr_fast = _RE_ATTR_FAST.match
+    tag_close = _RE_TAG_CLOSE.match
+    end_fast = _RE_END_FAST.match
+    stag_simple = _RE_STAG_SIMPLE.match
     errors = 0
     charset: str | None = None
     checking_charset = False
@@ -270,9 +308,12 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
             text = t[run_start:n]
             if text:
                 is_all_ws = all(c in _WS_SET or ord(c) > 0xFFFF for c in text)
-                ln, col = lc(run_start)
-                node = add_leaf(D.TEXT, text, ln, col, poss_ent=True,
-                                  src_start=run_start, src_end=n)
+                ln, col = lc(run_start) if lc else _NO_POS
+                cur = stack[-1]
+                nodes.append([TEXT, "", "", cur, None, UNCLOSED, text, True,
+                              True, ln, col, "", 0, 0, None, None, None, None,
+                              None, "", None, False, run_start, n])
+                nodes[cur][N_CHILDREN].append(len(nodes) - 1)
                 if not is_all_ws:
                     # handleText left the parser in AT_MARKUP_START at EOF
                     trailing_markup_error = True
@@ -280,20 +321,49 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
             break
 
         if k > run_start:
-            ln, col = lc(run_start)
-            node = add_leaf(D.TEXT, t[run_start:k], ln, col, poss_ent=True,
-                              src_start=run_start, src_end=k)
+            ln, col = lc(run_start) if lc else _NO_POS
+            cur = stack[-1]
+            nodes.append([TEXT, "", "", cur, None, UNCLOSED, t[run_start:k],
+                          True, True, ln, col, "", 0, 0, None, None, None,
+                          None, None, "", None, False, run_start, k])
+            nodes[cur][N_CHILDREN].append(len(nodes) - 1)
 
-        mk_ln, mk_col = lc(k)
+        mk_ln, mk_col = lc(k) if lc else _NO_POS
 
         # ---------------- markup dispatch at k; c2 = t[k+1] ----------------
         if c2 == "/":
-            # ---- end tag ----
+            # ---- end tag: fused fast path for the common '</name>' shape --
+            if not xml:
+                em = end_fast(t, k + 2)
+                if em is not None:
+                    tag = em.group(1)
+                    g = em.end()
+                    tag_lc = tag.lower()
+                    cur = stack[-1]
+                    nd2 = nodes[cur]
+                    if nd2[N_TAG_LC] == tag_lc and len(stack) > 1:
+                        # inline of DocBuilder.pop's matching-top case
+                        stack.pop()
+                        nd2[N_CLOSURE] = EXPLICITLY_CLOSED
+                        nd2[N_END_TAG] = "</" + tag + em.group(2) + ">"
+                        nd2[N_END_LINE] = mk_ln
+                        nd2[N_END_COL] = mk_col
+                        nd2[N_SRC_END] = g
+                        if tag_lc == "table":
+                            b._examine_table(cur)
+                        if tag_lc == "math" or tag_lc == "svg":
+                            b.in_math_or_svg -= 1
+                    elif not pop(tag_lc, "</" + tag + em.group(2) + ">",
+                                 mk_ln, mk_col, g):
+                        errors += 1
+                    i = g
+                    continue
+            # ---- end tag (general: xml mode, syntax errors, EOF) ----
             i = k + 2
             iw = ws_end(i)
             if iw >= n:
                 errors += 1
-                ln, col = lc(n - 1)
+                ln, col = lc(n - 1) if lc else _NO_POS
                 add_leaf(D.UNMATCHED_CLOSE, t[k:n], ln, col,
                                        src_start=k, src_end=n)
                 i = n
@@ -301,7 +371,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
             c = t[iw]
             if c == ">":
                 errors += 1
-                ln, col = lc(iw)
+                ln, col = lc(iw) if lc else _NO_POS
                 add_leaf(D.UNMATCHED_CLOSE, t[k:iw + 1], ln, col,
                                        src_start=k, src_end=iw + 1)
                 i = iw + 1
@@ -315,7 +385,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
             ws2 = t[tag_end:i2]
             if i2 >= n:
                 errors += 1
-                ln, col = lc(n - 1)
+                ln, col = lc(n - 1) if lc else _NO_POS
                 add_leaf(D.UNMATCHED_CLOSE, t[k:n], ln, col,
                                        src_start=k, src_end=n)
                 i = n
@@ -335,7 +405,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
             elif i2 == n - 1:
                 # EOF right after the offending char (html-parser.ts:615-616)
                 errors += 1
-                ln, col = lc(n - 1)
+                ln, col = lc(n - 1) if lc else _NO_POS
                 add_leaf(D.UNMATCHED_CLOSE, t[k:n], ln, col,
                                        src_start=k, src_end=n)
                 i = n
@@ -479,24 +549,190 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
             continue
 
         # ---- start tag ----
-        m = (_RE_TAG_STRICT if xml else _RE_TAG_LOOSE).match(t, k + 2)
-        tag = c2 + m.group(0)
-        tag_end = m.end()
-        tag_lc = tag if xml else tag.lower()
+        sm = stag_simple(t, k + 1) if not xml else None
+        if sm is not None:
+            # fused fast path: attribute-less tag, name + inner ws + close
+            # in one match (the general path below is byte-for-byte
+            # equivalent for these shapes).  The charset-sniff state resets
+            # MUST still happen: an intervening attr-less tag clears a
+            # pending charset exactly like any other start tag.
+            content_type = False
+            pending_charset = None
+            tag = sm.group(1)
+            tag_lc = tag.lower()
+            tag_end_kind = "/>" if sm.group(3) else ">"
+            i = sm.end()
+            node = len(nodes)
+            nd = [ELEMENT, tag, tag_lc, -1, [], UNCLOSED, None, True, False,
+                  mk_ln, mk_col, "", 0, 0, [], [], [], [], [], sm.group(2),
+                  None, False, k, -1]
+            nodes.append(nd)
+            closers = OPEN_IMPLIES_CLOSE.get(tag_lc)
+            if closers:
+                while nodes[stack[-1]][N_TAG_LC] in closers:
+                    nodes[stack[-1]][N_CLOSURE] = IMPLICITLY_CLOSED
+                    stack.pop()
+            cur = stack[-1]
+            nd[N_PARENT] = cur
+            nodes[cur][N_CHILDREN].append(node)
+            stack.append(node)
+            if tag_lc == "math" or tag_lc == "svg":
+                b.in_math_or_svg += 1
+        else:
+            m = (_RE_TAG_STRICT if xml else _RE_TAG_LOOSE).match(t, k + 2)
+            tag = c2 + m.group(0)
+            tag_end = m.end()
+            tag_lc = tag if xml else tag.lower()
 
-        node = open_element(tag, mk_ln, mk_col, case_sensitive=xml,
-                              src_start=k)
+            # inline of DocBuilder.open_element
+            node = len(nodes)
+            nd = [ELEMENT, tag, tag_lc, -1, [], UNCLOSED, None, True, False,
+                  mk_ln, mk_col, "", 0, 0, [], [], [], [], [], "", None,
+                  False, k, -1]
+            nodes.append(nd)
+            if not xml:
+                closers = OPEN_IMPLIES_CLOSE.get(tag_lc)
+                if closers:
+                    while nodes[stack[-1]][N_TAG_LC] in closers:
+                        nodes[stack[-1]][N_CLOSURE] = IMPLICITLY_CLOSED
+                        stack.pop()
+            cur = stack[-1]
+            nd[N_PARENT] = cur
+            nodes[cur][N_CHILDREN].append(node)
+            stack.append(node)
+            if tag_lc == "math" or tag_lc == "svg":
+                b.in_math_or_svg += 1
 
-        checking_charset = (not charset) and tag_lc == "meta"
-        content_type = False
-        pending_charset: str | None = None
+            checking_charset = (not charset) and tag_lc == "meta"
+            content_type = False
+            pending_charset: str | None = None
 
-        attr_re = _RE_ATTR_STRICT if xml else _RE_ATTR_LOOSE
-        i = tag_end
+            i = tag_end
+            tag_end_kind = None  # '>', '/>', 'eof', 'bad'
+
+            html_fast = not xml
+        if sm is None and html_fast:
+            # ---- fused HTML attribute loop: one regex match per attribute,
+            # one per tag close; every non-matching shape falls through to
+            # the inline fallback, which replicates the general machine ----
+            while True:
+                am = attr_fast(t, i)
+                if am is not None:
+                    w, name, pre_eq, w3, val = am.group(1, 2, 3, 4, 5)
+                    if pre_eq is None:
+                        # valueless attribute (no '=' after the name); the
+                        # following ws run is re-scanned as the next
+                        # attribute's leading space (identical maximal run)
+                        iw2 = ws_end(am.end())
+                        if iw2 >= n:
+                            errors += 1
+                            add_attribute(name, "", w, "", "")
+                            nd[N_BAD_TERM] = ""
+                            w2 = t[am.end():n]
+                            if w2:
+                                ln, col = lc(n - len(w2)) if lc else _NO_POS
+                                add_leaf(D.TEXT, w2, ln, col, True, True,
+                                         n - len(w2), n)
+                            tag_end_kind = "eof"
+                            break
+                        add_attribute(name, "", w, "", "")
+                        i = am.end()
+                        continue
+                    if val:
+                        q0 = val[0]
+                        if q0 == '"' or q0 == "'":
+                            if val[-1] == q0 and len(val) >= 2:
+                                value = val[1:-1]
+                                add_attribute(name, value, w,
+                                              pre_eq + "=" + w3, q0)
+                                if checking_charset:
+                                    check_charset(name, value)
+                                i = am.end()
+                                continue
+                            # unterminated quote: value runs to EOF
+                            # (stepTwo still runs, html-parser.ts:419,721-758)
+                            value = t[am.start(5) + 1:n]
+                            add_attribute(name, value, w, pre_eq + "=" + w3,
+                                          "_" + q0)
+                            if checking_charset:
+                                check_charset(name, value)
+                            errors += 1
+                            nd[N_BAD_TERM] = ""
+                            tag_end_kind = "eof"
+                            break
+                        i = am.end()
+                        if val[-1] == "/":
+                            val = val[:-1]
+                            i -= 1
+                        add_attribute(name, val, w, pre_eq + "=" + w3, "")
+                        if checking_charset:
+                            check_charset(name, val)
+                        continue
+                    # empty value: next char is '>' (the value class matches
+                    # empty only there) or EOF
+                    if am.end() >= n:
+                        errors += 1
+                        add_attribute(name, "", w, pre_eq + "=", "")
+                        nd[N_BAD_TERM] = ""
+                        if w3:
+                            ln, col = lc(n - len(w3)) if lc else _NO_POS
+                            add_leaf(D.TEXT, w3, ln, col, True, True,
+                                     n - len(w3), n)
+                        tag_end_kind = "eof"
+                        break
+                    add_attribute(name, "", w, pre_eq + "=", "")
+                    nd[N_INNER_WS] = w3
+                    i = am.end() + 1
+                    tag_end_kind = ">"
+                    break
+                em = tag_close(t, i)
+                if em is not None:
+                    nd[N_INNER_WS] = em.group(1)
+                    i = em.end()
+                    tag_end_kind = "/>" if em.group(2) else ">"
+                    break
+                # fallback: '/', '>', '=', astral whitespace, or EOF
+                iw = ws_end(i)
+                w = t[i:iw]
+                if iw >= n:
+                    # EOF in AT_ATTRIBUTE_START; pending collectedSpace
+                    # becomes a trailing text child (html-parser.ts:498-501)
+                    errors += 1
+                    nd[N_BAD_TERM] = ""
+                    if w:
+                        ln, col = lc(n - len(w)) if lc else _NO_POS
+                        add_leaf(D.TEXT, w, ln, col, True, True,
+                                 n - len(w), n)
+                    tag_end_kind = "eof"
+                    break
+                c = t[iw]
+                if c == "/":
+                    if iw + 1 < n and t[iw + 1] == ">":
+                        nd[N_INNER_WS] = w
+                        i = iw + 2
+                        tag_end_kind = "/>"
+                        break
+                    # stray slash becomes a valueless '/' attribute
+                    add_attribute("/", "", w, "", "")
+                    i = iw + 1
+                    continue
+                if c == ">":
+                    nd[N_INNER_WS] = w
+                    i = iw + 1
+                    tag_end_kind = ">"
+                    break
+                # '=' with no name: bad terminator, back to text
+                nd[N_INNER_WS] = w
+                nd[N_BAD_TERM] = c
+                errors += 1
+                i = iw + 1
+                tag_end_kind = "bad"
+                break
+
+        attr_re = _RE_ATTR_STRICT
         pend_ws: str | None = None
-        tag_end_kind = None  # '>', '/>', 'eof', 'bad'
 
-        while True:
+        while tag_end_kind is None:
             if pend_ws is None:
                 if i < n and (t[i] in ws_set or t[i] > "\uffff"):
                     iw = ws_end(i + 1)
@@ -513,7 +749,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                 errors += 1
                 b.bad_term[node] = ""
                 if w:
-                    ln, col = lc(n - len(w))
+                    ln, col = lc(n - len(w)) if lc else _NO_POS
                     add_leaf(D.TEXT, w, ln, col, poss_ent=True,
                                            src_start=n - len(w), src_end=n)
                 tag_end_kind = "eof"
@@ -557,7 +793,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                     add_attribute(name, "", w, "", "")
                     b.bad_term[node] = ""
                     if w2:
-                        ln, col = lc(n - len(w2))
+                        ln, col = lc(n - len(w2)) if lc else _NO_POS
                         add_leaf(D.TEXT, w2, ln, col, poss_ent=True,
                                                src_start=n - len(w2), src_end=n)
                     tag_end_kind = "eof"
@@ -580,7 +816,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                     add_attribute(name, "", w, pre_eq + "=", "")
                     b.bad_term[node] = ""
                     if w3:
-                        ln, col = lc(n - len(w3))
+                        ln, col = lc(n - len(w3)) if lc else _NO_POS
                         add_leaf(D.TEXT, w3, ln, col, poss_ent=True,
                                                src_start=n - len(w3), src_end=n)
                     tag_end_kind = "eof"
@@ -636,7 +872,14 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
 
         # tag ended with '>' or '/>'
         if tag_end_kind == "/>" or (not xml and tag_lc in VOID_ELEMENTS):
-            pop(POP_SELF if tag_end_kind == "/>" else POP_VOID, end_pos=i)
+            # inline of DocBuilder.pop's sentinel case (top of stack == node)
+            stack.pop()
+            nd[N_CLOSURE] = SELF_CLOSED if tag_end_kind == "/>" else VOID_CLOSED
+            nd[N_SRC_END] = i
+            if tag_lc == "table":
+                b._examine_table(node)
+            if tag_lc == "math" or tag_lc == "svg":
+                b.in_math_or_svg -= 1
             continue
 
         if tag_lc in _RAW_TEXT_TAGS:
@@ -672,24 +915,22 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
 
             if match_start < 0:
                 errors += 1
-                b.closure[node] = D.UNCLOSED
+                nd[N_CLOSURE] = D.UNCLOSED
                 content = t[i:n]
                 if content:
-                    ln, col = lc(i)
-                    tn = add_leaf(D.TEXT, content, ln, col,
-                                    poss_ent=(tag_lc == "textarea"),
-                                    src_start=i, src_end=n)
+                    ln, col = lc(i) if lc else _NO_POS
+                    add_leaf(D.TEXT, content, ln, col, True,
+                             tag_lc == "textarea", i, n)
                 i = n
                 # state OUTSIDE at EOF: no extra wrap-up error
                 break
             content = t[i:match_start]
             if content:
-                ln, col = lc(i)
-                tn = add_leaf(D.TEXT, content, ln, col,
-                                poss_ent=(tag_lc == "textarea"),
-                                src_start=i, src_end=match_start)
-            e_ln, e_col = lc(match_start)
-            if not pop(tag_lc, t[match_start:gt + 1], e_ln, e_col, end_pos=gt + 1):
+                ln, col = lc(i) if lc else _NO_POS
+                add_leaf(D.TEXT, content, ln, col, True,
+                         tag_lc == "textarea", i, match_start)
+            e_ln, e_col = lc(match_start) if lc else _NO_POS
+            if not pop(tag_lc, t[match_start:gt + 1], e_ln, e_col, gt + 1):
                 errors += 1
             i = gt + 1
         # else: plain OUTSIDE_MARKUP continues
@@ -701,5 +942,8 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
     result.charset = charset
     result.xml_mode = xml
     result.unclosed_tags, result.implicitly_closed_tags = b.count_unclosed_flat()
-    result.lines = len(pos.starts) if positions else 1 + len(_RE_ANY_EOL.findall(t))
+    # positions=False: count EOLs with C-level str.count (== the number of
+    # \r\n|\r|\n matches: every \n or \r counts once, \r\n pairs de-duped)
+    result.lines = (len(pos.starts) if positions
+                    else 1 + t.count("\n") + t.count("\r") - t.count("\r\n"))
     return result
