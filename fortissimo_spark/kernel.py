@@ -192,9 +192,9 @@ def make_extract_kernel(strip: str = "density", verify_roundtrip: bool = False):
                 rts.append(result.to_string() == result.text
                            if verify_roundtrip else None)
             yield pd.DataFrame({
-                "url": pdf["url"].tolist(),
-                "warc_ts": pdf["warc_ts"].tolist(),
-                "lang": pdf["lang"].tolist(),
+                "url": pdf["url"].values,
+                "warc_ts": pdf["warc_ts"].values,
+                "lang": pdf["lang"].values,
                 "text": texts, "span_starts": sp_starts, "span_ends": sp_ends,
                 "used_encoding": useds, "declared_charset": decls,
                 "encoding_retried": retrs, "errors": errs, "unclosed": uncls,

@@ -114,6 +114,12 @@ _RE_ENC_UTF16LE = re.compile("^(\xff\xfe|[\x01-\xff]\x00[\x01-\xff]\x00)")
 def check_encoding(first_chars: str) -> str | None:
     """Pattern-sniff UTF-16/32 BE/LE from the first chars of a (mis)decoded
     document. Returns the encoding name or None."""
+    # every pattern requires a NUL or a BOM pair in the first chars; one
+    # C-level containment test short-circuits all four regexes for the
+    # overwhelmingly common plain-text prefix
+    if "\x00" not in first_chars and not first_chars.startswith(
+            ("\xfe\xff", "\xff\xfe")):
+        return None
     if _RE_ENC_UTF32BE.match(first_chars):
         return "UTF-32BE"
     if _RE_ENC_UTF32LE.match(first_chars):
