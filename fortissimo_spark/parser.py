@@ -102,6 +102,9 @@ _RE_ATTR_FAST = re.compile(
 # applied at k+1 (the first char is already known to be in
 # _MARKUP_START_SET and not '/', '!' or '?')
 _RE_STAG_SIMPLE = re.compile(r"([^ \n\r\t\f/>]+)([ \t\n\f\r]*)(/?)>")
+# a char that is neither HTML whitespace nor astral (the wrap-up
+# trailing-text check: C-level search instead of a per-char Python loop)
+_RE_NON_WS_BMP = re.compile(r"[^ \t\n\f\r\U00010000-\U0010ffff]")
 
 # encoding-pattern sniffing (html-parser.ts:306-324), applied to the
 # (mis)decoded text's first chars
@@ -313,7 +316,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
         if k == n:
             text = t[run_start:n]
             if text:
-                is_all_ws = all(c in _WS_SET or ord(c) > 0xFFFF for c in text)
+                is_all_ws = _RE_NON_WS_BMP.search(text) is None
                 ln, col = lc(run_start) if lc else _NO_POS
                 cur = stack[-1]
                 nodes.append([TEXT, "", "", cur, None, UNCLOSED, text, True,
@@ -625,6 +628,8 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                 am = attr_fast(t, i)
                 if am is not None:
                     w, name, pre_eq, w3, val = am.group(1, 2, 3, 4, 5)
+                    # inline of DocBuilder.add_attribute (nd is the open
+                    # element): append to the five parallel attr lists
                     if pre_eq is None:
                         # valueless attribute (no '=' after the name); the
                         # following ws run is re-scanned as the next
@@ -632,7 +637,9 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                         iw2 = ws_end(am.end())
                         if iw2 >= n:
                             errors += 1
-                            add_attribute(name, "", w, "", "")
+                            nd[14].append(name); nd[15].append("")
+                            nd[16].append(w); nd[17].append("")
+                            nd[18].append("")
                             nd[N_BAD_TERM] = ""
                             w2 = t[am.end():n]
                             if w2:
@@ -641,7 +648,9 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                                          n - len(w2), n)
                             tag_end_kind = "eof"
                             break
-                        add_attribute(name, "", w, "", "")
+                        nd[14].append(name); nd[15].append("")
+                        nd[16].append(w); nd[17].append("")
+                        nd[18].append("")
                         i = am.end()
                         continue
                     if val:
@@ -649,8 +658,10 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                         if q0 == '"' or q0 == "'":
                             if val[-1] == q0 and len(val) >= 2:
                                 value = val[1:-1]
-                                add_attribute(name, value, w,
-                                              pre_eq + "=" + w3, q0)
+                                nd[14].append(name); nd[15].append(value)
+                                nd[16].append(w)
+                                nd[17].append(pre_eq + "=" + w3)
+                                nd[18].append(q0)
                                 if checking_charset:
                                     check_charset(name, value)
                                 i = am.end()
@@ -658,8 +669,10 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                             # unterminated quote: value runs to EOF
                             # (stepTwo still runs, html-parser.ts:419,721-758)
                             value = t[am.start(5) + 1:n]
-                            add_attribute(name, value, w, pre_eq + "=" + w3,
-                                          "_" + q0)
+                            nd[14].append(name); nd[15].append(value)
+                            nd[16].append(w)
+                            nd[17].append(pre_eq + "=" + w3)
+                            nd[18].append("_" + q0)
                             if checking_charset:
                                 check_charset(name, value)
                             errors += 1
@@ -670,7 +683,10 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                         if val[-1] == "/":
                             val = val[:-1]
                             i -= 1
-                        add_attribute(name, val, w, pre_eq + "=" + w3, "")
+                        nd[14].append(name); nd[15].append(val)
+                        nd[16].append(w)
+                        nd[17].append(pre_eq + "=" + w3)
+                        nd[18].append("")
                         if checking_charset:
                             check_charset(name, val)
                         continue
@@ -678,7 +694,9 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                     # empty only there) or EOF
                     if am.end() >= n:
                         errors += 1
-                        add_attribute(name, "", w, pre_eq + "=", "")
+                        nd[14].append(name); nd[15].append("")
+                        nd[16].append(w); nd[17].append(pre_eq + "=")
+                        nd[18].append("")
                         nd[N_BAD_TERM] = ""
                         if w3:
                             ln, col = lc(n - len(w3)) if lc else _NO_POS
@@ -686,7 +704,9 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                                      n - len(w3), n)
                         tag_end_kind = "eof"
                         break
-                    add_attribute(name, "", w, pre_eq + "=", "")
+                    nd[14].append(name); nd[15].append("")
+                    nd[16].append(w); nd[17].append(pre_eq + "=")
+                    nd[18].append("")
                     nd[N_INNER_WS] = w3
                     i = am.end() + 1
                     tag_end_kind = ">"
