@@ -38,6 +38,9 @@ _RE_META_CHARSET = re.compile(
     rb"""<meta[^>]+charset[ \t\n\f\r]*=[ \t\n\f\r]*["']?([\w-]+)""", re.I)
 
 _RE_TOKEN = re.compile(r"\S+")
+# token_count contract: the number of \S+ runs.  str.split() splits on
+# exactly the same whitespace class (verified: re's \s and str.isspace
+# agree on every codepoint), and is ~4x faster than findall.
 
 
 @lru_cache(maxsize=512)
@@ -146,7 +149,7 @@ def process_document(raw: bytes, strip: str = "density", *,
         "characters": result.characters,
         "lines": result.lines,
         "text_len": len(ext.text),
-        "token_count": len(_RE_TOKEN.findall(ext.text)),
+        "token_count": len(ext.text.split()),
         "html_bytes": len(raw),
         "roundtrip_ok": roundtrip_ok,
         "_result": result,
@@ -157,7 +160,6 @@ def make_extract_kernel(strip: str = "density", verify_roundtrip: bool = False):
     """Build a mapInPandas kernel: pages batches -> EXTRACT_SCHEMA batches."""
 
     def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        findall = _RE_TOKEN.findall
         for pdf in batches:
             n = len(pdf)
             if n == 0:
@@ -187,7 +189,7 @@ def make_extract_kernel(strip: str = "density", verify_roundtrip: bool = False):
                 chars.append(result.characters)
                 lines.append(result.lines)
                 tlens.append(len(text))
-                toks.append(len(findall(text)))
+                toks.append(len(text.split()))
                 hbytes.append(len(raw))
                 rts.append(result.to_string() == result.text
                            if verify_roundtrip else None)
@@ -394,7 +396,7 @@ def make_analysis_kernel(strip: str = "density"):
                 rows["url"].append(url)
                 rows["text"].append(ext.text)
                 rows["text_len"].append(len(ext.text))
-                rows["token_count"].append(len(_RE_TOKEN.findall(ext.text)))
+                rows["token_count"].append(len(ext.text.split()))
                 rows["errors"].append(result.errors)
                 rows["noindex"].append(noindex)
                 rows["nofollow"].append(nofollow)
