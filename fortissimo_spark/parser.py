@@ -345,7 +345,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
             if not xml:
                 em = end_fast(t, k + 2)
                 if em is not None:
-                    tag = em.group(1)
+                    tag, ws2 = em.group(1, 2)
                     g = em.end()
                     tag_lc = tag.lower()
                     cur = stack[-1]
@@ -354,7 +354,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                         # inline of DocBuilder.pop's matching-top case
                         stack.pop()
                         nd2[N_CLOSURE] = EXPLICITLY_CLOSED
-                        nd2[N_END_TAG] = "</" + tag + em.group(2) + ">"
+                        nd2[N_END_TAG] = "</" + tag + ws2 + ">"
                         nd2[N_END_LINE] = mk_ln
                         nd2[N_END_COL] = mk_col
                         nd2[N_SRC_END] = g
@@ -362,7 +362,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                             b._examine_table(cur)
                         if tag_lc == "math" or tag_lc == "svg":
                             b.in_math_or_svg -= 1
-                    elif not pop(tag_lc, "</" + tag + em.group(2) + ">",
+                    elif not pop(tag_lc, "</" + tag + ws2 + ">",
                                  mk_ln, mk_col, g):
                         errors += 1
                     i = g
@@ -567,13 +567,13 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
             # pending charset exactly like any other start tag.
             content_type = False
             pending_charset = None
-            tag = sm.group(1)
+            tag, inner_ws, slash = sm.group(1, 2, 3)
             tag_lc = tag.lower()
-            tag_end_kind = "/>" if sm.group(3) else ">"
+            tag_end_kind = "/>" if slash else ">"
             i = sm.end()
             node = len(nodes)
             nd = [ELEMENT, tag, tag_lc, -1, [], UNCLOSED, None, True, False,
-                  mk_ln, mk_col, "", 0, 0, [], [], [], [], [], sm.group(2),
+                  mk_ln, mk_col, "", 0, 0, [], [], [], [], [], inner_ws,
                   None, False, k, -1]
             nodes.append(nd)
             closers = OPEN_IMPLIES_CLOSE.get(tag_lc)
@@ -713,9 +713,10 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
                     break
                 em = tag_close(t, i)
                 if em is not None:
-                    nd[N_INNER_WS] = em.group(1)
+                    w, slash = em.group(1, 2)
+                    nd[N_INNER_WS] = w
                     i = em.end()
-                    tag_end_kind = "/>" if em.group(2) else ">"
+                    tag_end_kind = "/>" if slash else ">"
                     break
                 # fallback: '/', '>', '=', astral whitespace, or EOF
                 iw = ws_end(i)
