@@ -102,6 +102,20 @@ _RE_ATTR_FAST = re.compile(
 # applied at k+1 (the first char is already known to be in
 # _MARKUP_START_SET and not '/', '!' or '?')
 _RE_STAG_SIMPLE = re.compile(r"([^ \n\r\t\f/>]+)([ \t\n\f\r]*)(/?)>")
+# whole SINGLE-attribute start tag in one match (97% of attribute-bearing
+# tags in a web corpus have exactly one).  Groups: 1 tag name, 2 leading
+# ws, 3 attr name, 4/5 ws around '=', 6 raw value, 7 close ws, 8 slash.
+# Whitespace classes are PLAIN here — any astral-ws shape fails the match
+# and takes the general machine.  Values starting with an unmatched quote
+# and 'value ends with /' + more-tag shapes bail to the general machine
+# (see the ok checks at the use site).
+_RE_STAG_ONEATTR = re.compile(
+    r"([^ \n\r\t\f/>]+)"
+    r"([ \t\n\f\r]+)"
+    r"([^ \t\n\f\r>/=\U00010000-\U0010ffff][^ \t\n\f\r>/=]*)"
+    r"(?:([ \t\n\f\r]*)=([ \t\n\f\r]*)"
+    r"(\"[^\"]*\"|'[^']*'|[^ \t\n\f\r>]*))?"
+    r"([ \t\n\f\r]*)(/?)>")
 # a char that is neither HTML whitespace nor astral (the wrap-up
 # trailing-text check: C-level search instead of a per-char Python loop)
 _RE_NON_WS_BMP = re.compile(r"[^ \t\n\f\r\U00010000-\U0010ffff]")
@@ -265,6 +279,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
     tag_close = _RE_TAG_CLOSE.match
     end_fast = _RE_END_FAST.match
     stag_simple = _RE_STAG_SIMPLE.match
+    stag_oneattr = _RE_STAG_ONEATTR.match
     errors = 0
     charset: str | None = None
     checking_charset = False
@@ -558,7 +573,46 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
             continue
 
         # ---- start tag ----
+        om = None
         sm = stag_simple(t, k + 1) if not xml else None
+        if sm is None and not xml:
+            om = stag_oneattr(t, k + 1)
+            if om is not None:
+                (tag, w1, aname, g4, g5, val, w7,
+                 slash) = om.group(1, 2, 3, 4, 5, 6, 7, 8)
+                equals = ""
+                quote = ""
+                inner_ws = w7
+                value = val
+                if g4 is None:
+                    value = ""  # valueless attribute
+                elif val:
+                    q0 = val[0]
+                    if q0 > "￿":
+                        # astral char at value start: the general machine
+                        # treats it as post-'=' whitespace
+                        om = None
+                    elif q0 == '"' or q0 == "'":
+                        if len(val) >= 2 and val[-1] == q0:
+                            value = val[1:-1]
+                            quote = q0
+                            equals = g4 + "=" + g5
+                        else:
+                            om = None  # quote closes later/never: general
+                    elif val[-1] == "/":
+                        if not w7 and not slash:
+                            # '<a b=1/>': trim one slash, self-close
+                            value = val[:-1]
+                            slash = "/"
+                            equals = g4 + "=" + g5
+                        else:
+                            om = None  # '<a b=1/ >': stray-slash semantics
+                    else:
+                        equals = g4 + "=" + g5
+                else:
+                    # '=' then '>': valueless-with-equals, '='-ws is inner
+                    equals = g4 + "="
+                    inner_ws = g5
         if sm is not None:
             # fused fast path: attribute-less tag, name + inner ws + close
             # in one match (the general path below is byte-for-byte
@@ -587,6 +641,32 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
             stack.append(node)
             if tag_lc == "math" or tag_lc == "svg":
                 b.in_math_or_svg += 1
+        elif om is not None:
+            # fused single-attribute start tag (attr lists built in place)
+            content_type = False
+            pending_charset = None
+            tag_lc = tag.lower()
+            tag_end_kind = "/>" if slash else ">"
+            i = om.end()
+            node = len(nodes)
+            nd = [ELEMENT, tag, tag_lc, -1, [], UNCLOSED, None, True, False,
+                  mk_ln, mk_col, "", 0, 0, [aname], [value], [w1], [equals],
+                  [quote], inner_ws, None, False, k, -1]
+            nodes.append(nd)
+            closers = OPEN_IMPLIES_CLOSE.get(tag_lc)
+            if closers:
+                while nodes[stack[-1]][N_TAG_LC] in closers:
+                    nodes[stack[-1]][N_CLOSURE] = IMPLICITLY_CLOSED
+                    stack.pop()
+            cur = stack[-1]
+            nd[N_PARENT] = cur
+            nodes[cur][N_CHILDREN].append(node)
+            stack.append(node)
+            if tag_lc == "math" or tag_lc == "svg":
+                b.in_math_or_svg += 1
+            if g4 is not None and val and not charset and tag_lc == "meta":
+                # stepTwo runs only for VALUED attributes
+                check_charset(aname, value)
         else:
             m = (_RE_TAG_STRICT if xml else _RE_TAG_LOOSE).match(t, k + 2)
             tag = c2 + m.group(0)
@@ -620,7 +700,7 @@ def parse(source: str, *, empty_end_tag: bool = True, eol="\n", tab_size: int = 
             tag_end_kind = None  # '>', '/>', 'eof', 'bad'
 
             html_fast = not xml
-        if sm is None and html_fast:
+        if sm is None and om is None and html_fast:
             # ---- fused HTML attribute loop: one regex match per attribute,
             # one per tag close; every non-matching shape falls through to
             # the inline fallback, which replicates the general machine ----
