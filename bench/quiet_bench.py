@@ -23,7 +23,7 @@ quiet = False
 while time.time() < deadline:
     s = min(membw() for _ in range(3))
     print(f"membw {s:.3f}", flush=True)
-    if s < 0.123:
+    if s < 0.134:
         quiet = True
         break
     time.sleep(90)
